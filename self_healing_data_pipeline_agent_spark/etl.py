@@ -1,0 +1,93 @@
+"""Contract-driven ETL: scan -> normalize -> project -> coercing cast -> sink.
+
+Reference semantics (``/root/reference/src/etl_job.py:25-83``), re-expressed
+as one lazy Spark logical plan:
+
+- CSV is read header-only, **no schema inference** — every column arrives as
+  string and is cast explicitly per the contract (the reference reads with
+  pandas inference then forcibly re-casts; declaring all-string + try_cast is
+  the equivalent deterministic end state).
+- Header names are whitespace-stripped (``etl_job.py:43``).
+- The frame is projected to declared ∩ present columns in *contract order*;
+  missing declared columns are dropped with a warning, NOT an error
+  (``etl_job.py:46-56``) — the DQ layer reports them later.  Extra source
+  columns are silently discarded.
+- Casts are coercing: unparseable int/float -> NULL (``etl_job.py:58-69``);
+  on Spark 4's ANSI mode that is ``try_cast``, not ``cast``.
+- The warehouse sink is a full refresh and **runs before DQ** — observable
+  ordering: bad data lands in the warehouse even when the run then fails DQ
+  (``etl_job.py:72-80`` precedes the DQ call in the runner).
+
+At scale: the scan is a distributed CSV read; the sink is an overwrite-mode
+parquet table write.  Everything between is a narrow plan (no shuffle).
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .contract import Contract
+
+log = logging.getLogger(__name__)
+
+
+def read_source(spark: SparkSession, contract: Contract, base_dir: str | Path) -> DataFrame:
+    """Scan the contract's source as all-string columns with stripped headers."""
+    path = str(Path(base_dir) / contract.source_path)
+    fmt = contract.raw.get("source_format", "csv")
+    if fmt == "parquet":
+        df = spark.read.parquet(path)
+    else:
+        df = (
+            spark.read.option("header", True)
+            .option("inferSchema", False)
+            .csv(path)
+        )
+    # strip whitespace from header names (reference src/etl_job.py:43)
+    return df.toDF(*[c.strip() for c in df.columns])
+
+
+def project_and_cast(df: DataFrame, contract: Contract) -> DataFrame:
+    """Project to declared ∩ present columns (contract order) and apply the
+    coercing casts.  Missing declared columns warn + drop; unknown declared
+    types warn + leave as-is (reference src/etl_job.py:46-69)."""
+    present = set(df.columns)
+    cols = []
+    for name, spec in contract.columns.items():
+        if name not in present:
+            log.warning("declared column %r missing from source; skipping", name)
+            continue
+        ddl = spec.spark_type
+        if ddl is None:
+            log.warning("unknown declared type %r for column %r; leaving as-is", spec.type, name)
+            cols.append(df[name])
+        elif ddl == "string":
+            cols.append(df[name].cast("string").alias(name))
+        else:
+            # try_cast == pandas to_numeric(errors="coerce"): bad value -> NULL
+            cols.append(df[name].try_cast(ddl).alias(name))
+    return df.select(*cols)
+
+
+def write_warehouse(df: DataFrame, contract: Contract, base_dir: str | Path) -> str:
+    """Full-refresh sink: overwrite the warehouse table (parquet directory).
+
+    The reference's truncate+insert into DuckDB (src/etl_job.py:75-80) keeps
+    the table schema stable across runs; with a declared contract the
+    overwrite rewrites the same schema, so semantics match.
+    """
+    out = str(Path(base_dir) / contract.warehouse_path / contract.table_name)
+    df.write.mode("overwrite").parquet(out)
+    return out
+
+
+def run_etl(spark: SparkSession, contract: Contract, base_dir: str | Path) -> DataFrame:
+    """Full ETL for one run; returns the casted DataFrame (lazy plan over the
+    source) for downstream DQ + drift.  Warehouse write happens here, before
+    any DQ gate — matching the reference's observable ordering."""
+    df = project_and_cast(read_source(spark, contract, base_dir), contract)
+    write_warehouse(df, contract, base_dir)
+    return df

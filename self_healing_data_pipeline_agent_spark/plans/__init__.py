@@ -1,0 +1,32 @@
+"""Plan-inspection helpers: assert that the physical plan has the shape we
+designed for (pushdown reached the scan, dims broadcast, no stray shuffles).
+
+Used by tests so plan regressions fail CI rather than shipping as silent
+100×-at-scale slowdowns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
+    """True if a parquet scan in the plan pushed down a filter containing
+    ``fragment``."""
+    plan = formatted_plan(df)
+    return "PushedFilters" in plan and fragment in plan
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the physical plan."""
+    return formatted_plan(df).count("Exchange")
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df)

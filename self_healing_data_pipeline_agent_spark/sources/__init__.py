@@ -1,0 +1,5 @@
+"""Readers and sinks."""
+
+from .tables import TABLE_NAMES, load_table, load_tables, register_views
+
+__all__ = ["TABLE_NAMES", "load_table", "load_tables", "register_views"]
