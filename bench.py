@@ -1,0 +1,82 @@
+"""Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop sink (full execution, no
+driver-side collect overhead) — the same way you'd measure a cluster job.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from self_healing_data_pipeline_agent_spark.registry import all_queries  # noqa: E402
+from self_healing_data_pipeline_agent_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "tpch_q1",
+    "revenue_by_nation",
+    "stats_profile",
+    "grouped_drift_profile",
+    "grouped_dq_profile",
+    "quantile_profile",
+    "distinct_counts",
+    "dedup_first_lineitem",
+    "topk_orders_per_priority",
+    "order_lag_lead",
+    "anti_join_no_f_orders",
+    "rollup_summary",
+    "json_extract",
+    "hourly_windows",
+    "sessionization",
+    "top_terms",
+    "jaccard_pairs",
+    "minhash_lsh_pairs",
+    "knn_cosine",
+    "exact_dedup_docs",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = all_queries()
+    names = [n for n in HEADLINE if n in queries]
+
+    # warmup: JIT + file-listing caches, not measured
+    queries["row_count"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = queries[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_queries": len(timings),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -5,13 +5,24 @@ Spark's partial/final aggregation tree and any other engine (and between two
 Spark runs with different partitioning).  For value-hash comparison against a
 DuckDB oracle we need bit-identical results.
 
-Fix: round each row's value to a fixed decimal scale *before* summing by
-casting to DECIMAL — decimal addition is exact and associative, so the sum is
-order-independent and matches any engine doing the same per-row conversion.
-The final cast back to double is exact for the magnitudes involved.
+Fix: quantize each row to an integer number of 1e-4 units using ONLY IEEE
+double ops — ``floor(x * 10000.0 + 0.5)`` — which every engine computes
+bit-identically, then sum as BIGINT (exact, associative, order-independent).
+The final ``sum / 10000.0`` is a single deterministic double division.
 
-This also reflects good 100 TB practice: money-like measures belong in
-DECIMAL, where re-partitioning can never change the answer.
+(A first attempt used double->DECIMAL casts; that broke because engines
+disagree on the cast's rounding near scale boundaries — Spark converts via
+exact BigDecimal, DuckDB scales in double space.  Pure double arithmetic +
+integer sums sidesteps engine-specific conversion semantics entirely.)
+
+This also reflects good 100 TB practice: fixed-point measures make
+aggregates invariant under repartitioning — the answer can never depend on
+the cluster's shuffle layout.  BIGINT headroom: at 1e-4 scale, ~9e14 units
+per row of headroom; sums overflow only past ~9e18 units (sf ~1e4 for
+TPC-H-like magnitudes).
+
+SQL twins in ``functions/oracle_sql.py`` keep the textual expression shape
+identical so both engines execute the same float ops in the same order.
 """
 
 from __future__ import annotations
@@ -19,19 +30,36 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# scale 4 keeps cents-level data exact; precision 25 >> any sf we run.
-_DEC = "decimal(25,4)"
+SCALE = 10000.0  # 1e-4 quantum: keeps cents (and sub-cents) exact
+
+
+def _units(expr: Column) -> Column:
+    """Row value -> integer 1e-4 units via pure IEEE double ops.
+    floor(x*1e4 + 0.5) == round-half-up, identical in any IEEE engine."""
+    return F.floor(expr * F.lit(SCALE) + F.lit(0.5))
 
 
 def dsum(expr: Column) -> Column:
-    """Order-independent sum of a double expression (per-row rounded to 4
-    decimal places).  Oracle-side equivalent:
-    ``CAST(SUM(CAST(x AS DECIMAL(25,4))) AS DOUBLE)``."""
-    return F.sum(expr.cast(_DEC)).cast("double")
+    """Order-independent sum of a double expression (quantized to 1e-4).
+    SQL twin: ``sql_dsum``."""
+    return F.sum(_units(expr)).cast("double") / F.lit(SCALE)
 
 
 def davg(expr: Column) -> Column:
-    """Order-independent mean: exact decimal sum / count, in double.
-    Oracle-side equivalent:
-    ``CAST(SUM(CAST(x AS DECIMAL(25,4))) AS DOUBLE) / COUNT(x)``."""
-    return F.sum(expr.cast(_DEC)).cast("double") / F.count(expr)
+    """Order-independent mean: exact unit sum / count, in double.
+    SQL twin: ``sql_davg``."""
+    return dsum(expr) / F.count(expr)
+
+
+def dstd(expr: Column) -> Column:
+    """Order-independent sample stddev via exact unit sums:
+    sqrt((S2 - S1*S1/n) / (n-1)).  SQL twin: ``sql_dstd``.
+
+    Numerically this is the naive one-pass formula — fine for profile-style
+    stats where variance is far from cancellation; the tradeoff buys
+    bit-reproducibility across engines and partitionings.
+    """
+    s1 = dsum(expr)
+    s2 = dsum(expr * expr)
+    n = F.count(expr)
+    return F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1)))

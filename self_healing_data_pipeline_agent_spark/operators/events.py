@@ -1,0 +1,187 @@
+"""Event-stream operators over the ``events`` table (SURVEY.md §2.B
+X11-X13 + the §2.A dashboard query parity surface I2-I6).
+
+Timestamps are processed in UTC (session-level setting) so event-time
+semantics are identical on any cluster and match the DuckDB oracle.
+Gap comparisons use integer epoch-micros — no float time math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.oracle_sql import sql_davg
+from ..functions.stable import davg
+from ..sources.tables import load_table
+
+ORACLES: dict[str, str] = {}
+
+SESSION_GAP_MICROS = 30 * 60 * 1_000_000  # 30 minutes
+
+
+# --- §2.A dashboard parity (I2-I6) ------------------------------------------
+
+def q_status_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I2: substring-containment counters in one aggregation (reference
+    app/dashboard.py:29-32 counts statuses via str.contains)."""
+    df = load_table(spark, sf_dir, "events")
+    return df.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.col("event_type").contains("error").cast("int")).alias("n_error"),
+        F.sum(F.col("event_type").contains("click").cast("int")).alias("n_click"),
+        F.sum((F.col("event_type") == "purchase").cast("int")).alias("n_purchase"),
+    )
+
+
+ORACLES["status_metrics"] = """
+SELECT COUNT(*) AS total,
+       SUM(CASE WHEN event_type LIKE '%error%' THEN 1 ELSE 0 END) AS n_error,
+       SUM(CASE WHEN event_type LIKE '%click%' THEN 1 ELSE 0 END) AS n_click,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase
+FROM events
+"""
+
+
+def q_distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I4: sorted distinct values (filter-dropdown query)."""
+    df = load_table(spark, sf_dir, "events")
+    return df.select("event_type").distinct().orderBy("event_type")
+
+
+ORACLES["distinct_event_types"] = (
+    "SELECT DISTINCT event_type FROM events ORDER BY event_type"
+)
+
+
+def q_recent_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3+I5: equality filter + newest-first sort + limit, with a
+    deterministic tiebreak so the top-100 set is engine-stable."""
+    df = load_table(spark, sf_dir, "events")
+    return (
+        df.filter(F.col("event_type") == "error")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .select("event_id", "ts", "user_id", "value")
+        .limit(100)
+    )
+
+
+ORACLES["recent_errors"] = """
+SELECT event_id, ts, user_id, value
+FROM events WHERE event_type = 'error'
+ORDER BY ts DESC, event_id DESC LIMIT 100
+"""
+
+
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I6: point lookup by id — the pushed-down filter reaches the parquet
+    scan (min/max row-group pruning at scale)."""
+    df = load_table(spark, sf_dir, "events")
+    return df.filter(F.col("event_id") == 42)
+
+
+ORACLES["point_lookup"] = "SELECT * FROM events WHERE event_id = 42"
+
+
+# --- X11: JSON extraction ----------------------------------------------------
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11: pull a typed value out of the JSON ``props`` payload and
+    aggregate per type.  get_json_object is JVM-side (Jackson) — no UDF."""
+    df = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("bigint")
+    return (
+        df.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+ORACLES["json_extract"] = """
+SELECT event_type,
+       COUNT(k) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k
+FROM (SELECT event_type, TRY_CAST(props->>'$.k' AS BIGINT) AS k FROM events)
+GROUP BY event_type
+"""
+
+
+# --- X12: tumbling event-time windows ---------------------------------------
+
+def q_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12: tumbling 1-hour event-time aggregation.  ``F.window`` aligns to
+    epoch-hour boundaries in UTC == date_trunc('hour').  Same code shape
+    works under Structured Streaming with a watermark (see streaming/)."""
+    df = load_table(spark, sf_dir, "events")
+    return (
+        df.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            davg(F.col("value")).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
+    )
+
+
+ORACLES["hourly_windows"] = f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       COUNT(*) AS n_events,
+       {sql_davg('value')} AS avg_value
+FROM events GROUP BY date_trunc('hour', ts)
+"""
+
+
+# --- X13: gap-based sessionization ------------------------------------------
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13: classic gap-based sessionization — lag + cumulative sum of
+    session-start flags, then per-session rollup.  One shuffle on user_id;
+    the window sort is per-user (bounded), so this scales horizontally with
+    users.  Gap compare in integer epoch-micros."""
+    df = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts"))
+    prev_us = F.lag(ts_us).over(w)
+    new_session = (
+        prev_us.isNull() | ((ts_us - prev_us) > SESSION_GAP_MICROS)
+    ).cast("int")
+    with_session = df.select(
+        "user_id", "event_id", "ts",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("session_id"),
+    )
+    return with_session.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+ORACLES["sessionization"] = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_MICROS}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end
+FROM sessions GROUP BY user_id, session_id
+"""

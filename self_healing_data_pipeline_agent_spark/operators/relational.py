@@ -1,0 +1,449 @@
+"""Relational operator surface over the star schema (SURVEY.md §2.B
+X1-X7, X14-X16, plus the §2.A aggregate/dashboard parity queries and the
+TPC-H Q1 flagship).
+
+Every query is a declarative DataFrame plan — Catalyst handles pushdown,
+pruning and join planning; dimension joins broadcast explicitly where the
+dimension is bounded (region/nation), and via AQE otherwise.  All
+oracle-checked numeric aggregates use the exact-decimal ``stable`` helpers
+so results are bit-reproducible at any partitioning (see
+``functions/stable.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.oracle_sql import sql_davg, sql_dstd, sql_dsum
+from ..functions.stable import davg, dstd, dsum
+from ..sources.tables import load_table
+
+ORACLES: dict[str, str] = {}
+
+
+# --- §2.A parity: global aggregates -----------------------------------------
+
+def q_row_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: global row count (reference src/data_quality_checks.py:28)."""
+    return load_table(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("row_count")
+    )
+
+
+ORACLES["row_count"] = "SELECT COUNT(*) AS row_count FROM lineitem"
+
+
+def q_null_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: per-column null fractions in ONE pass (reference loops per
+    column, src/data_quality_checks.py:41-49)."""
+    df = load_table(spark, sf_dir, "events")
+    return df.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.avg(F.col("value").isNull().cast("int")).alias("nf_value"),
+        F.avg(F.col("props").isNull().cast("int")).alias("nf_props"),
+        F.avg(F.col("event_type").isNull().cast("int")).alias("nf_event_type"),
+    )
+
+
+ORACLES["null_fractions"] = """
+SELECT COUNT(*) AS row_count,
+       AVG(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS nf_value,
+       AVG(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS nf_props,
+       AVG(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS nf_event_type
+FROM events
+"""
+
+
+def q_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4 + D1: global mean/std profile of lineitem measures, one agg
+    job (reference profiles one pandas pass per column,
+    src/drift_detector.py:16-26)."""
+    df = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c, tag in (("l_quantity", "qty"), ("l_extendedprice", "price"),
+                   ("l_discount", "disc")):
+        aggs.append(davg(F.col(c)).alias(f"mean_{tag}"))
+        aggs.append(dstd(F.col(c)).alias(f"std_{tag}"))
+    return df.agg(*aggs)
+
+
+ORACLES["stats_profile"] = f"""
+SELECT {sql_davg('l_quantity')} AS mean_qty,
+       {sql_dstd('l_quantity')} AS std_qty,
+       {sql_davg('l_extendedprice')} AS mean_price,
+       {sql_dstd('l_extendedprice')} AS std_price,
+       {sql_davg('l_discount')} AS mean_disc,
+       {sql_dstd('l_discount')} AS std_disc
+FROM lineitem
+"""
+
+
+# --- Flagship: TPC-H Q1 pricing summary -------------------------------------
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: scan-heavy grouped aggregation with filter pushdown; the
+    canonical 100 TB stress test of map-side partial aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLES["tpch_q1"] = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       {sql_dsum('l_extendedprice')} AS sum_base_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {sql_davg('l_quantity')} AS avg_qty,
+       {sql_davg('l_extendedprice')} AS avg_price,
+       {sql_davg('l_discount')} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- X1/X2: grouped DQ + drift profiles -------------------------------------
+
+def q_grouped_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: the reference's global DQ stats (A1/A2) scaled out per group —
+    one shuffle on the group key, partials map-side."""
+    df = load_table(spark, sf_dir, "events")
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.avg(F.col("value").isNull().cast("int")).alias("nf_value"),
+        F.avg(F.col("props").isNull().cast("int")).alias("nf_props"),
+    )
+
+
+ORACLES["grouped_dq_profile"] = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       AVG(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS nf_value,
+       AVG(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS nf_props
+FROM events GROUP BY event_type
+"""
+
+
+def q_grouped_drift_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: per-partition mean/std drift profile (scale-out of D1)."""
+    df = load_table(spark, sf_dir, "lineitem")
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        davg(F.col("l_quantity")).alias("mean_qty"),
+        dstd(F.col("l_quantity")).alias("std_qty"),
+        davg(F.col("l_extendedprice")).alias("mean_price"),
+        dstd(F.col("l_extendedprice")).alias("std_price"),
+    )
+
+
+ORACLES["grouped_drift_profile"] = f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       {sql_davg('l_quantity')} AS mean_qty,
+       {sql_dstd('l_quantity')} AS std_qty,
+       {sql_davg('l_extendedprice')} AS mean_price,
+       {sql_dstd('l_extendedprice')} AS std_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- X3: quantile profile ----------------------------------------------------
+
+def q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: exact percentiles per group (linear interpolation — matches
+    PERCENTILE_CONT).  At 100 TB swap to percentile_approx (t-digest);
+    exact here so the oracle can verify.  Rounded to 4dp on both sides to
+    absorb interpolation-arithmetic ulps."""
+    df = load_table(spark, sf_dir, "lineitem")
+    return df.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75_price"),
+    )
+
+
+ORACLES["quantile_profile"] = """
+SELECT l_returnflag,
+       ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY l_quantity), 4) AS p50_qty,
+       ROUND(PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p25_price,
+       ROUND(PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p75_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- X4: cardinality profile -------------------------------------------------
+
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: exact distinct counts per group (cardinality drift).  The 100 TB
+    variant is approx_count_distinct (HLL, no exact-distinct shuffle
+    explosion) — exact here for the oracle."""
+    df = load_table(spark, sf_dir, "lineitem")
+    return df.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("nd_partkey"),
+        F.countDistinct("l_suppkey").alias("nd_suppkey"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+ORACLES["distinct_counts"] = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS nd_partkey,
+       COUNT(DISTINCT l_suppkey) AS nd_suppkey,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- X5: multi-way FK enrichment join ---------------------------------------
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region revenue rollup.
+
+    Join strategy for scale: region/nation are bounded dimensions ->
+    explicit broadcast (no shuffle); customer/orders co-shuffle on their
+    keys; AQE reorders/skew-splits at runtime.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            dsum(revenue).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+ORACLES["revenue_by_nation"] = f"""
+SELECT r_name, n_name,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       COUNT(DISTINCT o_orderkey) AS n_orders,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# --- X6: semi/anti joins (referential-integrity DQ) -------------------------
+
+def q_anti_join_no_f_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 anti: customers with no 'F'-status orders, counted per segment —
+    orphan detection as a DQ primitive."""
+    customer = load_table(spark, sf_dir, "customer")
+    f_orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    return (
+        customer.join(
+            f_orders, customer.c_custkey == f_orders.o_custkey, "left_anti"
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+ORACLES["anti_join_no_f_orders"] = """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+)
+GROUP BY c_mktsegment
+"""
+
+
+def q_semi_join_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 semi: customers having at least one open ('O') order."""
+    customer = load_table(spark, sf_dir, "customer")
+    o_orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    )
+    return (
+        customer.join(
+            o_orders, customer.c_custkey == o_orders.o_custkey, "left_semi"
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+ORACLES["semi_join_open_orders"] = """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O'
+)
+GROUP BY c_mktsegment
+"""
+
+
+# --- X7: exact dedup (deterministic keeper) ---------------------------------
+
+def q_dedup_first_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7: exact dedup with a deterministic keeper — row_number over
+    (partition by key order by tiebreak) = 1, the oracle-stable form of
+    dropDuplicates.  One shuffle on the dedup key; at 100 TB this is the
+    canonical hash-partition dedup."""
+    df = load_table(spark, sf_dir, "lineitem")
+    # Tiebreak must be a total order over the OUTPUT columns: l_linenumber
+    # alone has duplicates in the data, which would make the keeper
+    # nondeterministic across engines.
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_quantity"
+    )
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "l_partkey", "l_quantity")
+    )
+
+
+ORACLES["dedup_first_lineitem"] = """
+SELECT l_orderkey, l_partkey, l_quantity
+FROM (
+  SELECT l_orderkey, l_partkey, l_quantity,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber, l_partkey, l_quantity) AS rn
+  FROM lineitem
+) WHERE rn = 1
+"""
+
+
+# --- X14: window functions / top-k per group --------------------------------
+
+def q_topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X14: top-3 orders by totalprice per priority with a deterministic
+    tiebreak (orderkey) so ranking is engine-stable."""
+    df = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+    )
+
+
+ORACLES["topk_orders_per_priority"] = """
+SELECT o_orderpriority, rn, o_orderkey, o_totalprice
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def q_order_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X14: lag/lead frame — per customer's order history: previous and
+    next order totals and the delta, tiebroken by orderkey."""
+    df = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        df.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.lag("o_totalprice").over(w).alias("prev_total"),
+            F.lead("o_totalprice").over(w).alias("next_total"),
+        )
+        .filter(F.col("prev_total").isNotNull())
+        .withColumn("delta_vs_prev", F.col("o_totalprice") - F.col("prev_total"))
+    )
+
+
+ORACLES["order_lag_lead"] = """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         LAG(o_totalprice) OVER w AS prev_total,
+         LEAD(o_totalprice) OVER w AS next_total,
+         o_totalprice - LAG(o_totalprice) OVER w AS delta_vs_prev
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+) WHERE prev_total IS NOT NULL
+"""
+
+
+# --- X15: set operations -----------------------------------------------------
+
+def q_setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15: custkeys that placed 'F' orders but never 'O' orders
+    (EXCEPT = distinct set difference)."""
+    orders = load_table(spark, sf_dir, "orders")
+    f_keys = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_keys = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f_keys.distinct().exceptAll(o_keys.distinct())
+
+
+ORACLES["setop_except"] = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+def q_setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15: custkeys with both 'F' and 'P' orders (INTERSECT)."""
+    orders = load_table(spark, sf_dir, "orders")
+    f_keys = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    p_keys = orders.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    return f_keys.intersect(p_keys)
+
+
+ORACLES["setop_intersect"] = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+"""
+
+
+# --- X16: rollup / multi-granularity summary --------------------------------
+
+def q_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X16: multi-granularity DQ summary via ROLLUP — per (flag, status),
+    per flag, and grand total in one pass."""
+    df = load_table(spark, sf_dir, "lineitem")
+    return df.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+    )
+
+
+ORACLES["rollup_summary"] = f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""

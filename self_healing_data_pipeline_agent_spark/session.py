@@ -35,6 +35,9 @@ def get_spark(
         )
         # AQE: runtime partition coalescing, skew-join splitting, plan re-opt.
         .config("spark.sql.adaptive.enabled", "true")
+        # UTC everywhere: keeps timestamp semantics identical across engines
+        # and executors regardless of host timezone.
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow for pandas UDF / toPandas boundaries.

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLE_NAMES = (
     "region",
@@ -31,7 +32,18 @@ BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
 
 
 def load_table(spark: SparkSession, sf_dir: str | Path, name: str) -> DataFrame:
-    return spark.read.parquet(str(Path(sf_dir) / f"{name}.parquet"))
+    path = str(Path(sf_dir) / f"{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+        # rejects natively.  Read nanos as long, then truncate to
+        # micros — exactly what DuckDB/Arrow do when narrowing ns -> us,
+        # so both engines see identical timestamp values.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.select("event_id", "ts", "user_id", "event_type", "value", "props")
+    return spark.read.parquet(path)
 
 
 def load_tables(
