@@ -1,0 +1,495 @@
+"""Text-analysis and document-dedup operators over ``documents``
+(SURVEY.md §2.B X8/X10 + the LLM-data-pipeline ring: tokenization, quality
+scoring, language heuristics, fingerprinting, exact/near dedup).
+
+Everything runs JVM-side via built-in higher-order functions — split /
+filter / transform / explode — no Python UDFs.  Near-dup detection is the
+real 100 TB pattern: MinHash signatures + banded LSH to generate candidate
+pairs (shuffle on band key, linear in corpus), then exact Jaccard
+verification only on candidates.  The all-pairs Jaccard query exists as the
+small-scale oracle twin of that pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+ORACLES: dict[str, str] = {}
+
+# MinHash-LSH parameters: 16 hashes, 4 bands x 4 rows
+NUM_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = 4
+JACCARD_THRESHOLD = 0.5
+
+_TOKENS = "filter(split(text, ' '), x -> x <> '')"
+
+# language stopword profiles (tiny, illustrative; public common words)
+_LID = {
+    "en": ("the", "and", "of", "to", "a", "in", "is"),
+    "de": ("der", "die", "und", "das", "nicht", "ein"),
+    "fr": ("le", "la", "et", "les", "des", "un"),
+}
+
+
+def _tokens_col() -> F.Column:
+    return F.expr(_TOKENS)
+
+
+# --- X10: term frequencies ---------------------------------------------------
+
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10: corpus top-20 terms.  explode -> groupBy -> top-k with a
+    deterministic tiebreak; at scale the partial aggregation bounds the
+    shuffle by vocabulary, not corpus size."""
+    df = load_table(spark, sf_dir, "documents")
+    return (
+        df.select(F.explode(_tokens_col()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("term"))
+        .limit(20)
+    )
+
+
+ORACLES["top_terms"] = f"""
+SELECT term, COUNT(*) AS n_occurrences
+FROM (SELECT unnest({_TOKENS.replace("split(text, ' ')", "string_split(text, ' ')")}) AS term
+      FROM documents)
+GROUP BY term
+ORDER BY n_occurrences DESC, term ASC
+LIMIT 20
+"""
+
+
+def q_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10: per-language corpus stats — docs, token totals, exact means."""
+    df = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(_tokens_col())
+    return (
+        df.select("lang", "n_chars", n_tokens.alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        )
+    )
+
+
+ORACLES["token_stats_by_lang"] = f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+FROM (SELECT lang, n_chars,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+      FROM documents)
+GROUP BY lang
+"""
+
+
+# --- text quality scoring ----------------------------------------------------
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: whitespace tokens, BPE-ish regex
+    tokens, alpha ratio, stopword ratio.  All exact integer counts +
+    deterministic divisions — UDF-free."""
+    df = load_table(spark, sf_dir, "documents")
+    toks = _tokens_col()
+    n_tokens = F.size(toks)
+    # BPE-ish token count: alpha runs | digit runs | single non-alnum
+    bpe = F.regexp_count(F.col("text"), F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"))
+    n_alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    stop = F.size(
+        F.filter(toks, lambda x: (x == "the") | (x == "a") | (x == "of"))
+    )
+    return df.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        (n_alpha.cast("double") / F.length("text")).alias("alpha_ratio"),
+        (stop.cast("double") / n_tokens).alias("stopword_ratio"),
+    )
+
+
+ORACLES["text_quality"] = f"""
+SELECT doc_id,
+       len({_TOKENS.replace("split", "string_split").replace("filter(", "list_filter(")}) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens,
+       CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+       CAST(len(list_filter(string_split(text, ' '),
+                x -> x = 'the' OR x = 'a' OR x = 'of')) AS DOUBLE)
+         / len(list_filter(string_split(text, ' '), x -> x <> '')) AS stopword_ratio
+FROM documents
+"""
+
+
+# --- heuristic language ID ---------------------------------------------------
+
+def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language heuristic (n-gram-free LID).  Scores are
+    exact token-set hits; the argmax CASE is engine-portable.  (The corpus
+    here is synthetic same-vocabulary text, so this demonstrates the
+    operator rather than recovering the metadata ``lang``.)"""
+    df = load_table(spark, sf_dir, "documents")
+    toks = _tokens_col()
+
+    def _scorer(words: tuple[str, ...]):
+        # single-arg lambda required: a 2-arg lambda would receive the
+        # element index as its second argument
+        return F.size(F.filter(toks, lambda x: _isin(x, words)))
+
+    scores = {lang: _scorer(words) for lang, words in _LID.items()}
+    guess = (
+        F.when(
+            (scores["en"] >= scores["de"]) & (scores["en"] >= scores["fr"]), "en"
+        )
+        .when(scores["de"] >= scores["fr"], "de")
+        .otherwise("fr")
+    )
+    return df.select(
+        "doc_id",
+        scores["en"].alias("score_en"),
+        scores["de"].alias("score_de"),
+        scores["fr"].alias("score_fr"),
+        guess.alias("lang_guess"),
+    )
+
+
+def _isin(x: F.Column, words: tuple[str, ...]) -> F.Column:
+    cond = x == words[0]
+    for w in words[1:]:
+        cond = cond | (x == w)
+    return cond
+
+
+def _sql_score(words: tuple[str, ...]) -> str:
+    cond = " OR ".join(f"x = '{w}'" for w in words)
+    return f"len(list_filter(string_split(text, ' '), x -> {cond}))"
+
+
+ORACLES["lang_guess"] = f"""
+SELECT doc_id,
+       {_sql_score(_LID['en'])} AS score_en,
+       {_sql_score(_LID['de'])} AS score_de,
+       {_sql_score(_LID['fr'])} AS score_fr,
+       CASE WHEN {_sql_score(_LID['en'])} >= {_sql_score(_LID['de'])}
+             AND {_sql_score(_LID['en'])} >= {_sql_score(_LID['fr'])} THEN 'en'
+            WHEN {_sql_score(_LID['de'])} >= {_sql_score(_LID['fr'])} THEN 'de'
+            ELSE 'fr' END AS lang_guess
+FROM documents
+"""
+
+
+# --- document fingerprinting + exact dedup ----------------------------------
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-text fingerprint: lower + token-normalize + md5.  The
+    grouping key for exact dedup at any scale (hash-partitionable)."""
+    df = load_table(spark, sf_dir, "documents")
+    canonical = F.concat_ws(" ", F.expr(f"transform({_TOKENS}, x -> lower(x))"))
+    return df.select(
+        "doc_id", F.md5(canonical).alias("fingerprint"),
+        F.size(_tokens_col()).alias("n_tokens"),
+    )
+
+
+ORACLES["doc_fingerprints"] = f"""
+SELECT doc_id,
+       md5(array_to_string(list_transform(
+             list_filter(string_split(text, ' '), x -> x <> ''),
+             x -> lower(x)), ' ')) AS fingerprint,
+       len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+FROM documents
+"""
+
+
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup summary: corpus size vs distinct fingerprints."""
+    df = load_table(spark, sf_dir, "documents")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5(F.col("text"))).alias("n_unique_texts"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5(F.col("text")))).alias("n_dups"),
+    )
+
+
+ORACLES["exact_dedup_docs"] = """
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(text)) AS n_unique_texts,
+       COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dups
+FROM documents
+"""
+
+
+# --- shingles (shared by Jaccard + MinHash) ---------------------------------
+
+_SPARK_SHINGLES = f"""
+CASE WHEN size({_TOKENS}) >= 3 THEN
+  transform(sequence(1, size({_TOKENS}) - 2),
+            i -> concat(element_at({_TOKENS}, i), ' ',
+                        element_at({_TOKENS}, i + 1), ' ',
+                        element_at({_TOKENS}, i + 2)))
+ELSE array() END
+"""
+
+_DUCK_TOKENS = "list_filter(string_split(text, ' '), x -> x <> '')"
+_DUCK_SHINGLES = f"""
+list_transform(range(1, len({_DUCK_TOKENS}) - 1),
+               i -> {_DUCK_TOKENS}[i] || ' ' || {_DUCK_TOKENS}[i+1] || ' ' || {_DUCK_TOKENS}[i+2])
+"""
+
+
+def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) distinct 3-gram word shingles."""
+    df = load_table(spark, sf_dir, "documents")
+    return (
+        df.select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle"))
+        .distinct()
+    )
+
+
+_DUCK_SHINGLE_CTE = f"""
+shingles AS (
+  SELECT DISTINCT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM documents
+)
+"""
+
+
+# --- X8a: all-pairs n-gram Jaccard (exact, small-scale oracle twin) ---------
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact shingle-set Jaccard >= 0.5.
+
+    All-pairs via the inverted index (join on shingle) — correct at test
+    scale; the 100 TB path is ``minhash_lsh_pairs`` which prunes candidates
+    first.  Jaccard = |A∩B| / (|A|+|B|-|A∩B|), exact integer math + one
+    deterministic division."""
+    sh = _shingle_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+ORACLES["jaccard_pairs"] = f"""
+WITH {_DUCK_SHINGLE_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter)
+      >= {JACCARD_THRESHOLD}
+"""
+
+
+# --- X8b: MinHash + banded LSH (the scale path) -----------------------------
+
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, seed, sig): min-wise signature per seed.  The min of
+    md5(seed:shingle) over a doc's shingle set is a valid min-wise hash —
+    string min is engine-portable (no murmur dependency)."""
+    sh = _shingle_df(spark, sf_dir)
+    seeds = F.explode(
+        F.array(*[F.lit(i) for i in range(NUM_HASHES)])
+    ).alias("seed")
+    return (
+        sh.select("doc_id", "shingle", seeds)
+        .select(
+            "doc_id", "seed",
+            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"),
+                           F.col("shingle"))).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("sig"))
+    )
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8: full near-dup pipeline — MinHash signatures -> banded LSH
+    candidate generation -> exact Jaccard verification on candidates only.
+
+    Scale shape: signatures are one shuffle on doc_id (corpus-linear);
+    banding shuffles on the band key so only colliding docs ever meet;
+    verification joins are proportional to the candidate set, not the
+    corpus squared.  This is the canonical 100 TB near-dup layout.
+    """
+    sigs = _minhash_sigs(spark, sf_dir)
+    # band key: md5 of the ordered (zero-padded seed:sig) concat within band
+    banded = (
+        sigs.withColumn("band", (F.col("seed") / ROWS_PER_BAND).cast("int"))
+        .withColumn(
+            "tagged",
+            F.concat(F.lpad(F.col("seed").cast("string"), 2, "0"),
+                     F.lit(":"), F.col("sig")),
+        )
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list("tagged"))))
+             .alias("band_sig"))
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_sig") == F.col("b.band_sig"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification on the pruned candidate set
+    sh = _shingle_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sa_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb_sh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        candidates.join(sa_sh, "doc_a").join(sb_sh, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+ORACLES["minhash_lsh_pairs"] = f"""
+WITH {_DUCK_SHINGLE_CTE},
+sigs AS (
+  SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS sig
+  FROM shingles, (SELECT unnest(range({NUM_HASHES})) AS seed)
+  GROUP BY doc_id, seed
+),
+banded AS (
+  SELECT doc_id, CAST(seed // {ROWS_PER_BAND} AS INTEGER) AS band,
+         md5(string_agg(lpad(CAST(seed AS VARCHAR), 2, '0') || ':' || sig, '|'
+             ORDER BY lpad(CAST(seed AS VARCHAR), 2, '0') || ':' || sig)) AS band_sig
+  FROM sigs GROUP BY doc_id, band
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM candidates c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter)
+      >= {JACCARD_THRESHOLD}
+"""
+
+
+# --- X8c: SimHash fingerprints + near-dup -----------------------------------
+
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over token md5 nibbles: per bit position i, sum +-1
+    by whether hex digit i of md5(token) has its MSB set; bit = sum > 0.
+    Token multiplicity is the SimHash weight.  (Production: 64-bit via the
+    same construction; 16 keeps the oracle SQL tractable.)"""
+    df = load_table(spark, sf_dir, "documents")
+    tok = (
+        df.select("doc_id", F.explode(_tokens_col()).alias("token"))
+        .withColumn("h", F.md5(F.col("token")))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.substring("h", i + 1, 1) >= "8", 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(16)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    simhash = None
+    for i in range(16):
+        bit = F.when(F.col(f"s{i}") > 0, 2 ** i).otherwise(0)
+        simhash = bit if simhash is None else simhash + bit
+    return agg.select("doc_id", simhash.cast("bigint").alias("simhash16"))
+
+
+_DUCK_SIMHASH = " + ".join(
+    f"(CASE WHEN SUM(CASE WHEN substring(h, {i + 1}, 1) >= '8' THEN 1 ELSE -1 END) > 0"
+    f" THEN {2 ** i} ELSE 0 END)"
+    for i in range(16)
+)
+
+ORACLES["simhash_fingerprints"] = f"""
+SELECT doc_id, CAST({_DUCK_SIMHASH} AS BIGINT) AS simhash16
+FROM (SELECT doc_id, md5(unnest(list_filter(string_split(text, ' '), x -> x <> ''))) AS h
+      FROM documents)
+GROUP BY doc_id
+"""
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates: Hamming distance <= 2 on the 16-bit SimHash.
+    Brute pairs here; at scale, block on simhash chunks (pigeonhole) so
+    only same-chunk docs meet."""
+    fp = q_simhash_fingerprints(spark, sf_dir)
+    a, b = fp.alias("a"), fp.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash16").bitwiseXOR(F.col("b.simhash16"))
+    )
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 2)
+    )
+
+
+ORACLES["simhash_near_dup"] = f"""
+WITH fp AS (
+  SELECT doc_id, CAST({_DUCK_SIMHASH} AS BIGINT) AS simhash16
+  FROM (SELECT doc_id, md5(unnest(list_filter(string_split(text, ' '), x -> x <> ''))) AS h
+        FROM documents)
+  GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash16, b.simhash16)) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 2
+"""

@@ -11,11 +11,15 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .operators import events as _events
+from .operators import multimodal as _multimodal
 from .operators import relational as _relational
+from .operators import similarity as _similarity
+from .operators import text as _text
+from .streaming import events as _streaming_events
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_MODULES = [_relational, _events]
+_MODULES = [_relational, _events, _text, _similarity, _multimodal, _streaming_events]
 
 
 def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
