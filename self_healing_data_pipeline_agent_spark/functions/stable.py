@@ -23,6 +23,12 @@ TPC-H-like magnitudes).
 
 SQL twins in ``functions/oracle_sql.py`` keep the textual expression shape
 identical so both engines execute the same float ops in the same order.
+
+Accumulator width: the unit sums overflow BIGINT once sum(x*1e4) exceeds
+9.2e18 (squared terms hit that at sf0.1 already), so Spark sums into
+DECIMAL(38,0).  DuckDB's SUM(BIGINT) widens to HUGEINT natively; both
+convert the exact integer sum to double with correct rounding, so parity
+is unaffected.
 """
 
 from __future__ import annotations
@@ -42,7 +48,7 @@ def _units(expr: Column) -> Column:
 def dsum(expr: Column) -> Column:
     """Order-independent sum of a double expression (quantized to 1e-4).
     SQL twin: ``sql_dsum``."""
-    return F.sum(_units(expr)).cast("double") / F.lit(SCALE)
+    return F.sum(_units(expr).cast("decimal(38,0)")).cast("double") / F.lit(SCALE)
 
 
 def davg(expr: Column) -> Column:

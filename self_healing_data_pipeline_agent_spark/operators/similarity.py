@@ -46,14 +46,20 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one scan of the corpus per batch of queries (the right brute-force
     layout at scale: broadcast Q, never shuffle the corpus)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # norms computed ONCE per side, not per pair — O(N) instead of O(N*Q)
+    # norm evaluations; the per-pair work is a single dot product
     q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_norm"),
     )
     c = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        l2_norm(F.col("embedding")).alias("c_norm"),
     )
     sim = dot(F.col("q_emb"), F.col("c_emb")) / (
-        l2_norm(F.col("q_emb")) * l2_norm(F.col("c_emb"))
+        F.col("q_norm") * F.col("c_norm")
     )
     pairs = (
         F.broadcast(q)
@@ -108,11 +114,11 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cosine >= 0.9, a <.> b once).
     Brute pairs at test scale; LSH blocking at 100 TB (see ann_lsh)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    sim = dot(F.col("ea"), F.col("eb")) / (
-        l2_norm(F.col("ea")) * l2_norm(F.col("eb"))
-    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+                   l2_norm(F.col("embedding")).alias("na"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+                   l2_norm(F.col("embedding")).alias("nb"))
+    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", sim.alias("cosine"))
@@ -187,11 +193,13 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str, dim: int = 64) -> DataFrame
     q = coded.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_norm"),
         "table", F.col("code").alias("q_code"),
     )
     c = coded.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
+        l2_norm(F.col("embedding")).alias("c_norm"),
         "table", F.col("code").alias("c_code"),
     )
     candidates = (
@@ -199,11 +207,11 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str, dim: int = 64) -> DataFrame
         .join(c, ["table"])
         .filter((F.col("q_code") == F.col("c_code"))
                 & (F.col("query_id") != F.col("neighbor_id")))
-        .select("query_id", "q_emb", "neighbor_id", "c_emb")
+        .select("query_id", "q_emb", "q_norm", "neighbor_id", "c_emb", "c_norm")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     sim = dot(F.col("q_emb"), F.col("c_emb")) / (
-        l2_norm(F.col("q_emb")) * l2_norm(F.col("c_emb"))
+        F.col("q_norm") * F.col("c_norm")
     )
     pairs = candidates.select("query_id", "neighbor_id", sim.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(

@@ -230,12 +230,15 @@ FROM documents
 
 # --- shingles (shared by Jaccard + MinHash) ---------------------------------
 
-_SPARK_SHINGLES = f"""
-CASE WHEN size({_TOKENS}) >= 3 THEN
-  transform(sequence(1, size({_TOKENS}) - 2),
-            i -> concat(element_at({_TOKENS}, i), ' ',
-                        element_at({_TOKENS}, i + 1), ' ',
-                        element_at({_TOKENS}, i + 2)))
+# NOTE the tokens column is materialized behind a projection boundary
+# before the shingle transform: inlining the filter(split(...)) expression
+# into every element_at makes the work O(tokens^2) per document.
+_SPARK_SHINGLES_OVER_TOKS = """
+CASE WHEN size(toks) >= 3 THEN
+  transform(sequence(1, size(toks) - 2),
+            i -> concat(element_at(toks, i), ' ',
+                        element_at(toks, i + 1), ' ',
+                        element_at(toks, i + 2)))
 ELSE array() END
 """
 
@@ -247,11 +250,18 @@ list_transform(range(1, len({_DUCK_TOKENS}) - 1),
 
 
 def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) distinct 3-gram word shingles."""
+    """(doc_id, shingle) distinct 3-gram word shingles.
+
+    Cached: the near-dup pipelines traverse this 3x (signatures, set
+    sizes, intersection); at scale you would materialize it once per
+    corpus snapshot for the same reason."""
     df = load_table(spark, sf_dir, "documents")
     return (
-        df.select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle"))
+        df.select("doc_id", F.expr(_TOKENS).alias("toks"))
+        .select("doc_id",
+                F.explode(F.expr(_SPARK_SHINGLES_OVER_TOKS)).alias("shingle"))
         .distinct()
+        .cache()
     )
 
 
@@ -273,21 +283,28 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic division."""
     sh = _shingle_df(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # size-band prune (lossless at threshold t: J(A,B) <= min/max, so
+    # |A| < t*|B| implies J < t) — evaluated inside the token join so
+    # non-comparable pairs never reach the aggregation
+    a = sh.join(sizes, "doc_id").select(
+        F.col("doc_id").alias("doc_a"), "shingle", F.col("n_shingles").alias("n_a")
+    )
+    b = sh.join(sizes, "doc_id").select(
+        F.col("doc_id").alias("doc_b"), "shingle", F.col("n_shingles").alias("n_b")
+    )
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        a.join(b, (a.shingle == b.shingle)
+               & (F.col("doc_a") < F.col("doc_b"))
+               & (F.col("n_a") >= F.col("n_b") * JACCARD_THRESHOLD)
+               & (F.col("n_b") >= F.col("n_a") * JACCARD_THRESHOLD))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
     jac = F.col("n_inter").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_inter")
     )
     return (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        inter.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
@@ -313,23 +330,33 @@ WHERE CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter)
 
 # --- X8b: MinHash + banded LSH (the scale path) -----------------------------
 
-def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, seed, sig): min-wise signature per seed.  The min of
-    md5(seed:shingle) over a doc's shingle set is a valid min-wise hash —
-    string min is engine-portable (no murmur dependency)."""
+def _minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, band_sig): banded MinHash signatures.
+
+    All NUM_HASHES min-wise signatures come from ONE groupBy(doc_id) with
+    16 min-aggregates (map-side partials; no exploded seed shuffle).  The
+    min of md5(seed:shingle) over a doc's shingle set is a valid min-wise
+    hash — string min is engine-portable (no murmur dependency).  Band key
+    = md5 of the band's signatures in fixed seed order."""
     sh = _shingle_df(spark, sf_dir)
-    seeds = F.explode(
-        F.array(*[F.lit(i) for i in range(NUM_HASHES)])
-    ).alias("seed")
-    return (
-        sh.select("doc_id", "shingle", seeds)
-        .select(
-            "doc_id", "seed",
-            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"),
-                           F.col("shingle"))).alias("h"),
+    sig_aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"sig{s}")
+        for s in range(NUM_HASHES)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*sig_aggs)
+    bands = F.array(*[
+        F.struct(
+            F.lit(band).alias("band"),
+            F.md5(F.concat_ws("|", *[
+                F.col(f"sig{band * ROWS_PER_BAND + r}")
+                for r in range(ROWS_PER_BAND)
+            ])).alias("band_sig"),
         )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("sig"))
+        for band in range(BANDS)
+    ])
+    return (
+        sigs.select("doc_id", F.explode(bands).alias("b"))
+        .select("doc_id", "b.band", "b.band_sig")
     )
 
 
@@ -342,19 +369,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification joins are proportional to the candidate set, not the
     corpus squared.  This is the canonical 100 TB near-dup layout.
     """
-    sigs = _minhash_sigs(spark, sf_dir)
-    # band key: md5 of the ordered (zero-padded seed:sig) concat within band
-    banded = (
-        sigs.withColumn("band", (F.col("seed") / ROWS_PER_BAND).cast("int"))
-        .withColumn(
-            "tagged",
-            F.concat(F.lpad(F.col("seed").cast("string"), 2, "0"),
-                     F.lit(":"), F.col("sig")),
-        )
-        .groupBy("doc_id", "band")
-        .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list("tagged"))))
-             .alias("band_sig"))
-    )
+    banded = _minhash_banded(spark, sf_dir)
     a, b = banded.alias("a"), banded.alias("b")
     candidates = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -385,18 +400,28 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DUCK_SIG_AGGS = ",\n  ".join(
+    f"MIN(md5('{s}:' || shingle)) AS sig{s}" for s in range(NUM_HASHES)
+)
+_DUCK_BANDS = "\n  UNION ALL\n  ".join(
+    "SELECT doc_id, {band} AS band, md5({concat}) AS band_sig FROM sigs".format(
+        band=band,
+        concat=" || '|' || ".join(
+            f"sig{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+        ),
+    )
+    for band in range(BANDS)
+)
+
 ORACLES["minhash_lsh_pairs"] = f"""
 WITH {_DUCK_SHINGLE_CTE},
 sigs AS (
-  SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS sig
-  FROM shingles, (SELECT unnest(range({NUM_HASHES})) AS seed)
-  GROUP BY doc_id, seed
+  SELECT doc_id,
+  {_DUCK_SIG_AGGS}
+  FROM shingles GROUP BY doc_id
 ),
 banded AS (
-  SELECT doc_id, CAST(seed // {ROWS_PER_BAND} AS INTEGER) AS band,
-         md5(string_agg(lpad(CAST(seed AS VARCHAR), 2, '0') || ':' || sig, '|'
-             ORDER BY lpad(CAST(seed AS VARCHAR), 2, '0') || ':' || sig)) AS band_sig
-  FROM sigs GROUP BY doc_id, band
+  {_DUCK_BANDS}
 ),
 candidates AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
