@@ -52,8 +52,10 @@ def main() -> None:
     queries = all_queries()
     names = [n for n in HEADLINE if n in queries]
 
-    # warmup: JIT + file-listing caches, not measured
-    queries["row_count"](spark, sf_dir).collect()
+    # warmup: JIT, noop-sink init, file-listing caches — not measured
+    queries["row_count"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name in names:

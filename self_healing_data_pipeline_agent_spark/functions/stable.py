@@ -24,11 +24,13 @@ TPC-H-like magnitudes).
 SQL twins in ``functions/oracle_sql.py`` keep the textual expression shape
 identical so both engines execute the same float ops in the same order.
 
-Accumulator width: the unit sums overflow BIGINT once sum(x*1e4) exceeds
-9.2e18 (squared terms hit that at sf0.1 already), so Spark sums into
-DECIMAL(38,0).  DuckDB's SUM(BIGINT) widens to HUGEINT natively; both
-convert the exact integer sum to double with correct rounding, so parity
-is unaffected.
+Accumulator width: linear terms (prices ~1e5 -> ~1e9 units/row) stay far
+from BIGINT overflow until sf ~1e4, so ``dsum`` keeps the fast 64-bit
+accumulator (128-bit decimal sums measurably slow the scan-heavy
+aggregations).  *Squared* terms (~1e14 units/row) overflow BIGINT at
+sf0.1 already, so ``dsum_wide`` sums those into DECIMAL(38,0).  DuckDB's
+SUM(BIGINT) widens to HUGEINT natively; both engines convert the exact
+integer sum to double with correct rounding, so parity is unaffected.
 """
 
 from __future__ import annotations
@@ -47,7 +49,14 @@ def _units(expr: Column) -> Column:
 
 def dsum(expr: Column) -> Column:
     """Order-independent sum of a double expression (quantized to 1e-4).
-    SQL twin: ``sql_dsum``."""
+    64-bit accumulator — use only where per-row magnitude is bounded by
+    ~1e9 units (all linear TPC-H measures).  SQL twin: ``sql_dsum``."""
+    return F.sum(_units(expr)).cast("double") / F.lit(SCALE)
+
+
+def dsum_wide(expr: Column) -> Column:
+    """``dsum`` with a 128-bit accumulator for large per-row magnitudes
+    (squared terms in variance).  Same value, wider sum."""
     return F.sum(_units(expr).cast("decimal(38,0)")).cast("double") / F.lit(SCALE)
 
 
@@ -66,6 +75,6 @@ def dstd(expr: Column) -> Column:
     bit-reproducibility across engines and partitionings.
     """
     s1 = dsum(expr)
-    s2 = dsum(expr * expr)
+    s2 = dsum_wide(expr * expr)
     n = F.count(expr)
     return F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1)))

@@ -16,6 +16,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.oracle_sql import sql_davg, sql_dstd, sql_dsum
+from ..functions.stable import SCALE as UNIT_SCALE
+from ..functions.stable import _units as to_units
 from ..functions.stable import davg, dstd, dsum
 from ..sources.tables import load_table
 
@@ -166,17 +168,47 @@ FROM lineitem GROUP BY l_returnflag
 
 # --- X3: quantile profile ----------------------------------------------------
 
+def _exact_pctile(df: DataFrame, group: str, col: str, ps: dict[str, float]) -> DataFrame:
+    """Exact PERCENTILE_CONT per group via one sorted window instead of
+    Spark's hashmap-accumulating `percentile` aggregate (which serializes
+    a value->count map per partial and is ~4x slower on mostly-distinct
+    doubles).  One sort shuffle yields every requested quantile of `col`:
+    rank each row, then each quantile picks its two bracketing rows and
+    linearly interpolates — identical math to PERCENTILE_CONT.
+    At 100 TB swap to percentile_approx (t-digest); exact here so the
+    oracle can verify."""
+    w = Window.partitionBy(group).orderBy(col)
+    # group sizes via a tiny broadcast-joined agg, NOT a whole-partition
+    # count window — saves a second pass over the sorted partitions
+    n_df = df.groupBy(group).agg(F.count(F.lit(1)).alias("n"))
+    ranked = (
+        df.select(group, col)
+        .join(F.broadcast(n_df), group)
+        .withColumn("rn", F.row_number().over(w) - F.lit(1))
+    )
+    aggs = []
+    for name, p in ps.items():
+        h = (F.col("n") - 1) * F.lit(p)
+        lo, frac = F.floor(h), h - F.floor(h)
+        contrib = (
+            F.when(F.col("rn") == lo, F.col(col) * (F.lit(1.0) - frac))
+            .when(F.col("rn") == lo + 1, F.col(col) * frac)
+        )
+        aggs.append(F.round(F.sum(contrib), 4).alias(name))
+    return ranked.groupBy(group).agg(*aggs)
+
+
 def q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3: exact percentiles per group (linear interpolation — matches
-    PERCENTILE_CONT).  At 100 TB swap to percentile_approx (t-digest);
-    exact here so the oracle can verify.  Rounded to 4dp on both sides to
-    absorb interpolation-arithmetic ulps."""
+    PERCENTILE_CONT).  Rounded to 4dp on both sides to absorb
+    interpolation-arithmetic ulps."""
     df = load_table(spark, sf_dir, "lineitem")
-    return df.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
-        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25_price"),
-        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75_price"),
+    qty = _exact_pctile(df, "l_returnflag", "l_quantity", {"p50_qty": 0.5})
+    price = _exact_pctile(
+        df, "l_returnflag", "l_extendedprice",
+        {"p25_price": 0.25, "p75_price": 0.75},
     )
+    return qty.join(price, "l_returnflag")
 
 
 ORACLES["quantile_profile"] = """
@@ -216,9 +248,14 @@ FROM lineitem GROUP BY l_returnflag
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region revenue rollup.
 
-    Join strategy for scale: region/nation are bounded dimensions ->
-    explicit broadcast (no shuffle); customer/orders co-shuffle on their
-    keys; AQE reorders/skew-splits at runtime.
+    Scale shape: the fact table is reduced FIRST — a per-order partial
+    aggregate (map-side combine on l_orderkey) shrinks lineitem ~4x before
+    any join, turns COUNT(DISTINCT o_orderkey) into a plain COUNT(*) of
+    order-level rows, and halves the shuffled bytes.  region/nation are
+    bounded dimensions -> explicit broadcast; orders/customer co-shuffle
+    on their keys with AQE free to broadcast the pruned sides at runtime.
+    Unit sums are exact integers, so the two-level sum is bit-identical
+    to the oracle's single-level sum regardless of partitioning.
     """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -226,16 +263,20 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(to_units(revenue)).alias("rev_units"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            dsum(revenue).alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
-            F.count(F.lit(1)).alias("n_lineitems"),
+            (F.sum("rev_units").cast("double") / F.lit(UNIT_SCALE)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("n_items").alias("n_lineitems"),
         )
     )
 
@@ -317,14 +358,18 @@ def q_dedup_first_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, sf_dir, "lineitem")
     # Tiebreak must be a total order over the OUTPUT columns: l_linenumber
     # alone has duplicates in the data, which would make the keeper
-    # nondeterministic across engines.
-    w = Window.partitionBy("l_orderkey").orderBy(
-        "l_linenumber", "l_partkey", "l_quantity"
-    )
+    # nondeterministic across engines.  min_by on the tiebreak struct ==
+    # row_number()=1 over the same order, but as a HASH aggregate: map-side
+    # partials shrink each partition to its distinct keys before the
+    # shuffle, and no per-group sort ever happens — strictly less work
+    # than the window form at any scale.
+    keeper = F.min_by(
+        F.struct("l_partkey", "l_quantity"),
+        F.struct("l_linenumber", "l_partkey", "l_quantity"),
+    ).alias("k")
     return (
-        df.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("l_orderkey", "l_partkey", "l_quantity")
+        df.groupBy("l_orderkey").agg(keeper)
+        .select("l_orderkey", "k.l_partkey", "k.l_quantity")
     )
 
 

@@ -46,7 +46,10 @@ def get_spark(
         # the intent explicit so a cluster deploy reviews it consciously).
         .config("spark.sql.autoBroadcastJoinThreshold", "10485760")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Local mode hosts all 32 executor threads in the driver JVM —
+        # size the heap so cached shingle sets / broadcast builds never
+        # trigger GC churn mid-query (measurably stabilizes bench times).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
