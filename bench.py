@@ -22,6 +22,10 @@ from self_healing_data_pipeline_agent_spark.session import get_spark  # noqa: E4
 HEADLINE = [
     "tpch_q1",
     "revenue_by_nation",
+    "shipping_priority",
+    "regional_supplier_volume",
+    "cube_summary",
+    "ann_ivf_topk",
     "stats_profile",
     "grouped_drift_profile",
     "grouped_dq_profile",

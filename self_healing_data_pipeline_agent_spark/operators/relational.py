@@ -492,3 +492,115 @@ SELECT l_returnflag, l_linestatus,
        {sql_dsum('l_quantity')} AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
+
+
+def q_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X16: CUBE variant — all 2^2 grouping sets in one pass (adds the
+    per-status marginal that ROLLUP omits).  Same single-shuffle shape:
+    Spark expands grouping sets map-side, so the pass count does not grow
+    with the number of sets."""
+    df = load_table(spark, sf_dir, "lineitem")
+    return df.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("l_extendedprice")).alias("sum_price"),
+    )
+
+
+ORACLES["cube_summary"] = f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       {sql_dsum('l_extendedprice')} AS sum_price
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# --- TPC-H-style multi-join workloads (Q3/Q5 shapes) ------------------------
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension filters on both sides of a
+    fact join, grouped revenue, deterministic top-10.
+
+    Scale shape: the c_mktsegment filter prunes customer BEFORE the join
+    (predicate pushdown to the parquet scan), the filtered customer side
+    broadcasts, and lineitem's shipdate filter is pushed to its scan, so
+    the only large shuffle is lineitem->orders on the join key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    cutoff = F.lit("1997-06-15").cast("timestamp")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(orders.filter(F.col("o_orderdate") < cutoff),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer.filter(F.col("c_mktsegment") == "BUILDING"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+ORACLES["shipping_priority"] = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_shipdate > TIMESTAMP '1997-06-15 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-06-15 00:00:00'
+  AND c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: five-table join where lineitem joins BOTH customer
+    (via orders) and supplier, constrained to one region.
+
+    Scale shape: region->nation->customer/supplier are broadcast chains
+    (bounded dims filter first), so lineitem shuffles once on l_orderkey
+    and the supplier match is a broadcast probe, not a second fact
+    shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    asia_nations = (
+        nation.join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+                    F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(asia_nations),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(revenue).alias("revenue"),
+             F.count(F.lit(1)).alias("n_lineitems"))
+    )
+
+
+ORACLES["regional_supplier_volume"] = f"""
+SELECT n_name,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+GROUP BY n_name
+"""

@@ -222,3 +222,128 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str, dim: int = 64) -> DataFrame
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "rn", "neighbor_id", "cosine")
     )
+
+
+# --- X9c: IVF (inverted-file) ANN — the cell-partitioned scale path ---------
+
+IVF_CELLS = 16  # coarse codebook size; scale rule-of-thumb: ~sqrt(N)
+IVF_NPROBE = 4  # cells probed per query
+
+
+def _ivf_assignments(emb: DataFrame) -> DataFrame:
+    """(vec_id, centroid_id, cos): similarity of every vector to every
+    centroid.  Centroids are the first IVF_CELLS corpus vectors — a
+    deterministic, training-free codebook (production would k-means on a
+    sample; the query shape is identical).  Centroid set is broadcast, so
+    assignment is a narrow map over the corpus — no shuffle."""
+    cent = emb.filter(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cent_emb"),
+        l2_norm(F.col("embedding")).alias("cent_norm"),
+    )
+    vec = emb.select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("norm")
+    )
+    cos = dot(F.col("embedding"), F.col("cent_emb")) / (
+        F.col("norm") * F.col("cent_norm")
+    )
+    return vec.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "centroid_id", cos.alias("cos")
+    )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 scale path #2: IVF top-k — assign each corpus vector to its
+    nearest centroid cell, probe only the IVF_NPROBE nearest cells per
+    query, exact-rerank inside them.
+
+    Scale shape: per-query work drops from O(N) to O(N * nprobe/cells);
+    the corpus is hash-partitioned by cell (each vector lands in exactly
+    ONE cell, so probed candidate sets are disjoint — no dedup shuffle),
+    and the probe join is a partition-pruned lookup.  This is the layout
+    behind FAISS-style IVF indexes, expressed as two joins."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ac = _ivf_assignments(emb)
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos"), F.asc("centroid_id")
+    )
+    ranked = ac.withColumn("arn", F.row_number().over(w_assign))
+    assign = ranked.filter(F.col("arn") == 1).select(
+        "vec_id", F.col("centroid_id").alias("cell")
+    )
+    probes = (
+        ranked.filter(
+            (F.col("vec_id") < N_QUERY_VECS) & (F.col("arn") <= IVF_NPROBE)
+        )
+        .select(F.col("vec_id").alias("query_id"), F.col("centroid_id").alias("cell"))
+    )
+    corpus = assign.join(
+        emb.select(
+            F.col("vec_id"),
+            F.col("embedding").alias("c_emb"),
+            l2_norm(F.col("embedding")).alias("c_norm"),
+        ),
+        "vec_id",
+    ).select(F.col("vec_id").alias("neighbor_id"), "cell", "c_emb", "c_norm")
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_norm"),
+    )
+    sim = dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.col("q_norm") * F.col("c_norm")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(corpus, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "rn", "neighbor_id", "cosine")
+    )
+
+
+_DUCK_VC_COS = (
+    "list_dot_product(CAST(v.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))"
+    " / (SQRT(list_dot_product(CAST(v.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])))"
+    " * SQRT(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))"
+)
+
+ORACLES["ann_ivf_topk"] = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id < {IVF_CELLS}
+),
+ac AS (
+  SELECT v.vec_id, c.centroid_id, {_DUCK_VC_COS} AS cos,
+         ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                            ORDER BY {_DUCK_VC_COS} DESC, c.centroid_id ASC) AS arn
+  FROM embeddings v CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id, centroid_id AS cell FROM ac WHERE arn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, centroid_id AS cell
+  FROM ac WHERE vec_id < {N_QUERY_VECS} AND arn <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, s.vec_id AS neighbor_id
+  FROM probes p JOIN assign s ON p.cell = s.cell AND s.vec_id <> p.query_id
+),
+scored AS (
+  SELECT cd.query_id, cd.neighbor_id, {_DUCK_COS} AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY cd.query_id
+                            ORDER BY {_DUCK_COS} DESC, cd.neighbor_id ASC) AS rn
+  FROM cand cd
+  JOIN embeddings a ON a.vec_id = cd.query_id
+  JOIN embeddings b ON b.vec_id = cd.neighbor_id
+)
+SELECT query_id, rn, neighbor_id, cosine FROM scored WHERE rn <= {TOP_K}
+"""

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType, LongType, StringType, StructField, StructType,
+    TimestampNTZType,
 )
 
 ORACLES: dict[str, str] = {}
@@ -92,4 +93,144 @@ SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS n_events
 FROM events, horizon
 GROUP BY date_trunc('hour', ts), wm
 HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm
+"""
+
+
+# --- Custom stateful operator: gap-based session tracker --------------------
+
+SESSION_GAP_MICROS = 30 * 60 * 1_000_000  # 30 minutes, matches batch X13
+
+_SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampNTZType()),
+        StructField("session_end", TimestampNTZType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+# per-user open-session state: (start_us, last_us, n_events)
+_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _track_sessions(key, pdf_iter, state):
+    """applyInPandasWithState kernel: per-user gap sessionizer.
+
+    State carries the still-open tail session across micro-batches; each
+    batch's events extend it or close it.  Closed sessions are emitted
+    (append mode); the open tail stays in state — at stream end it is
+    unreported, exactly like a live session that hasn't timed out yet.
+    State is O(1) per user regardless of history length — the shape that
+    scales to billions of users under RocksDB state store.
+    """
+    import pandas as pd
+
+    rows = []
+    ev = pd.concat(list(pdf_iter), ignore_index=True)
+    ev = ev.sort_values(["ts", "event_id"], kind="mergesort")
+    ts_us = ev["ts"].astype("int64") // 1000  # ns -> us
+    if state.exists:
+        start_us, last_us, n = state.get
+    else:
+        start_us = last_us = -1
+        n = 0
+    for t in ts_us:
+        t = int(t)
+        if start_us < 0:
+            start_us, last_us, n = t, t, 1
+        elif t - last_us > SESSION_GAP_MICROS:
+            rows.append((start_us, last_us, n))
+            start_us, last_us, n = t, t, 1
+        else:
+            last_us, n = t, n + 1
+    state.update((start_us, last_us, n))
+    uid = int(key[0])
+    out = pd.DataFrame(
+        {
+            "user_id": [uid] * len(rows),
+            "session_start": [pd.Timestamp(r[0], unit="us") for r in rows],
+            "session_end": [pd.Timestamp(r[1], unit="us") for r in rows],
+            "n_events": [r[2] for r in rows],
+        }
+    )
+    yield out
+
+
+def stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X17+: custom stateful streaming operator via applyInPandasWithState
+    — the arbitrary-state API for operators Spark's built-ins can't
+    express (session objects, not just windowed aggregates).
+
+    Emits every session CLOSED by a later event within the stream; each
+    user's final (still-open) session remains in state.  On this finite
+    availableNow run that makes the result exactly batch-checkable: the
+    oracle is batch sessionization minus each user's last session.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    staging = tempfile.mkdtemp(prefix="events_stream_")
+    (Path(staging) / "events.parquet").symlink_to(Path(sf_dir) / "events.parquet")
+    stream = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .parquet(staging)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select("user_id", "event_id", "ts")
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        _track_sessions,
+        outputStructType=_SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"stateful_sessions_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stateful_sessions(spark, sf_dir)
+
+
+# Batch twin: gap sessionization, excluding each user's LAST session (it
+# is still open in operator state when the finite stream ends).
+ORACLES["stateful_sessions"] = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_MICROS}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), rolled AS (
+  SELECT user_id, session_id,
+         MIN(ts) AS session_start,
+         MAX(ts) AS session_end,
+         COUNT(*) AS n_events,
+         MAX(session_id) OVER (PARTITION BY user_id) AS last_session
+  FROM numbered GROUP BY user_id, session_id
+)
+SELECT user_id, session_start, session_end, n_events
+FROM rolled WHERE session_id < last_session
 """
