@@ -114,3 +114,97 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "payload"
     )
     return df.mapInPandas(extract_features, schema=FEATURE_SCHEMA)
+
+
+# --- resize / frame-sample plumbing -----------------------------------------
+
+RESIZE_TARGET = 64  # output "pixels" per payload
+FRAME_SIZE = 32     # bytes per fake video frame
+FRAME_STRIDE = 4    # keep every 4th frame
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("resized", BinaryType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("n_sampled", LongType()),
+        StructField("sampled", BinaryType()),
+    ]
+)
+
+
+def resize_payload(pixels: bytes, target: int = RESIZE_TARGET) -> bytes:
+    """Nearest-neighbor 1-D "resize" of decoded pixel bytes to ``target``
+    samples — the codec-free stand-in for an image resize kernel (real
+    deployments swap in PIL/cv2 here; the Spark plumbing is identical)."""
+    if not pixels:
+        return b""
+    n = len(pixels)
+    return bytes(pixels[(i * n) // target] for i in range(target))
+
+
+def sample_frames(
+    payload: bytes, frame_size: int = FRAME_SIZE, stride: int = FRAME_STRIDE
+) -> tuple[int, int, bytes]:
+    """Fixed-size frame segmentation + every-``stride``-th frame sampling —
+    the codec-free stand-in for video frame extraction (ffmpeg would
+    replace the segmentation; batch shape and output contract hold)."""
+    frames = [
+        payload[i: i + frame_size] for i in range(0, len(payload), frame_size)
+    ]
+    sampled = frames[::stride]
+    return len(frames), len(sampled), b"".join(sampled)
+
+
+def _resize_kernel(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    import pandas as pd
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pdf["payload"].map(len).astype("int64"),
+                "resized": pdf["payload"].map(resize_payload),
+            }
+        )
+
+
+def _frame_kernel(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    import pandas as pd
+
+    for pdf in batches:
+        out = pdf["payload"].map(sample_frames)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_frames": out.map(lambda t: t[0]).astype("int64"),
+                "n_sampled": out.map(lambda t: t[1]).astype("int64"),
+                "sampled": out.map(lambda t: t[2]),
+            }
+        )
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched resize over the binary payload column.  Narrow map —
+    no shuffle; memory bounded by the Arrow batch size.  (Rows-only
+    check; determinism pytest-asserted.)"""
+    df = with_payload(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "payload"
+    )
+    return df.mapInPandas(_resize_kernel, schema=RESIZE_SCHEMA)
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched frame sampling over the binary payload column (video
+    stand-in).  Same no-shuffle scale shape as q_multimodal_resize."""
+    df = with_payload(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "payload"
+    )
+    return df.mapInPandas(_frame_kernel, schema=FRAME_SCHEMA)

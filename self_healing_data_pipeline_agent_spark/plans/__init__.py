@@ -24,8 +24,17 @@ def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Number of shuffle exchanges in the physical plan."""
-    return formatted_plan(df).count("Exchange")
+    """Number of SHUFFLE exchanges in the physical plan (broadcasts are
+    excluded — they're the cheap kind).  Counted in simple mode where each
+    node renders exactly once."""
+    simple = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "simple"
+    )
+    return sum(
+        1
+        for line in simple.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line
+    )
 
 
 def has_broadcast_join(df: DataFrame) -> bool:

@@ -62,3 +62,119 @@ def test_ann_recall_vs_exact(spark, sf_dir):
     for r in sorted(approx_rows, key=lambda r: (r["query_id"], r["rn"])):
         by_q.setdefault(r["query_id"], []).append(r["rn"])
     assert all(rns == list(range(1, len(rns) + 1)) for rns in by_q.values())
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    """IVF with nprobe=4/16 cells must recover most exact neighbors, and
+    every returned pair must score with true cosine (subset property)."""
+    from self_healing_data_pipeline_agent_spark.operators.similarity import (
+        q_ann_ivf_topk,
+    )
+
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in q_knn_cosine(spark, sf_dir).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in q_ann_ivf_topk(spark, sf_dir).collect()
+    }
+    assert ivf, "IVF returned nothing"
+    recall = len(set(exact) & set(ivf)) / len(exact)
+    assert recall > 0.5, f"recall {recall:.2f} too low"
+    for pair in set(exact) & set(ivf):
+        assert ivf[pair] == exact[pair]  # same cosine bits on shared pairs
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for kernel-level tests."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def _run_batch(state, ts_list, uid=7):
+    import pandas as pd
+
+    from self_healing_data_pipeline_agent_spark.streaming.events import (
+        _track_sessions,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": [uid] * len(ts_list),
+            "event_id": list(range(len(ts_list))),
+            "ts": pd.to_datetime(ts_list),
+        }
+    )
+    (out,) = list(_track_sessions((uid,), iter([pdf]), state))
+    return out
+
+
+def test_stateful_session_kernel_multibatch():
+    """The open tail session must survive a batch boundary: events in a
+    later micro-batch that fall within the gap EXTEND the stored session
+    instead of opening a new one."""
+    state = _FakeState()
+    out1 = _run_batch(state, ["2024-01-01 10:00", "2024-01-01 10:10"])
+    assert len(out1) == 0  # session still open
+    # batch 2: first event within 30min of the stored tail -> extends;
+    # second event 2h later -> closes the extended session
+    out2 = _run_batch(state, ["2024-01-01 10:25", "2024-01-01 12:30"])
+    assert len(out2) == 1
+    closed = out2.iloc[0]
+    assert str(closed["session_start"]) == "2024-01-01 10:00:00"
+    assert str(closed["session_end"]) == "2024-01-01 10:25:00"
+    assert closed["n_events"] == 3
+    # the 12:30 event is the new open tail
+    assert state.get[2] == 1
+
+
+def test_stateful_session_kernel_gap_split_within_batch():
+    state = _FakeState()
+    out = _run_batch(
+        state,
+        ["2024-01-01 09:00", "2024-01-01 09:05",
+         "2024-01-01 11:00",  # > 30min gap -> closes first session
+         "2024-01-01 11:20"],
+    )
+    assert len(out) == 1
+    assert out.iloc[0]["n_events"] == 2
+    assert state.get[2] == 2  # open tail holds the last two events
+
+
+def test_multimodal_resize_contract(spark, sf_dir):
+    from self_healing_data_pipeline_agent_spark.operators.multimodal import (
+        RESIZE_TARGET, q_multimodal_resize, resize_payload,
+    )
+
+    rows = {r["doc_id"]: r for r in q_multimodal_resize(spark, sf_dir).collect()}
+    assert len(rows) == 500
+    r = rows[min(rows)]
+    assert len(r["resized"]) == RESIZE_TARGET
+    # pure-python kernel agrees with the distributed result
+    assert resize_payload(b"abcdefgh", 4) == b"aceg"
+
+
+def test_multimodal_frame_sample_contract(spark, sf_dir):
+    from self_healing_data_pipeline_agent_spark.operators.multimodal import (
+        FRAME_SIZE, FRAME_STRIDE, q_multimodal_frame_sample,
+    )
+
+    rows = q_multimodal_frame_sample(spark, sf_dir).collect()
+    assert len(rows) == 500
+    for r in rows[:20]:
+        expected_frames = -(-r["n_frames"] // 1)  # already a count
+        assert r["n_sampled"] == -(-r["n_frames"] // FRAME_STRIDE)
+        assert len(r["sampled"]) <= r["n_sampled"] * FRAME_SIZE

@@ -1,0 +1,62 @@
+"""Physical-plan regression tests: the 100 TB design properties we rely on
+(pushdown reaching the scan, dimension broadcasts, bounded shuffle counts)
+are asserted here so a plan regression fails CI instead of shipping as a
+silent at-scale slowdown.  Uses the ``plans`` inspection helpers.
+"""
+
+from __future__ import annotations
+
+from self_healing_data_pipeline_agent_spark.operators.events import (
+    q_point_lookup,
+)
+from self_healing_data_pipeline_agent_spark.operators.relational import (
+    q_revenue_by_nation,
+    q_shipping_priority,
+    q_tpch_q1,
+)
+from self_healing_data_pipeline_agent_spark.plans import (
+    count_exchanges,
+    formatted_plan,
+    has_broadcast_join,
+    has_pushed_filter,
+)
+
+
+def test_q1_filter_pushed_and_single_shuffle(spark, sf_dir):
+    df = q_tpch_q1(spark, sf_dir)
+    assert has_pushed_filter(df, "l_shipdate")
+    # scan-heavy agg: exactly one exchange (partial -> final aggregate)
+    assert count_exchanges(df) == 1
+    # hot path stays codegen'd (codegen mode lists the compiled subtrees)
+    cg = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "codegen"
+    )
+    assert "WholeStageCodegen subtree" in cg
+
+
+def test_q1_column_pruning(spark, sf_dir):
+    plan = formatted_plan(q_tpch_q1(spark, sf_dir))
+    # the lineitem scan must NOT read unused columns
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "l_partkey" not in scan and "l_suppkey" not in scan
+
+
+def test_shipping_priority_broadcasts_filtered_dims(spark, sf_dir):
+    df = q_shipping_priority(spark, sf_dir)
+    assert has_pushed_filter(df, "l_shipdate")
+    assert has_pushed_filter(df, "c_mktsegment")
+    assert has_broadcast_join(df)
+
+
+def test_revenue_by_nation_broadcasts_bounded_dims(spark, sf_dir):
+    df = q_revenue_by_nation(spark, sf_dir)
+    assert has_broadcast_join(df)
+    plan = formatted_plan(df)
+    # pre-aggregation below the join must survive optimization: the
+    # per-order partial aggregate appears before any join in the plan
+    assert plan.index("HashAggregate") < plan.index("Join")
+
+
+def test_point_lookup_pushes_key(spark, sf_dir):
+    df = q_point_lookup(spark, sf_dir)
+    assert has_pushed_filter(df, "event_id")
