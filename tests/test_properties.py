@@ -1,0 +1,157 @@
+"""Property-based checks (SURVEY.md §5.4): healing is monotone and
+convergent, DQ fractions are bounded, and oracle-checked aggregates are
+invariant under repartitioning — the property that makes results
+reproducible on any cluster layout.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from self_healing_data_pipeline_agent_spark.contract import Contract
+from self_healing_data_pipeline_agent_spark.healing import (
+    NULL_TOLERANCE_CAP,
+    group_checks_by_column,
+    heal_contract,
+)
+
+
+def _contract(tol: float) -> Contract:
+    return Contract(
+        raw={"columns": {"age": {"type": "int", "max_null_fraction": tol}}}
+    )
+
+
+def _nf_report(observed: float) -> dict:
+    return {
+        "failed_checks": [
+            {"check": "max_null_fraction", "column": "age",
+             "observed": observed, "threshold": 0.0}
+        ]
+    }
+
+
+@given(
+    prev=st.floats(min_value=0.0, max_value=NULL_TOLERANCE_CAP),
+    observed=st.floats(min_value=0.0, max_value=1.0),
+)
+def test_null_tolerance_monotone_and_capped(prev, observed):
+    healed, _ = heal_contract(_contract(prev), _nf_report(observed))
+    new = healed.raw["columns"]["age"]["max_null_fraction"]
+    assert prev <= new <= NULL_TOLERANCE_CAP
+
+
+@given(
+    prev=st.floats(min_value=0.0, max_value=NULL_TOLERANCE_CAP),
+    observed=st.floats(min_value=0.0, max_value=1.0),
+)
+def test_healing_converges_to_fixpoint(prev, observed):
+    """Repeated healing of the same failure reaches a fixpoint (<= cap)
+    within a few steps — the loop can't oscillate or loosen forever."""
+    c = _contract(prev)
+    last = prev
+    for _ in range(5):
+        c, changes = heal_contract(c, _nf_report(observed))
+        cur = c.raw["columns"]["age"]["max_null_fraction"]
+        assert cur >= last
+        if not changes:
+            break
+        last = cur
+    c2, changes = heal_contract(c, _nf_report(observed))
+    assert (
+        not changes
+        or c2.raw["columns"]["age"]["max_null_fraction"] == NULL_TOLERANCE_CAP
+    )
+
+
+@given(observed=st.floats(min_value=0.0, max_value=0.75))
+def test_healed_contract_passes_same_data(observed):
+    """For any observed null fraction the margin can absorb (< cap - 0.05),
+    one healing round is enough: the new tolerance clears the observation."""
+    healed, _ = heal_contract(_contract(0.0), _nf_report(observed))
+    assert healed.raw["columns"]["age"]["max_null_fraction"] >= observed
+
+
+@given(observed=st.integers(min_value=0, max_value=10**9))
+def test_row_count_min_never_negative(observed):
+    c = Contract(raw={"columns": {}, "quality": {"row_count_min": 10**9 + 1}})
+    healed, _ = heal_contract(
+        c,
+        {"failed_checks": [
+            {"check": "row_count", "column": None,
+             "observed": observed, "threshold": 10**9 + 1}
+        ]},
+    )
+    new_min = healed.raw["quality"]["row_count_min"]
+    assert 0 <= new_min <= observed
+
+
+@given(
+    checks=st.lists(
+        st.fixed_dictionaries(
+            {"check": st.sampled_from(["row_count", "max_null_fraction"]),
+             "column": st.one_of(st.none(), st.sampled_from(["a", "b", "c"]))}
+        ),
+        max_size=20,
+    )
+)
+def test_grouping_partitions_checks(checks):
+    grouped = group_checks_by_column(checks)
+    assert sum(len(v) for v in grouped.values()) == len(checks)
+    for key, items in grouped.items():
+        for item in items:
+            assert (item.get("column") or "_global") == key
+
+
+@settings(deadline=None, max_examples=10)
+@given(data=st.data())
+def test_healing_never_tightens_any_tolerance(data):
+    """Across a random mixed failure report, no tolerance decreases, no
+    required flag flips to True, and row_count_min never increases."""
+    prev_tol = data.draw(st.floats(min_value=0.0, max_value=NULL_TOLERANCE_CAP))
+    prev_min = data.draw(st.integers(min_value=0, max_value=1000))
+    c = Contract(
+        raw={
+            "columns": {
+                "a": {"type": "int", "max_null_fraction": prev_tol,
+                      "required": True},
+            },
+            "quality": {"row_count_min": prev_min},
+        }
+    )
+    report = {
+        "failed_checks": [
+            {"check": "max_null_fraction", "column": "a",
+             "observed": data.draw(st.floats(0.0, 1.0)), "threshold": prev_tol},
+            {"check": "missing_column", "column": "a"},
+            {"check": "row_count", "column": None,
+             "observed": data.draw(st.integers(0, 2000)),
+             "threshold": prev_min},
+        ]
+    }
+    healed, _ = heal_contract(c, report)
+    assert healed.raw["columns"]["a"]["max_null_fraction"] >= prev_tol
+    assert healed.raw["columns"]["a"]["required"] is False
+    assert healed.raw["quality"]["row_count_min"] <= prev_min
+
+
+def test_stable_sums_partition_invariant(spark, sf_dir):
+    """dsum/dstd bits must not depend on the partition layout — THE
+    correctness property for a 1000-executor deployment."""
+    from pyspark.sql import functions as F
+
+    from self_healing_data_pipeline_agent_spark.functions.stable import (
+        dstd, dsum,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    results = []
+    for parts in (1, 7, 32):
+        df = li.repartition(parts)
+        row = df.agg(
+            dsum(F.col("l_extendedprice")).alias("s"),
+            dstd(F.col("l_extendedprice")).alias("d"),
+        ).collect()[0]
+        results.append((row["s"], row["d"]))
+    assert results[0] == results[1] == results[2]
