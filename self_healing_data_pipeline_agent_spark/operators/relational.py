@@ -604,3 +604,34 @@ WHERE c_nationkey = s_nationkey
   AND r_name = 'ASIA'
 GROUP BY n_name
 """
+
+
+# --- X3/X4 approximate scale paths ------------------------------------------
+
+def q_approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 at 100 TB: HyperLogLog cardinalities — fixed-size sketches merge
+    associatively, so the shuffle carries ~1.5 KB per (group, column)
+    instead of every distinct value (exact COUNT(DISTINCT) shuffles the
+    value universe; at 100 TB that IS the bottleneck).  Declared rows-only:
+    sketch estimates are engine-specific by construction; the exact twin
+    `distinct_counts` is the value-checked query, and the accuracy bound
+    is pytest-asserted against it."""
+    df = load_table(spark, sf_dir, "lineitem")
+    return df.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("nd_partkey"),
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("nd_suppkey"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_approx_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 at 100 TB: mergeable-sketch percentiles (fixed accuracy budget,
+    no per-group sort, no value shuffle).  Rows-only for the same reason
+    as q_approx_distinct_counts; accuracy vs the exact `quantile_profile`
+    is pytest-asserted."""
+    df = load_table(spark, sf_dir, "lineitem")
+    return df.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("p50_qty"),
+        F.percentile_approx("l_extendedprice", 0.25, 10000).alias("p25_price"),
+        F.percentile_approx("l_extendedprice", 0.75, 10000).alias("p75_price"),
+    )

@@ -178,3 +178,30 @@ def test_multimodal_frame_sample_contract(spark, sf_dir):
         expected_frames = -(-r["n_frames"] // 1)  # already a count
         assert r["n_sampled"] == -(-r["n_frames"] // FRAME_STRIDE)
         assert len(r["sampled"]) <= r["n_sampled"] * FRAME_SIZE
+
+
+def test_approx_profiles_close_to_exact(spark, sf_dir):
+    """The sketch-based scale paths must track their exact twins: HLL
+    within 5%, t-digest quantiles within 2% relative error."""
+    from self_healing_data_pipeline_agent_spark.operators.relational import (
+        q_approx_distinct_counts,
+        q_approx_quantile_profile,
+        q_distinct_counts,
+        q_quantile_profile,
+    )
+
+    exact_nd = {r["l_returnflag"]: r for r in q_distinct_counts(spark, sf_dir).collect()}
+    approx_nd = {r["l_returnflag"]: r for r in q_approx_distinct_counts(spark, sf_dir).collect()}
+    assert set(exact_nd) == set(approx_nd)
+    for flag, e in exact_nd.items():
+        a = approx_nd[flag]
+        for c in ("nd_partkey", "nd_suppkey"):
+            assert abs(a[c] - e[c]) / e[c] < 0.05
+        assert a["n_rows"] == e["n_rows"]
+
+    exact_q = {r["l_returnflag"]: r for r in q_quantile_profile(spark, sf_dir).collect()}
+    approx_q = {r["l_returnflag"]: r for r in q_approx_quantile_profile(spark, sf_dir).collect()}
+    for flag, e in exact_q.items():
+        a = approx_q[flag]
+        for c in ("p50_qty", "p25_price", "p75_price"):
+            assert abs(a[c] - e[c]) / abs(e[c]) < 0.02
