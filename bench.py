@@ -35,6 +35,7 @@ HEADLINE = [
     "topk_orders_per_priority",
     "order_lag_lead",
     "anti_join_no_f_orders",
+    "referential_orphans",
     "rollup_summary",
     "json_extract",
     "hourly_windows",

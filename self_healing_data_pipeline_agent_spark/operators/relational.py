@@ -635,3 +635,34 @@ def q_approx_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.25, 10000).alias("p25_price"),
         F.percentile_approx("l_extendedprice", 0.75, 10000).alias("p75_price"),
     )
+
+
+def q_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: referential-integrity DQ profile — per returnflag, how many
+    fact rows have a parent order and how many are orphaned (FK
+    constraint as a warehouse-scale metric, not a row dump).
+
+    Scale shape: LEFT join on the key, misses counted as nulls; with AQE
+    the orders side (pruned to its single key column) broadcasts, making
+    the whole check a map-side probe over the fact scan — no second
+    shuffle for the aggregation thanks to partial counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = li.select("l_returnflag", "l_orderkey").join(
+        orders.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left",
+    )
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_orderkey").isNull().cast("bigint")).alias("n_orphans"),
+    )
+
+
+ORACLES["referential_orphans"] = """
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_orphans
+FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_returnflag
+"""

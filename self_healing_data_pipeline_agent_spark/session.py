@@ -54,3 +54,46 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def cluster_conf(
+    input_tb: float,
+    executors: int = 1000,
+    cores_per_executor: int = 4,
+    executor_mem_gb: int = 16,
+    target_partition_mb: int = 256,
+) -> dict[str, str]:
+    """Recommended conf for a real deployment at ``input_tb`` scale — the
+    sizing rules this repo's operators assume at 100 TB, made executable.
+
+    Rules of thumb encoded:
+    - shuffle partitions ~= shuffled bytes / target partition size (AQE
+      coalesces down, so err high); floor at 2 partitions per core so the
+      cluster is never under-subscribed.
+    - file partitions capped at ``target_partition_mb`` so a scan task's
+      working set fits executor memory alongside shuffle buffers.
+    - AQE on (coalescing + skew split): static numbers only set the
+      ceiling, runtime stats pick the real fan-out.
+    - skewed-partition threshold = 2x target size: split hot keys (e.g.
+      a viral user_id in sessionization) instead of spilling.
+    """
+    shuffle_bytes = input_tb * (1 << 40)
+    target = target_partition_mb * (1 << 20)
+    parts = max(
+        int(shuffle_bytes // target),
+        2 * executors * cores_per_executor,
+    )
+    return {
+        "spark.executor.instances": str(executors),
+        "spark.executor.cores": str(cores_per_executor),
+        "spark.executor.memory": f"{executor_mem_gb}g",
+        "spark.sql.shuffle.partitions": str(parts),
+        "spark.sql.files.maxPartitionBytes": str(target),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": str(2 * target),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(target),
+        "spark.sql.autoBroadcastJoinThreshold": str(64 << 20),
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    }

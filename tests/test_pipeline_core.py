@@ -253,3 +253,17 @@ def test_warehouse_written_before_dq_gate(spark, tmp_path):
         enforce_data_quality(df, contract)
     out = spark.read.parquet(str(tmp_path / "data/warehouse/customers"))
     assert out.count() == 2
+
+
+def test_cluster_conf_sizing():
+    """100 TB sizing: partition count scales with data, floors at
+    2x total cores; partition bytes bound task working sets."""
+    from self_healing_data_pipeline_agent_spark.session import cluster_conf
+
+    conf = cluster_conf(input_tb=100.0)
+    parts = int(conf["spark.sql.shuffle.partitions"])
+    assert parts == 100 * (1 << 40) // (256 << 20)  # 409600 partitions
+    assert int(conf["spark.sql.files.maxPartitionBytes"]) == 256 << 20
+    # tiny input floors at 2 partitions per core
+    small = cluster_conf(input_tb=0.001, executors=10, cores_per_executor=4)
+    assert int(small["spark.sql.shuffle.partitions"]) == 80
