@@ -78,9 +78,26 @@ def write_warehouse(df: DataFrame, contract: Contract, base_dir: str | Path) -> 
     The reference's truncate+insert into DuckDB (src/etl_job.py:75-80) keeps
     the table schema stable across runs; with a declared contract the
     overwrite rewrites the same schema, so semantics match.
+
+    A contract may declare ``bucket_by: {column, buckets}``: the table is
+    then written hash-bucketed (+ sorted) on that column via the session
+    catalog.  At 100 TB this is the co-location contract — every
+    downstream join or aggregation on the bucket key skips its shuffle
+    entirely, the largest single cost in repeated warehouse workloads.
     """
     out = str(Path(base_dir) / contract.warehouse_path / contract.table_name)
-    df.write.mode("overwrite").parquet(out)
+    bucket = contract.raw.get("bucket_by")
+    if bucket:
+        (
+            df.write.mode("overwrite")
+            .bucketBy(int(bucket["buckets"]), bucket["column"])
+            .sortBy(bucket["column"])
+            .option("path", out)
+            .format("parquet")
+            .saveAsTable(contract.table_name)
+        )
+    else:
+        df.write.mode("overwrite").parquet(out)
     return out
 
 

@@ -234,3 +234,67 @@ WITH flagged AS (
 SELECT user_id, session_start, session_end, n_events
 FROM rolled WHERE session_id < last_session
 """
+
+
+# --- Streaming DQ monitor ---------------------------------------------------
+
+def streaming_dq_profile(
+    spark: SparkSession, sf_dir: str, watermark: str = WATERMARK
+) -> DataFrame:
+    """The reference's DQ stats (row counts + null fractions,
+    src/data_quality_checks.py) lifted onto the stream: per event-time
+    hour, counts and per-column null fractions, emitted once the
+    watermark closes the window.
+
+    This is the 100 TB DQ deployment shape — quality metrics computed
+    incrementally as data lands, not by rescanning the warehouse; state
+    is one partial-agg row per open window."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    staging = tempfile.mkdtemp(prefix="events_stream_")
+    (Path(staging) / "events.parquet").symlink_to(Path(sf_dir) / "events.parquet")
+    stream = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .parquet(staging)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    windowed = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.avg(F.col("value").isNull().cast("int")).alias("nf_value"),
+            F.avg(F.col("props").isNull().cast("int")).alias("nf_props"),
+        )
+        .select(F.col("w.start").alias("window_start"),
+                "n_events", "nf_value", "nf_props")
+    )
+    name = f"dq_profile_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            windowed.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+def q_streaming_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_dq_profile(spark, sf_dir)
+
+
+# Batch twin with the analytic watermark cutoff (append mode emits only
+# windows whose end has passed max(ts) - 2h).
+ORACLES["streaming_dq_profile"] = """
+WITH horizon AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS wm FROM events)
+SELECT date_trunc('hour', ts) AS window_start,
+       COUNT(*) AS n_events,
+       AVG(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS nf_value,
+       AVG(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS nf_props
+FROM events, horizon
+GROUP BY date_trunc('hour', ts), wm
+HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm
+"""

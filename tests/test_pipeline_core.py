@@ -267,3 +267,40 @@ def test_cluster_conf_sizing():
     # tiny input floors at 2 partitions per core
     small = cluster_conf(input_tb=0.001, executors=10, cores_per_executor=4)
     assert int(small["spark.sql.shuffle.partitions"]) == 80
+
+
+def test_bucketed_warehouse_join_avoids_shuffle(spark, tmp_path):
+    """A contract with bucket_by writes a hash-bucketed table; joins on
+    the bucket key then run with ZERO shuffle exchanges — the co-location
+    property bucketing exists for."""
+    from pyspark.sql import functions as F
+
+    from self_healing_data_pipeline_agent_spark.contract import Contract
+    from self_healing_data_pipeline_agent_spark.etl import write_warehouse
+    from self_healing_data_pipeline_agent_spark.plans import count_exchanges
+
+    df = spark.range(1000).select(
+        F.col("id").alias("customer_id"),
+        (F.col("id") % 7).alias("segment"),
+    )
+    contract = Contract(
+        raw={
+            "table_name": "bucketed_customers_test",
+            "warehouse_path": "wh",
+            "columns": {},
+            "bucket_by": {"column": "customer_id", "buckets": 4},
+        }
+    )
+    write_warehouse(df, contract, tmp_path)
+    t = spark.table("bucketed_customers_test")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = t.alias("a").join(
+            t.alias("b"),
+            F.col("a.customer_id") == F.col("b.customer_id"),
+        )
+        assert count_exchanges(joined) == 0
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS bucketed_customers_test")

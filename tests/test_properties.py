@@ -155,3 +155,50 @@ def test_stable_sums_partition_invariant(spark, sf_dir):
         ).collect()[0]
         results.append((row["s"], row["d"]))
     assert results[0] == results[1] == results[2]
+
+
+def test_salted_agg_matches_unsalted(spark, sf_dir):
+    """Skew-safe two-level aggregation must be algebraically identical to
+    the direct aggregation for any salt count."""
+    from pyspark.sql import functions as F
+
+    from self_healing_data_pipeline_agent_spark.functions.skew import salted_agg
+    from self_healing_data_pipeline_agent_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    direct = {
+        r["event_type"]: (r["n"], r["s"], r["mx"])
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("value").alias("s"),
+             F.max("value").alias("mx"))
+        .collect()
+    }
+    for n_salts in (1, 4, 32):
+        salted = {
+            r["event_type"]: (r["n"], r["s"], r["mx"])
+            for r in salted_agg(
+                ev,
+                ["event_type"],
+                {"pn": F.count(F.lit(1)), "ps": F.sum("value"),
+                 "pm": F.max("value")},
+                {"n": F.sum("pn"), "s": F.sum("ps"), "mx": F.max("pm")},
+                n_salts=n_salts,
+            ).collect()
+        }
+        assert set(salted) == set(direct)
+        for k, (n, s, mx) in direct.items():
+            sn, ss, smx = salted[k]
+            assert sn == n and smx == mx
+            assert ss == s or abs(ss - s) < 1e-6 * max(1.0, abs(s))
+
+
+def test_salt_deterministic(spark, sf_dir):
+    """_salt must be a pure function of the row (retry-safe), not rand()."""
+    from self_healing_data_pipeline_agent_spark.functions.skew import with_salt
+    from self_healing_data_pipeline_agent_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").limit(100)
+    a = sorted(r["_salt"] for r in with_salt(ev).collect())
+    b = sorted(r["_salt"] for r in with_salt(ev).collect())
+    assert a == b
