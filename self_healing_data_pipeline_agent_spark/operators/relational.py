@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.oracle_sql import sql_davg, sql_dstd, sql_dsum
+from ..functions.ranking import with_global_rank
 from ..functions.stable import SCALE as UNIT_SCALE
 from ..functions.stable import _units as to_units
 from ..functions.stable import davg, dstd, dsum
@@ -169,23 +170,17 @@ FROM lineitem GROUP BY l_returnflag
 # --- X3: quantile profile ----------------------------------------------------
 
 def _exact_pctile(df: DataFrame, group: str, col: str, ps: dict[str, float]) -> DataFrame:
-    """Exact PERCENTILE_CONT per group via one sorted window instead of
-    Spark's hashmap-accumulating `percentile` aggregate (which serializes
-    a value->count map per partial and is ~4x slower on mostly-distinct
-    doubles).  One sort shuffle yields every requested quantile of `col`:
-    rank each row, then each quantile picks its two bracketing rows and
-    linearly interpolates — identical math to PERCENTILE_CONT.
-    At 100 TB swap to percentile_approx (t-digest); exact here so the
-    oracle can verify."""
-    w = Window.partitionBy(group).orderBy(col)
-    # group sizes via a tiny broadcast-joined agg, NOT a whole-partition
-    # count window — saves a second pass over the sorted partitions
+    """Exact PERCENTILE_CONT per group, distributed: global ranks come
+    from ``with_global_rank`` (range-partition -> parallel local sorts ->
+    broadcast prefix offsets), so no single task ever sorts a whole group
+    — unlike both Spark's hashmap-accumulating `percentile` aggregate and
+    a naive row_number window (parallelism == #groups).  Each quantile
+    then picks its two bracketing ranks and linearly interpolates —
+    identical math to PERCENTILE_CONT.  At 100 TB the same plan holds;
+    `percentile_approx` (q_approx_quantile_profile) is the sketch
+    alternative when one shuffle of the column is too much."""
     n_df = df.groupBy(group).agg(F.count(F.lit(1)).alias("n"))
-    ranked = (
-        df.select(group, col)
-        .join(F.broadcast(n_df), group)
-        .withColumn("rn", F.row_number().over(w) - F.lit(1))
-    )
+    ranked = with_global_rank(df, group, col).join(F.broadcast(n_df), group)
     aggs = []
     for name, p in ps.items():
         h = (F.col("n") - 1) * F.lit(p)

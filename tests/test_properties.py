@@ -202,3 +202,32 @@ def test_salt_deterministic(spark, sf_dir):
     a = sorted(r["_salt"] for r in with_salt(ev).collect())
     b = sorted(r["_salt"] for r in with_salt(ev).collect())
     assert a == b
+
+
+def test_global_rank_is_group_permutation(spark, sf_dir):
+    """with_global_rank must produce exactly 0..n-1 per group, and rank
+    order must agree with value order (distributed rank == window rank)."""
+    from pyspark.sql import functions as F
+
+    from self_healing_data_pipeline_agent_spark.functions.ranking import (
+        with_global_rank,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ranked = with_global_rank(li, "l_returnflag", "l_quantity", partitions=8)
+    stats = ranked.groupBy("l_returnflag").agg(
+        F.min("rn").alias("mn"),
+        F.max("rn").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("rn").alias("nd"),
+    ).collect()
+    for r in stats:
+        assert r["mn"] == 0 and r["mx"] == r["n"] - 1 and r["nd"] == r["n"]
+    # monotone: value at rank k <= value at rank k+1 (check via self-join
+    # on adjacent ranks over a sample group)
+    a = ranked.filter(F.col("l_returnflag") == "A").select(
+        "rn", F.col("l_quantity").alias("v")
+    )
+    b = a.select((F.col("rn") - 1).alias("rn"), F.col("v").alias("v_next"))
+    violations = a.join(b, "rn").filter(F.col("v") > F.col("v_next")).count()
+    assert violations == 0
