@@ -185,3 +185,68 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        MAX(ts) AS session_end
 FROM sessions GROUP BY user_id, session_id
 """
+
+
+# --- As-of join: last-touch attribution -------------------------------------
+
+def q_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — for every purchase, the most recent click by the same
+    user at-or-before it (last-touch attribution).  Spark has no native
+    as-of join; the scalable composition is one tagged union + one
+    ordered window carrying the last-seen click forward (``last`` with
+    ignorenulls), so the cost is a single shuffle on user_id with a
+    per-user sort — never the purchases x clicks join explosion.
+
+    Deterministic total order (ts, event_id) makes the picked click
+    engine-stable even under timestamp ties."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id", "event_id", "ts", "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("click_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.select(
+        "user_id", "event_id", "ts", "event_type",
+        F.last("click_ts", ignorenulls=True).over(w).alias("attr_click_ts"),
+        F.last("click_id", ignorenulls=True).over(w).alias("attr_click_id"),
+    )
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .filter(F.col("attr_click_id").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "attr_click_id",
+            "attr_click_ts",
+            (F.unix_micros(F.col("ts"))
+             - F.unix_micros(F.col("attr_click_ts"))).alias("gap_us"),
+        )
+    )
+
+
+ORACLES["attribution_asof"] = """
+WITH tagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN event_type = 'click' THEN ts END AS click_ts,
+         CASE WHEN event_type = 'click' THEN event_id END AS click_id
+  FROM events WHERE event_type IN ('click', 'purchase')
+), carried AS (
+  SELECT user_id, event_id, ts, event_type,
+         LAST_VALUE(click_ts IGNORE NULLS) OVER w AS attr_click_ts,
+         LAST_VALUE(click_id IGNORE NULLS) OVER w AS attr_click_id
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+       attr_click_id, attr_click_ts,
+       epoch_us(ts) - epoch_us(attr_click_ts) AS gap_us
+FROM carried
+WHERE event_type = 'purchase' AND attr_click_id IS NOT NULL
+"""

@@ -661,3 +661,54 @@ SELECT l_returnflag,
 FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
 GROUP BY l_returnflag
 """
+
+
+def q_drift_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 at scale: drift detection as a JOIN of two profile DataFrames
+    (baseline = pre-1999 shipments, current = 1999+) instead of the
+    reference's driver-side scalar loop (src/drift_detector.py:57-80) —
+    the shape that works when the profile itself has millions of rows
+    (per-partition profiles).  Zero-baseline guard matches the
+    reference's base_mean == 0 skip."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+
+    def profile(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("l_returnflag").agg(
+            davg(F.col("l_quantity")).alias(f"mean_qty_{tag}"),
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+        )
+
+    base = profile(li.filter(F.col("l_shipdate") < cutoff), "base")
+    cur = profile(li.filter(F.col("l_shipdate") >= cutoff), "cur")
+    rel = F.abs(F.col("mean_qty_cur") - F.col("mean_qty_base")) / F.abs(
+        F.col("mean_qty_base")
+    )
+    return base.join(cur, "l_returnflag").select(
+        "l_returnflag", "mean_qty_base", "mean_qty_cur",
+        "n_base", "n_cur",
+        F.round(rel, 6).alias("rel_diff"),
+        ((F.col("mean_qty_base") != 0.0) & (rel > 0.02)).alias("drifted"),
+    )
+
+
+ORACLES["drift_compare"] = f"""
+WITH base AS (
+  SELECT l_returnflag, {sql_davg('l_quantity')} AS mean_qty_base,
+         COUNT(*) AS n_base
+  FROM lineitem WHERE l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+  GROUP BY l_returnflag
+), cur AS (
+  SELECT l_returnflag, {sql_davg('l_quantity')} AS mean_qty_cur,
+         COUNT(*) AS n_cur
+  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+  GROUP BY l_returnflag
+)
+SELECT base.l_returnflag, mean_qty_base, mean_qty_cur, n_base, n_cur,
+       ROUND(ABS(mean_qty_cur - mean_qty_base) / ABS(mean_qty_base), 6)
+         AS rel_diff,
+       (mean_qty_base <> 0.0 AND
+        ABS(mean_qty_cur - mean_qty_base) / ABS(mean_qty_base) > 0.02)
+         AS drifted
+FROM base JOIN cur ON base.l_returnflag = cur.l_returnflag
+"""
