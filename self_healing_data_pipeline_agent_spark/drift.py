@@ -115,3 +115,57 @@ def detect_and_update_drift(
         save_profile(current, profile_path)
         return {"mode": "baseline_created", "drifted_columns": [], "details": {}}
     return compare_profiles(baseline, current, contract.mean_relative_tolerance)
+
+
+# --- profile history (the at-scale profile store) ---------------------------
+
+def profile_to_df(spark, profile: dict[str, Any], run_id: str) -> DataFrame:
+    """One row per (run_id, column): the tabular form of a profile.  At
+    100 TB the JSON file becomes this append-mode table — profiles from
+    every run/partition live side by side and drift queries are joins
+    (see ``operators.relational.q_drift_compare`` for the query shape)."""
+    rows = [
+        (run_id, col, float(stats["mean"]), float(stats["std"]))
+        for col, stats in profile.get("columns", {}).items()
+    ]
+    return spark.createDataFrame(
+        rows, "run_id string, column string, mean double, std double"
+    )
+
+
+def append_profile_history(
+    spark, profile: dict[str, Any], run_id: str, base_dir: str | Path
+) -> str:
+    """Append this run's profile to the history table (parquet,
+    append-mode — an O(1) write like the incident log, not the
+    read-rewrite cycle the reference's JSON file implies)."""
+    out = str(Path(base_dir) / "data" / "metadata" / "profile_history")
+    profile_to_df(spark, profile, run_id).write.mode("append").parquet(out)
+    return out
+
+
+def drift_between_runs(
+    spark, base_dir: str | Path, base_run: str, cur_run: str, tolerance: float
+) -> DataFrame:
+    """Distributed D3: drift between two recorded runs as a join over the
+    history table — per-column relative mean change + drifted flag, with
+    the reference's base_mean == 0 guard.  Works unchanged when the
+    'profile' has millions of rows (per-group profiling)."""
+    path = str(Path(base_dir) / "data" / "metadata" / "profile_history")
+    hist = spark.read.parquet(path)
+    base = hist.filter(F.col("run_id") == base_run).select(
+        "column", F.col("mean").alias("base_mean")
+    )
+    cur = hist.filter(F.col("run_id") == cur_run).select(
+        "column", F.col("mean").alias("cur_mean")
+    )
+    rel = F.abs(F.col("cur_mean") - F.col("base_mean")) / F.abs(F.col("base_mean"))
+    return (
+        base.join(cur, "column")
+        .filter(F.col("base_mean") != 0.0)
+        .select(
+            "column", "base_mean", "cur_mean",
+            rel.alias("relative_change"),
+            (rel > F.lit(tolerance)).alias("drifted"),
+        )
+    )

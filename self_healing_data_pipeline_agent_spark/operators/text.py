@@ -547,3 +547,64 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 2
 """
+
+
+# --- X10: TF-IDF top terms per document -------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10: per-document top-3 terms by smoothed TF-IDF.
+
+    Scale shape: one explode -> (doc, term) count aggregation (map-side
+    partials), one tiny (term -> doc-frequency) aggregate joined back
+    (broadcastable: vocabulary << corpus), and a WindowGroupLimit top-k
+    per doc.  Corpus size N is a scalar broadcast via crossJoin.
+
+    Cross-engine determinism: libm log() may differ in the last ulp
+    between engines, so scores are ROUNDED to 6dp before ranking — the
+    rank itself then uses (rounded score desc, term asc), a total order
+    both engines agree on bit-exactly."""
+    df = load_table(spark, sf_dir, "documents")
+    terms = df.select("doc_id", F.explode(_tokens_col()).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "term",
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOP_K)
+        .select("doc_id", "rn", "term", "tfidf")
+    )
+
+
+ORACLES["tfidf_top_terms"] = f"""
+WITH terms AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * LN((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6) AS tfidf
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+)
+SELECT doc_id, rn, term, tfidf FROM (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rn
+  FROM scored
+) WHERE rn <= {TFIDF_TOP_K}
+"""

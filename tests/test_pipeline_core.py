@@ -304,3 +304,28 @@ def test_bucketed_warehouse_join_avoids_shuffle(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS bucketed_customers_test")
+
+
+def test_profile_history_roundtrip_and_drift(spark, tmp_path):
+    """Profiles append to a run-keyed table; drift between runs is a join
+    with the base_mean==0 guard, matching the scalar compare_profiles."""
+    from self_healing_data_pipeline_agent_spark.drift import (
+        append_profile_history,
+        compare_profiles,
+        drift_between_runs,
+    )
+
+    p1 = {"columns": {"age": {"mean": 30.0, "std": 5.0},
+                      "zero": {"mean": 0.0, "std": 1.0}}}
+    p2 = {"columns": {"age": {"mean": 50.0, "std": 5.0},
+                      "zero": {"mean": 9.0, "std": 1.0}}}
+    append_profile_history(spark, p1, "run-1", tmp_path)
+    append_profile_history(spark, p2, "run-2", tmp_path)
+    out = {r["column"]: r for r in
+           drift_between_runs(spark, tmp_path, "run-1", "run-2", 0.5).collect()}
+    assert "zero" not in out  # base_mean == 0 guard
+    assert out["age"]["drifted"] is True
+    assert abs(out["age"]["relative_change"] - (20.0 / 30.0)) < 1e-12
+    # scalar reference implementation agrees
+    scalar = compare_profiles(p1, p2, 0.5)
+    assert scalar["drifted_columns"] == ["age"]
