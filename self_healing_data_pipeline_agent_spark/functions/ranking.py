@@ -30,9 +30,15 @@ def with_global_rank(
     order_col: str,
     partitions: int = DEFAULT_RANK_PARTITIONS,
     rank_col: str = "rn",
+    group_size_col: str | None = None,
 ) -> DataFrame:
     """Returns ``df.select(group, order_col)`` + a 0-based ``rank_col``:
-    the row's global rank within its group ordered by ``order_col``."""
+    the row's global rank within its group ordered by ``order_col``.
+
+    ``group_size_col``: optionally also attach the group's total row
+    count — it falls out of the offset computation for free (total sum
+    over the slice counts), saving callers a separate groupBy job.
+    """
     sliced = (
         df.select(group, order_col)
         .repartitionByRange(partitions, F.col(group), F.col(order_col))
@@ -47,10 +53,14 @@ def with_global_rank(
         .orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = counts.select(
-        group, "_pid",
+    w_total = Window.partitionBy(group)
+    offset_cols = [
+        F.col(group), F.col("_pid"),
         F.coalesce(F.sum("_n").over(w_prefix), F.lit(0)).alias("_offset"),
-    )
+    ]
+    if group_size_col:
+        offset_cols.append(F.sum("_n").over(w_total).alias(group_size_col))
+    offsets = counts.select(*offset_cols)
     return (
         local.join(F.broadcast(offsets), [group, "_pid"])
         .withColumn(rank_col, F.col("_offset") + F.col("_local_rn") - F.lit(1))

@@ -179,8 +179,7 @@ def _exact_pctile(df: DataFrame, group: str, col: str, ps: dict[str, float]) -> 
     identical math to PERCENTILE_CONT.  At 100 TB the same plan holds;
     `percentile_approx` (q_approx_quantile_profile) is the sketch
     alternative when one shuffle of the column is too much."""
-    n_df = df.groupBy(group).agg(F.count(F.lit(1)).alias("n"))
-    ranked = with_global_rank(df, group, col).join(F.broadcast(n_df), group)
+    ranked = with_global_rank(df, group, col, group_size_col="n")
     aggs = []
     for name, p in ps.items():
         h = (F.col("n") - 1) * F.lit(p)
