@@ -34,6 +34,10 @@ HEADLINE = [
     "dedup_first_lineitem",
     "topk_orders_per_priority",
     "order_lag_lead",
+    "rolling_order_totals",
+    "attribution_asof",
+    "tfidf_top_terms",
+    "drift_compare",
     "anti_join_no_f_orders",
     "referential_orphans",
     "rollup_summary",
@@ -51,7 +55,14 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark(app_name="bench")
+    if os.environ.get("SPARK_GRAFT_CPUS"):
+        spark = get_spark(app_name="bench")
+    else:
+        # 32 JVM threads oversubscribe this VM (host CPU steal shows up as
+        # 3-5x per-query jitter); 16 measures both faster AND stable.
+        # Explicit $SPARK_GRAFT_CPUS still wins.
+        spark = get_spark(app_name="bench", master="local[16]",
+                          shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = all_queries()

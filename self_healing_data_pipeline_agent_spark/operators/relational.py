@@ -711,3 +711,35 @@ SELECT base.l_returnflag, mean_qty_base, mean_qty_cur, n_base, n_cur,
          AS drifted
 FROM base JOIN cur ON base.l_returnflag = cur.l_returnflag
 """
+
+
+def q_rolling_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X14: explicit frame spec — per customer, rolling 7-order spend
+    (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) over a total order
+    (o_orderdate, o_orderkey), so frame contents are engine-identical.
+    The rolling sum runs over integer units (exact, associative) — a
+    float rolling sum would depend on each engine's window-sum
+    implementation order."""
+    df = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    rolling_units = F.sum(to_units(F.col("o_totalprice"))).over(w)
+    return df.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+        (rolling_units.cast("double") / F.lit(UNIT_SCALE)).alias("rolling_spend"),
+    )
+
+
+ORACLES["rolling_order_totals"] = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       COUNT(*) OVER w AS n_in_window,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 10000.0 + 0.5) AS BIGINT)) OVER w
+            AS DOUBLE) / 10000.0 AS rolling_spend
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
