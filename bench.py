@@ -25,6 +25,7 @@ HEADLINE = [
     "shipping_priority",
     "regional_supplier_volume",
     "cube_summary",
+    "promo_revenue_share",
     "ann_ivf_topk",
     "stats_profile",
     "grouped_drift_profile",

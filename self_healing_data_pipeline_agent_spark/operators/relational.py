@@ -743,3 +743,54 @@ FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 """
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: fact ⋈ part-dimension with a conditional-share
+    aggregate — what fraction of monthly revenue is PROMO-type parts.
+
+    Scale shape: part is a classic broadcast dimension (bounded by the
+    catalog, not the facts); the conditional numerator uses exact unit
+    sums so the share is engine-identical.  One fact scan, zero fact
+    shuffles before the (tiny) monthly aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    month = F.date_trunc("month", F.col("l_shipdate"))
+    promo_units = F.when(
+        F.col("p_type") == "PROMO", to_units(revenue)
+    ).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(month.alias("ship_month"))
+        .agg(
+            (F.sum(promo_units).cast("double") / F.lit(UNIT_SCALE)).alias(
+                "promo_revenue"
+            ),
+            (F.sum(to_units(revenue)).cast("double") / F.lit(UNIT_SCALE)).alias(
+                "total_revenue"
+            ),
+            F.round(
+                F.sum(promo_units).cast("double")
+                / F.sum(to_units(revenue)).cast("double"),
+                9,
+            ).alias("promo_share"),
+        )
+    )
+
+
+ORACLES["promo_revenue_share"] = """
+SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+       CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS DOUBLE) / 10000.0 AS promo_revenue,
+       CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5) AS BIGINT))
+            AS DOUBLE) / 10000.0 AS total_revenue,
+       ROUND(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE),
+             9) AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)
+"""
