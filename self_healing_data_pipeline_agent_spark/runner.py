@@ -147,3 +147,91 @@ def run_demo(
         record("post_healing", "failed_after_healing",
                error_type=type(exc).__name__, error_message=str(exc))
     return outcomes
+
+
+# --- CLI entry point: `python -m self_healing_data_pipeline_agent_spark.runner` -------------------------------
+
+DEMO_CLEAN_CSV = """customer_id,name,age,country
+1,Alice,25,US
+2,Bob,31,UK
+3,Charlie,29,IN
+4,Dana,42,US
+"""
+
+# age: empty for rows 2 & 4, non-numeric for row 3 -> 3/5 nulls after coercion
+DEMO_BROKEN_CSV = """customer_id,name,age,country
+1,Alice,25,US
+2,Bob,,UK
+3,Charlie,thirty,IN
+4,Dana,,US
+5,Evan,28,FR
+"""
+
+DEMO_CONTRACT = """table_name: customers
+source_path: data/raw/customers_v1.csv
+warehouse_path: data/warehouse
+drift_profile_path: data/metadata/reference_profile.json
+columns:
+  customer_id:
+    type: int
+    required: true
+  name:
+    type: string
+    required: true
+  age:
+    type: int
+    required: false
+    max_null_fraction: 0.2
+  country:
+    type: string
+    required: false
+quality:
+  row_count_min: 3
+drift:
+  mean_relative_tolerance: 0.5
+"""
+
+
+def bootstrap_demo_workspace(base_dir: str | Path) -> Path:
+    """Create a self-contained demo workspace (clean CSV, broken CSV,
+    contract) mirroring the reference's fixture shapes."""
+    base = Path(base_dir)
+    (base / "data" / "raw").mkdir(parents=True, exist_ok=True)
+    (base / "config").mkdir(parents=True, exist_ok=True)
+    (base / "data" / "raw" / "customers_v1.csv").write_text(DEMO_CLEAN_CSV)
+    (base / "data" / "raw" / "customers_v2_broken.csv").write_text(DEMO_BROKEN_CSV)
+    cfg = base / "config" / "pipeline_config.yml"
+    cfg.write_text(DEMO_CONTRACT)
+    return cfg
+
+
+def main() -> None:
+    """4-stage demo, reference entry-point parity
+    (``python -m src.pipeline_runner`` -> ``python -m self_healing_data_pipeline_agent_spark.runner``)."""
+    import sys
+    import tempfile
+
+    from .dashboard import status_metrics
+    from .incidents import load_incidents
+    from .session import get_spark
+
+    base = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="spark_graft_demo_")
+    cfg = bootstrap_demo_workspace(base)
+    spark = get_spark(app_name="self-healing-demo", master="local[8]",
+                      shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    outcomes = run_demo(
+        spark, base, cfg,
+        clean_source="data/raw/customers_v1.csv",
+        broken_source="data/raw/customers_v2_broken.csv",
+    )
+    print(f"\nworkspace: {base}")
+    for o in outcomes:
+        print(f"  {o['stage']:>14}: {o['status']}")
+    incidents = load_incidents(spark, base)
+    print("incident metrics:", status_metrics(incidents))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

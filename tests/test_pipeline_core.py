@@ -329,3 +329,19 @@ def test_profile_history_roundtrip_and_drift(spark, tmp_path):
     # scalar reference implementation agrees
     scalar = compare_profiles(p1, p2, 0.5)
     assert scalar["drifted_columns"] == ["age"]
+
+
+def test_bench_headline_subset_of_registry():
+    """Every bench headline query must exist in the driver registry with
+    an oracle (the driver benches what the correctness gate validates)."""
+    from bench import HEADLINE
+    from self_healing_data_pipeline_agent_spark.registry import (
+        all_oracles,
+        all_queries,
+    )
+
+    qs, oracles = all_queries(), all_oracles()
+    missing = [n for n in HEADLINE if n not in qs]
+    assert not missing, f"headline queries not in registry: {missing}"
+    no_oracle = [n for n in HEADLINE if n not in oracles]
+    assert not no_oracle, f"headline queries without oracle: {no_oracle}"
