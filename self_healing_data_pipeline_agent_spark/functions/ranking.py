@@ -3,20 +3,27 @@ WITHOUT sorting the whole group in one task.
 
 ``row_number() OVER (PARTITION BY g ORDER BY x)`` funnels each group into a
 single task — with 3 groups and 600 M rows that is 3 sort tasks no matter
-how many executors exist.  The classic fix (and what this module provides):
+how many executors exist.  The fix here:
 
-1. range-repartition rows by (g, x) into P partitions — the only shuffle;
-2. rank locally inside each (g, partition) slice — P parallel sorts;
-3. count rows per (g, partition), prefix-sum those counts per group — a
-   tiny P×groups table, broadcast back;
-4. global rank = partition offset + local rank.
+1. estimate ~P balanced value-range boundaries with one tiny
+   ``percentile_approx`` sketch job (mergeable, one pass, kilobytes);
+2. derive a *value-deterministic* bucket id per row — a codegen'd chain of
+   comparisons, no shuffle, and equal values ALWAYS share a bucket;
+3. rank locally inside each (group, bucket) slice — the window's own hash
+   shuffle is the only data movement, and its per-task sort is bounded by
+   the bucket width, not the group size;
+4. count rows per slice, prefix-sum per group (a tiny P×groups table,
+   broadcast back);  global rank = bucket offset + local rank.
 
-Ties that straddle a partition boundary get an arbitrary order *between
-equal values* — rank->value lookups (percentiles, top-k thresholds) are
-unaffected because equal values are interchangeable at equal ranks.
+Compared to ``repartitionByRange`` + ``spark_partition_id()`` this saves a
+full extra shuffle of the data (the window would re-shuffle what the range
+partitioner just placed) and removes boundary nondeterminism: bucket
+membership is a pure function of the value.
 """
 
 from __future__ import annotations
+
+from functools import reduce
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -31,38 +38,70 @@ def with_global_rank(
     partitions: int = DEFAULT_RANK_PARTITIONS,
     rank_col: str = "rn",
     group_size_col: str | None = None,
+    boundaries: str = "uniform",
 ) -> DataFrame:
     """Returns ``df.select(group, order_col)`` + a 0-based ``rank_col``:
     the row's global rank within its group ordered by ``order_col``.
 
     ``group_size_col``: optionally also attach the group's total row
-    count — it falls out of the offset computation for free (total sum
-    over the slice counts), saving callers a separate groupBy job.
+    count — it falls out of the offset computation for free, saving
+    callers a separate groupBy job.
+
+    ``boundaries``: ``"uniform"`` (default) derives equal-width buckets
+    from one cheap min/max aggregate — right when the column is roughly
+    uniform (skew only unbalances bucket sizes, never breaks ranks).
+    ``"sketch"`` spends a ``percentile_approx`` pass for equal-*depth*
+    buckets — worth it for heavy-tailed columns at scale.
     """
-    sliced = (
-        df.select(group, order_col)
-        .repartitionByRange(partitions, F.col(group), F.col(order_col))
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    w_local = Window.partitionBy(group, "_pid").orderBy(order_col)
+    if boundaries == "sketch":
+        probs = [i / partitions for i in range(1, partitions)]
+        row = df.agg(
+            F.percentile_approx(order_col, probs, 1000).alias("b")
+        ).collect()[0]["b"]
+        bounds = sorted(set(row or []))
+        # bucket id = how many boundaries the value has passed — a flat
+        # chain of codegen'd comparisons, deterministic per VALUE (ties
+        # can never straddle buckets)
+        bucket = reduce(
+            lambda acc, b: acc + (F.col(order_col) >= F.lit(float(b))).cast("int"),
+            bounds,
+            F.lit(0),
+        ) if bounds else F.lit(0)
+    else:
+        row = df.agg(
+            F.min(order_col).alias("mn"), F.max(order_col).alias("mx")
+        ).collect()[0]
+        mn, mx = row["mn"], row["mx"]
+        if mn is None or mx is None or float(mn) == float(mx):
+            bucket = F.lit(0)
+        else:
+            span = float(mx) - float(mn)
+            bucket = F.least(
+                F.lit(partitions - 1),
+                F.floor(
+                    (F.col(order_col) - F.lit(float(mn)))
+                    * F.lit(float(partitions)) / F.lit(span)
+                ).cast("int"),
+            )
+    sliced = df.select(group, order_col).withColumn("_bkt", bucket)
+    w_local = Window.partitionBy(group, "_bkt").orderBy(order_col)
     local = sliced.withColumn("_local_rn", F.row_number().over(w_local))
-    # per-slice counts -> per-group prefix sums = slice offsets (tiny)
-    counts = sliced.groupBy(group, "_pid").agg(F.count(F.lit(1)).alias("_n"))
+    counts = sliced.groupBy(group, "_bkt").agg(F.count(F.lit(1)).alias("_n"))
     w_prefix = (
         Window.partitionBy(group)
-        .orderBy("_pid")
+        .orderBy("_bkt")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     w_total = Window.partitionBy(group)
     offset_cols = [
-        F.col(group), F.col("_pid"),
+        F.col(group), F.col("_bkt"),
         F.coalesce(F.sum("_n").over(w_prefix), F.lit(0)).alias("_offset"),
     ]
     if group_size_col:
         offset_cols.append(F.sum("_n").over(w_total).alias(group_size_col))
     offsets = counts.select(*offset_cols)
     return (
-        local.join(F.broadcast(offsets), [group, "_pid"])
+        local.join(F.broadcast(offsets), [group, "_bkt"])
         .withColumn(rank_col, F.col("_offset") + F.col("_local_rn") - F.lit(1))
-        .drop("_pid", "_local_rn", "_offset")
+        .drop("_bkt", "_local_rn", "_offset")
     )
