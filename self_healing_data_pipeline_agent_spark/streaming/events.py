@@ -298,3 +298,37 @@ FROM events, horizon
 GROUP BY date_trunc('hour', ts), wm
 HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm
 """
+
+
+# --- Streaming incident monitor ---------------------------------------------
+
+def streaming_incident_metrics(spark: SparkSession, base_dir) -> DataFrame:
+    """The dashboard's status counters (I2) computed INCREMENTALLY over
+    the incident log as a stream: readStream on the append-mode incident
+    table -> running counts per status, complete-mode sink.
+
+    This is the reference's Streamlit-poll loop replaced by a standing
+    streaming aggregation — new incident files are picked up per
+    micro-batch, state is one row per status.  ``availableNow`` here
+    drains what exists and stops (test/backfill mode); a deployment
+    drops the trigger and leaves the query running."""
+    from ..incidents import INCIDENT_SCHEMA, incidents_path
+
+    stream = spark.readStream.schema(INCIDENT_SCHEMA).parquet(
+        incidents_path(base_dir)
+    )
+    counts = (
+        stream.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"incident_metrics_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)

@@ -175,7 +175,6 @@ def test_multimodal_frame_sample_contract(spark, sf_dir):
     rows = q_multimodal_frame_sample(spark, sf_dir).collect()
     assert len(rows) == 500
     for r in rows[:20]:
-        expected_frames = -(-r["n_frames"] // 1)  # already a count
         assert r["n_sampled"] == -(-r["n_frames"] // FRAME_STRIDE)
         assert len(r["sampled"]) <= r["n_sampled"] * FRAME_SIZE
 

@@ -345,3 +345,32 @@ def test_bench_headline_subset_of_registry():
     assert not missing, f"headline queries not in registry: {missing}"
     no_oracle = [n for n in HEADLINE if n not in oracles]
     assert not no_oracle, f"headline queries without oracle: {no_oracle}"
+
+
+def test_streaming_incident_metrics_match_batch(spark, tmp_path):
+    """The streaming incident counters must agree with the batch
+    dashboard metrics over the same incident log."""
+    from self_healing_data_pipeline_agent_spark.dashboard import status_metrics
+    from self_healing_data_pipeline_agent_spark.incidents import (
+        load_incidents,
+        log_incident,
+    )
+    from self_healing_data_pipeline_agent_spark.streaming.events import (
+        streaming_incident_metrics,
+    )
+
+    for i, status in enumerate(
+        ["success", "failed", "healed_success", "success"]
+    ):
+        log_incident(
+            spark, tmp_path, run_id=f"r{i}", pipeline_name="p",
+            description="", stage="s", status=status,
+        )
+    stream_counts = {
+        r["status"]: r["n"]
+        for r in streaming_incident_metrics(spark, tmp_path).collect()
+    }
+    assert stream_counts == {"success": 2, "failed": 1, "healed_success": 1}
+    batch = status_metrics(load_incidents(spark, tmp_path))
+    assert batch["total"] == 4
+    assert batch["successes"] == stream_counts["success"] + stream_counts["healed_success"]
