@@ -133,7 +133,7 @@ WHERE {_DUCK_COS} >= 0.9
 """
 
 
-# --- ANN: random-hyperplane LSH (the 100 TB path; rows-only check) ----------
+# --- ANN: random-hyperplane LSH (the 100 TB path) ---------------------------
 
 def _hyperplane(dim: int, plane: int) -> list[float]:
     """Deterministic pseudo-random hyperplane component via md5 — no RNG
@@ -154,8 +154,10 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str, dim: int = 64) -> DataFrame
     bits.  A corpus vector is a candidate for a query iff ANY table's code
     matches (OR-amplification recovers recall that a single code cannot
     achieve on weakly-clustered data); candidates are exact-cosine
-    re-ranked for the top-k.  Approximate by construction — no SQL oracle;
-    recall vs the exact baseline is pytest-asserted.
+    re-ranked for the top-k.  Approximate vs the true top-k (recall is
+    pytest-asserted against the exact baseline) yet still exactly
+    value-checked: the hyperplanes are deterministic constants, so the
+    DuckDB twin (``_lsh_oracle_sql``) reproduces the index bit-for-bit.
 
     100 TB shape: coding is a narrow scan (no shuffle); the candidate join
     shuffles on (table, code) so only colliding vectors meet; tune
@@ -347,3 +349,49 @@ scored AS (
 )
 SELECT query_id, rn, neighbor_id, cosine FROM scored WHERE rn <= {TOP_K}
 """
+
+
+def _lsh_oracle_sql(dim: int = 64) -> str:
+    """DuckDB twin of q_ann_lsh_topk.  The hyperplanes are deterministic
+    Python constants (md5-derived), so they inline as literal DOUBLE[]
+    arrays; each sign bit is the same left-fold dot product both engines
+    compute bit-identically, making even this 'approximate' index
+    exactly value-checkable."""
+    table_exprs = []
+    for t in range(LSH_TABLES):
+        bits = []
+        for b in range(LSH_BITS):
+            plane = _hyperplane(dim, t * LSH_BITS + b)
+            arr = "[" + ", ".join(repr(v) for v in plane) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {arr})"
+                f" > 0 THEN {2 ** b} ELSE 0 END)"
+            )
+        table_exprs.append(
+            f"SELECT vec_id, embedding, {t} AS tbl, "
+            + " + ".join(bits)
+            + " AS code FROM embeddings"
+        )
+    coded = "\n  UNION ALL\n  ".join(table_exprs)
+    return f"""
+WITH coded AS (
+  {coded}
+),
+candidates AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM coded q JOIN coded c ON q.tbl = c.tbl AND q.code = c.code
+  WHERE q.vec_id < {N_QUERY_VECS} AND c.vec_id <> q.vec_id
+),
+scored AS (
+  SELECT cd.query_id, cd.neighbor_id, {_DUCK_COS} AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY cd.query_id
+                            ORDER BY {_DUCK_COS} DESC, cd.neighbor_id ASC) AS rn
+  FROM candidates cd
+  JOIN embeddings a ON a.vec_id = cd.query_id
+  JOIN embeddings b ON b.vec_id = cd.neighbor_id
+)
+SELECT query_id, rn, neighbor_id, cosine FROM scored WHERE rn <= {TOP_K}
+"""
+
+
+ORACLES["ann_lsh_topk"] = _lsh_oracle_sql()
