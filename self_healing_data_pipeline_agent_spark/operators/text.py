@@ -608,3 +608,89 @@ SELECT doc_id, rn, term, tfidf FROM (
   FROM scored
 ) WHERE rn <= {TFIDF_TOP_K}
 """
+
+
+# --- X8d: duplicate clusters (connected components over near-dup pairs) -----
+
+CC_MAX_ITERS = 20
+
+
+def q_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> duplicate CLUSTERS via iterative min-label
+    propagation (connected components) — what a dedup pipeline actually
+    keys on: keep one representative per cluster, not per pair.
+
+    Iterative Spark shape: start every member at label = own doc_id; each
+    round joins labels across edges and keeps the per-node minimum;
+    convergence in O(cluster diameter) rounds (driver-checked, bounded).
+    Each round is one shuffle on the edge key — the standard large-graph
+    CC layout (GraphX/GraphFrames do the same dataflow).  The DuckDB twin
+    is a recursive CTE, so even this iterative operator is value-checked.
+    """
+    pairs = q_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).cache()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .cache()
+    )
+    for _ in range(CC_MAX_ITERS):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy("doc_a").agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "doc_id")
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+ORACLES["duplicate_clusters"] = f"""
+WITH RECURSIVE {_DUCK_SHINGLE_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter JOIN sizes sa ON sa.doc_id = inter.doc_a
+             JOIN sizes sb ON sb.doc_id = inter.doc_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter)
+        >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach (doc_id, peer) AS (
+  SELECT doc_a, doc_b FROM edges
+  UNION
+  SELECT r.doc_id, e.doc_b FROM reach r JOIN edges e ON r.peer = e.doc_a
+)
+SELECT doc_id, LEAST(doc_id, MIN(peer)) AS cluster_id
+FROM reach GROUP BY doc_id
+"""
