@@ -33,15 +33,20 @@ DEFAULT_RANK_PARTITIONS = 32
 
 def with_global_rank(
     df: DataFrame,
-    group: str,
+    group: str | list[str],
     order_col: str,
     partitions: int = DEFAULT_RANK_PARTITIONS,
     rank_col: str = "rn",
     group_size_col: str | None = None,
     boundaries: str = "uniform",
+    bucket: F.Column | None = None,
 ) -> DataFrame:
-    """Returns ``df.select(group, order_col)`` + a 0-based ``rank_col``:
+    """Returns ``df.select(*group, order_col)`` + a 0-based ``rank_col``:
     the row's global rank within its group ordered by ``order_col``.
+
+    ``group`` may be one column name or several (composite group) —
+    callers stacking multiple measures into long format rank them all in
+    ONE shuffle instead of one dataflow per measure.
 
     ``group_size_col``: optionally also attach the group's total row
     count — it falls out of the offset computation for free, saving
@@ -52,8 +57,16 @@ def with_global_rank(
     uniform (skew only unbalances bucket sizes, never breaks ranks).
     ``"sketch"`` spends a ``percentile_approx`` pass for equal-*depth*
     buckets — worth it for heavy-tailed columns at scale.
+
+    ``bucket``: precomputed bucket-id Column (deterministic per value
+    within its group).  Skips the boundary job entirely — callers that
+    already know per-group spans (e.g. from a shared stats pass) supply
+    their own normalized bucket expression.
     """
-    if boundaries == "sketch":
+    groups = [group] if isinstance(group, str) else list(group)
+    if bucket is not None:
+        pass
+    elif boundaries == "sketch":
         probs = [i / partitions for i in range(1, partitions)]
         row = df.agg(
             F.percentile_approx(order_col, probs, 1000).alias("b")
@@ -83,25 +96,25 @@ def with_global_rank(
                     * F.lit(float(partitions)) / F.lit(span)
                 ).cast("int"),
             )
-    sliced = df.select(group, order_col).withColumn("_bkt", bucket)
-    w_local = Window.partitionBy(group, "_bkt").orderBy(order_col)
+    sliced = df.select(*groups, order_col).withColumn("_bkt", bucket)
+    w_local = Window.partitionBy(*groups, "_bkt").orderBy(order_col)
     local = sliced.withColumn("_local_rn", F.row_number().over(w_local))
-    counts = sliced.groupBy(group, "_bkt").agg(F.count(F.lit(1)).alias("_n"))
+    counts = sliced.groupBy(*groups, "_bkt").agg(F.count(F.lit(1)).alias("_n"))
     w_prefix = (
-        Window.partitionBy(group)
+        Window.partitionBy(*groups)
         .orderBy("_bkt")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    w_total = Window.partitionBy(group)
+    w_total = Window.partitionBy(*groups)
     offset_cols = [
-        F.col(group), F.col("_bkt"),
+        *[F.col(g) for g in groups], F.col("_bkt"),
         F.coalesce(F.sum("_n").over(w_prefix), F.lit(0)).alias("_offset"),
     ]
     if group_size_col:
         offset_cols.append(F.sum("_n").over(w_total).alias(group_size_col))
     offsets = counts.select(*offset_cols)
     return (
-        local.join(F.broadcast(offsets), [group, "_bkt"])
+        local.join(F.broadcast(offsets), [*groups, "_bkt"])
         .withColumn(rank_col, F.col("_offset") + F.col("_local_rn") - F.lit(1))
         .drop("_bkt", "_local_rn", "_offset")
     )

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.oracle_sql import sql_davg, sql_dstd, sql_dsum
-from ..functions.ranking import with_global_rank
+from ..functions.ranking import DEFAULT_RANK_PARTITIONS, with_global_rank
 from ..functions.stable import SCALE as UNIT_SCALE
 from ..functions.stable import _units as to_units
 from ..functions.stable import davg, dstd, dsum
@@ -169,40 +169,60 @@ FROM lineitem GROUP BY l_returnflag
 
 # --- X3: quantile profile ----------------------------------------------------
 
-def _exact_pctile(df: DataFrame, group: str, col: str, ps: dict[str, float]) -> DataFrame:
-    """Exact PERCENTILE_CONT per group, distributed: global ranks come
-    from ``with_global_rank`` (range-partition -> parallel local sorts ->
-    broadcast prefix offsets), so no single task ever sorts a whole group
-    — unlike both Spark's hashmap-accumulating `percentile` aggregate and
-    a naive row_number window (parallelism == #groups).  Each quantile
-    then picks its two bracketing ranks and linearly interpolates —
-    identical math to PERCENTILE_CONT.  At 100 TB the same plan holds;
-    `percentile_approx` (q_approx_quantile_profile) is the sketch
-    alternative when one shuffle of the column is too much."""
-    ranked = with_global_rank(df, group, col, group_size_col="n")
-    aggs = []
-    for name, p in ps.items():
-        h = (F.col("n") - 1) * F.lit(p)
-        lo, frac = F.floor(h), h - F.floor(h)
-        contrib = (
-            F.when(F.col("rn") == lo, F.col(col) * (F.lit(1.0) - frac))
-            .when(F.col("rn") == lo + 1, F.col(col) * frac)
-        )
-        aggs.append(F.round(F.sum(contrib), 4).alias(name))
-    return ranked.groupBy(group).agg(*aggs)
-
-
 def q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3: exact percentiles per group (linear interpolation — matches
     PERCENTILE_CONT).  Rounded to 4dp on both sides to absorb
-    interpolation-arithmetic ulps."""
+    interpolation-arithmetic ulps.
+
+    Both measure columns are STACKED into long format and ranked in ONE
+    ``with_global_rank`` dataflow: one stats pass, one window shuffle,
+    one offsets broadcast — instead of one full rank dataflow per column
+    (it measures ~2x faster here, and at 100 TB it is one shuffle of the
+    fact table, not two).  Each measure gets its own normalized uniform
+    bucket from the shared per-measure min/max, so bucket balance is
+    independent of the measures' value ranges.
+    """
     df = load_table(spark, sf_dir, "lineitem")
-    qty = _exact_pctile(df, "l_returnflag", "l_quantity", {"p50_qty": 0.5})
-    price = _exact_pctile(
-        df, "l_returnflag", "l_extendedprice",
-        {"p25_price": 0.25, "p75_price": 0.75},
+    long = df.select(
+        "l_returnflag",
+        F.expr(
+            "stack(2, 0, CAST(l_quantity AS DOUBLE),"
+            " 1, CAST(l_extendedprice AS DOUBLE)) AS (k, v)"
+        ),
     )
-    return qty.join(price, "l_returnflag")
+    # one tiny job: per-measure span, used to normalize bucket widths
+    spans = {
+        r["k"]: (r["mn"], r["mx"])
+        for r in long.groupBy("k").agg(
+            F.min("v").alias("mn"), F.max("v").alias("mx")
+        ).collect()
+    }
+    nbkt = DEFAULT_RANK_PARTITIONS
+    bucket = F.lit(0)
+    for k, (mn, mx) in spans.items():
+        if mn is None or mx == mn:
+            continue
+        b = F.least(
+            F.lit(nbkt - 1),
+            F.floor((F.col("v") - F.lit(mn)) * F.lit(float(nbkt)) / F.lit(mx - mn)),
+        ).cast("int")
+        bucket = F.when(F.col("k") == k, b).otherwise(bucket)
+    ranked = with_global_rank(
+        long, ["l_returnflag", "k"], "v", group_size_col="n", bucket=bucket
+    )
+    specs = {"p50_qty": (0, 0.5), "p25_price": (1, 0.25), "p75_price": (1, 0.75)}
+    aggs = []
+    for name, (k, p) in specs.items():
+        h = (F.col("n") - 1) * F.lit(p)
+        lo, frac = F.floor(h), h - F.floor(h)
+        contrib = (
+            F.when(
+                (F.col("k") == k) & (F.col("rn") == lo),
+                F.col("v") * (F.lit(1.0) - frac),
+            ).when((F.col("k") == k) & (F.col("rn") == lo + 1), F.col("v") * frac)
+        )
+        aggs.append(F.round(F.sum(contrib), 4).alias(name))
+    return ranked.groupBy("l_returnflag").agg(*aggs)
 
 
 ORACLES["quantile_profile"] = """
