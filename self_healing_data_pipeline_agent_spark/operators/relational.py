@@ -814,3 +814,175 @@ SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)
 """
+
+
+# --- X6b: TPC-H Q4-style EXISTS semi-join aggregate -------------------------
+
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-analog: per priority, count orders with at least one line shipped
+    AFTER the order date (late-shipment DQ check; our schema has no
+    commit/receipt dates, so the EXISTS predicate is l_shipdate >
+    o_orderdate — same decorrelation shape as reference-grade Q4).
+
+    Scale shape: the EXISTS decorrelates to a LEFT SEMI join on
+    l_orderkey with the date predicate in the join condition — lineitem
+    is never aggregated or deduplicated, the semi join short-circuits per
+    order, and the tiny priority rollup happens after the fact table has
+    shrunk to one row per qualifying order.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_late_orders")
+    )
+
+
+ORACLES["order_priority_check"] = """
+SELECT o_orderpriority, COUNT(*) AS n_late_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+# --- X5b: TPC-H Q18-style HAVING over a pre-aggregate -----------------------
+
+LARGE_ORDER_QTY = 120.0
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-analog: orders whose total line quantity exceeds a threshold,
+    enriched with the customer.
+
+    Scale shape: the HAVING filter runs on the per-order partial
+    aggregate BEFORE any join — at 100 TB the groupBy shrinks lineitem
+    ~4x with map-side combine and the filter then drops ~99% of orders,
+    so the joins move only the qualifying tail; orders/customer arrive
+    via AQE-planned joins (broadcast once pruned).  Quantities are
+    integral doubles, so SUM is exact on both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > LARGE_ORDER_QTY)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty"
+        )
+    )
+
+
+ORACLES["large_volume_customers"] = f"""
+SELECT c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, SUM(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > {LARGE_ORDER_QTY}
+) big
+JOIN orders ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+"""
+
+
+# --- X16b: pivot (status columns per priority) ------------------------------
+
+ORDER_STATUSES = ["F", "O", "P"]
+
+
+def q_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one row per order priority, one count column per order
+    status.  The status domain is declared explicitly — with pivot values
+    known up front Spark skips the extra distinct-values job and compiles
+    the pivot to conditional aggregates in ONE pass (exactly the SQL the
+    oracle runs)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ORDER_STATUSES)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s}") for s in ORDER_STATUSES],
+        )
+    )
+
+
+ORACLES["pivot_status_priority"] = """
+SELECT o_orderpriority,
+       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_F,
+       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_O,
+       SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_P
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# --- S3b: CDC merge / upsert (full-refresh sink generalized) ----------------
+
+def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE (upsert): apply a change batch onto a base snapshot — the
+    incremental generalization of the reference's truncate-and-load sink
+    (reference src/etl_job.py:75-80 rewrites the whole table; at 100 TB
+    you merge the delta instead).
+
+    Base/delta are carved deterministically from `orders` (no extra
+    fixtures): base = keys not ≡ 0 (mod 7); delta re-prices keys ≡ 0
+    (mod 3) and flags them 'U'.  The merge itself is the standard
+    dataflow Delta/Iceberg MERGE compiles into: FULL OUTER join base⋈delta
+    on the key, delta side wins per column.  One co-partitioned shuffle
+    on the merge key; with a bucketed/partitioned base table the shuffle
+    touches only affected partitions (dynamic file pruning).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 7 != 0)
+    delta = (
+        orders.filter(F.col("o_orderkey") % 3 == 0)
+        .select(
+            F.col("o_orderkey").alias("d_orderkey"),
+            F.col("o_custkey").alias("d_custkey"),
+            F.lit("U").alias("d_orderstatus"),
+            # explicit floor(x*100+0.5)/100: same IEEE op sequence on every
+            # engine — ROUND() ties break differently between Spark/DuckDB
+            (F.floor(F.col("o_totalprice") * 1.1 * 100 + 0.5) / 100).alias(
+                "d_totalprice"
+            ),
+        )
+    )
+    merged = base.join(
+        delta, base.o_orderkey == delta.d_orderkey, "full_outer"
+    )
+    return merged.select(
+        F.coalesce("d_orderkey", "o_orderkey").alias("m_orderkey"),
+        F.coalesce("d_custkey", "o_custkey").alias("m_custkey"),
+        F.coalesce("d_orderstatus", "o_orderstatus").alias("m_orderstatus"),
+        F.coalesce("d_totalprice", "o_totalprice").alias("m_totalprice"),
+    )
+
+
+ORACLES["merge_upsert_orders"] = """
+WITH base AS (
+  SELECT * FROM orders WHERE o_orderkey % 7 <> 0
+),
+delta AS (
+  SELECT o_orderkey AS d_orderkey, o_custkey AS d_custkey,
+         'U' AS d_orderstatus,
+         FLOOR(o_totalprice * 1.1 * 100 + 0.5) / 100 AS d_totalprice
+  FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT COALESCE(d_orderkey, o_orderkey) AS m_orderkey,
+       COALESCE(d_custkey, o_custkey) AS m_custkey,
+       COALESCE(d_orderstatus, o_orderstatus) AS m_orderstatus,
+       COALESCE(d_totalprice, o_totalprice) AS m_totalprice
+FROM base FULL OUTER JOIN delta ON o_orderkey = d_orderkey
+"""

@@ -694,3 +694,86 @@ reach (doc_id, peer) AS (
 SELECT doc_id, LEAST(doc_id, MIN(peer)) AS cluster_id
 FROM reach GROUP BY doc_id
 """
+
+
+# --- X-split: deterministic train/val split ---------------------------------
+
+TRAIN_HEX_CUTOFF = "e6"  # first md5 byte < 0xe6 -> train  (~230/256 = 89.8%)
+
+
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data split: assign every document to train/val by hashing
+    its id — deterministic, reproducible, and join-free (no sampling
+    state, no RNG seed to ship to executors).
+
+    The split key is the first md5 byte of the doc_id compared as a hex
+    STRING (lexicographic hex order == numeric order), so the exact same
+    predicate runs on any engine without hex-parsing builtins.  At 100 TB
+    this is a pure map-side projection — no shuffle, no skew, and a
+    document keeps its split across reruns and backfills (the property
+    random sampling loses).
+    """
+    df = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return df.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < TRAIN_HEX_CUTOFF, "train").otherwise("val").alias("split"),
+    )
+
+
+ORACLES["train_val_split"] = f"""
+SELECT doc_id, lang,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{TRAIN_HEX_CUTOFF}'
+            THEN 'train' ELSE 'val' END AS split
+FROM documents
+"""
+
+
+# --- X-decon: benchmark decontamination (shingle-overlap semi-join) ----------
+
+BENCH_DOC_MOD = 97  # doc_id % 97 == 0 stands in for "the benchmark set"
+
+
+def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing ANY
+    3-gram shingle with a held-out benchmark set (here: doc_id ≡ 0 mod
+    97, a deterministic stand-in for an external eval corpus).
+
+    Scale shape: benchmark shingles are a small distinct set -> broadcast
+    to the corpus-side shingle stream; a LEFT SEMI join marks contaminated
+    docs without materializing match multiplicity; corpus shingles stream
+    through one codegen stage (explode + lead), never collected.  The
+    canonical n-gram-overlap decontamination layout for LLM training data.
+    """
+    sh = _shingle_df(spark, sf_dir)
+    bench_ids = F.col("doc_id") % BENCH_DOC_MOD == 0
+    bench_shingles = sh.filter(bench_ids).select("shingle").distinct()
+    corpus = sh.filter(~bench_ids)
+    contaminated = (
+        corpus.join(F.broadcast(bench_shingles), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    docs = load_table(spark, sf_dir, "documents").filter(~bench_ids).select("doc_id")
+    return docs.join(contaminated, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+    )
+
+
+ORACLES["decontaminate_docs"] = f"""
+WITH {_DUCK_SHINGLE_CTE},
+bench AS (
+  SELECT DISTINCT shingle FROM shingles WHERE doc_id % {BENCH_DOC_MOD} = 0
+),
+contaminated AS (
+  SELECT DISTINCT s.doc_id
+  FROM shingles s JOIN bench b ON s.shingle = b.shingle
+  WHERE s.doc_id % {BENCH_DOC_MOD} <> 0
+)
+SELECT d.doc_id, (c.doc_id IS NOT NULL) AS contaminated
+FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+WHERE d.doc_id % {BENCH_DOC_MOD} <> 0
+"""
