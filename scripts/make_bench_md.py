@@ -1,0 +1,111 @@
+"""Regenerate BENCH.md: time every HEADLINE query on Spark (noop sink,
+best-of-2) AND its DuckDB oracle (same parquet, best-of-2), then rewrite
+the measurement table in place, keeping the prose.
+
+Usage:  python scripts/make_bench_md.py            # sf0.1, local[16]
+        SPARK_GRAFT_SF_DIR=... SPARK_GRAFT_CPUS=... python scripts/make_bench_md.py
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import duckdb  # noqa: E402
+
+from bench import HEADLINE  # noqa: E402
+from self_healing_data_pipeline_agent_spark.registry import (  # noqa: E402
+    all_oracles,
+    all_queries,
+)
+from self_healing_data_pipeline_agent_spark.session import get_spark  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def time_spark(sf_dir: str) -> dict[str, float]:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus:
+        spark = get_spark(app_name="bench-md")
+    else:
+        spark = get_spark(app_name="bench-md", master="local[16]",
+                          shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+    queries["row_count"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.time() - t0)
+        out[name] = best
+    return out
+
+
+def time_duckdb(sf_dir: str) -> dict[str, float]:
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '16')}")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    oracles = all_oracles()
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        sql = oracles.get(name)
+        if sql is None:
+            continue
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            best = min(best, time.time() - t0)
+        out[name] = best
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark_t = time_spark(sf_dir)
+    duck_t = time_duckdb(sf_dir)
+    lines = ["| query | spark (s) | duckdb (s) | ratio |", "|---|---|---|---|"]
+    for name in HEADLINE:
+        s, d = spark_t[name], duck_t.get(name)
+        dd = f"{d:.3f}" if d is not None else "—"
+        ratio = f"{s / d:.1f}x" if d else "—"
+        lines.append(f"| {name} | {s:.3f} | {dd} | {ratio} |")
+    ts, td = sum(spark_t.values()), sum(duck_t.values())
+    lines.append(f"| **total** | **{ts:.2f}** | **{td:.2f}** | **{ts / td:.1f}x** |")
+    table = "\n".join(lines)
+
+    path = os.path.join(REPO, "BENCH.md")
+    with open(path) as f:
+        md = f.read()
+    new_md, n = re.subn(
+        r"\| query \| spark.*?\| \*\*total\*\*.*?\|\n",
+        table + "\n",
+        md,
+        flags=re.S,
+    )
+    assert n == 1, "measurement table not found in BENCH.md"
+    with open(path, "w") as f:
+        f.write(new_md)
+    print(table)
+
+
+if __name__ == "__main__":
+    main()

@@ -904,9 +904,9 @@ ORDER_STATUSES = ["F", "O", "P"]
 def q_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: one row per order priority, one count column per order
     status.  The status domain is declared explicitly — with pivot values
-    known up front Spark skips the extra distinct-values job and compiles
-    the pivot to conditional aggregates in ONE pass (exactly the SQL the
-    oracle runs)."""
+    known up front Spark skips the eager distinct-values job (a full
+    extra pass over the data at 100 TB) and plans a two-level aggregate
+    whose shuffles carry only (priority, status) partial counts."""
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.groupBy("o_orderpriority")

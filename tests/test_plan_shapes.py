@@ -60,3 +60,63 @@ def test_revenue_by_nation_broadcasts_bounded_dims(spark, sf_dir):
 def test_point_lookup_pushes_key(spark, sf_dir):
     df = q_point_lookup(spark, sf_dir)
     assert has_pushed_filter(df, "event_id")
+
+
+def test_train_val_split_is_shuffle_free(spark, sf_dir):
+    # hash split must stay a pure map-side projection: zero exchanges
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        q_train_val_split,
+    )
+
+    df = q_train_val_split(spark, sf_dir)
+    assert count_exchanges(df) == 0
+
+
+def test_order_priority_check_decorrelates_to_semi_join(spark, sf_dir):
+    from self_healing_data_pipeline_agent_spark.operators.relational import (
+        q_order_priority_check,
+    )
+
+    plan = formatted_plan(q_order_priority_check(spark, sf_dir))
+    assert "LeftSemi" in plan
+    # the rollup happens AFTER the semi join shrinks the fact table
+    assert plan.index("Join") < plan.rindex("HashAggregate")
+
+
+def test_large_volume_customers_preaggregates_below_join(spark, sf_dir):
+    from self_healing_data_pipeline_agent_spark.operators.relational import (
+        q_large_volume_customers,
+    )
+
+    plan = formatted_plan(q_large_volume_customers(spark, sf_dir))
+    # the per-order pre-aggregate shuffles on l_orderkey BEFORE any join...
+    assert "hashpartitioning(l_orderkey" in plan
+    # ...the qualifying tail then joins broadcast-side
+    assert "BroadcastHashJoin" in plan
+    # and the fact scan reads only the two columns the pre-agg needs
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "l_orderkey" in scan and "l_quantity" in scan
+    assert "l_extendedprice" not in scan
+
+
+def test_pivot_compiles_to_single_aggregate_pass(spark, sf_dir):
+    # declared pivot values -> conditional aggregates, one shuffle, and no
+    # separate distinct-values job materialized in the plan
+    from self_healing_data_pipeline_agent_spark.operators.relational import (
+        q_pivot_status_priority,
+    )
+
+    df = q_pivot_status_priority(spark, sf_dir)
+    # two-level aggregate: one shuffle of (priority, status) partials plus
+    # one of per-priority rows — both tiny.  The point of declaring pivot
+    # values is that NO separate distinct-values collect job runs first.
+    assert count_exchanges(df) <= 2
+
+
+def test_decontaminate_broadcasts_benchmark_shingles(spark, sf_dir):
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        q_decontaminate_docs,
+    )
+
+    df = q_decontaminate_docs(spark, sf_dir)
+    assert has_broadcast_join(df)
