@@ -250,3 +250,104 @@ SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
 FROM carried
 WHERE event_type = 'purchase' AND attr_click_id IS NOT NULL
 """
+
+
+# --- X12b: sliding event-time windows ---------------------------------------
+
+def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12: sliding 2-hour window, 1-hour slide.  Each event lands in
+    exactly two windows; ``F.window`` materializes the assignment as a
+    generated array (no self-join, no double scan).  The oracle makes the
+    two alignments explicit: every event contributes to the hour it falls
+    in and the hour before.  Same code shape streams with a watermark.
+    """
+    df = load_table(spark, sf_dir, "events")
+    return (
+        df.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            davg(F.col("value")).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
+    )
+
+
+ORACLES["sliding_windows"] = f"""
+WITH assigned AS (
+  SELECT date_trunc('hour', ts) AS window_start, value FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS window_start, value
+  FROM events
+)
+SELECT window_start,
+       COUNT(*) AS n_events,
+       {sql_davg('value')} AS avg_value
+FROM assigned GROUP BY window_start
+"""
+
+
+# --- X13b: multi-stage funnel ------------------------------------------------
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-funnel analysis: view -> click -> purchase, stages ordered in
+    event time per user (a click only counts after the user's first view,
+    a purchase only after that first qualifying click).
+
+    Scale shape: stage 1 is one grouped min; each later stage is a
+    co-partitioned join on user_id (same key every hop — one shuffle
+    lineage, AQE reuses the partitioning) followed by a grouped min of
+    the filtered tail.  No window sorts, no per-user state bigger than
+    two timestamps.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("first_view"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id").agg(F.min("ts").alias("first_click"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") > F.col("first_click"))
+        .groupBy("user_id").agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        views.join(clicks, "user_id", "left")
+        .join(purchases, "user_id", "left")
+        .agg(
+            F.count("first_view").alias("n_view"),
+            F.count("first_click").alias("n_view_click"),
+            F.count("first_purchase").alias("n_full_funnel"),
+        )
+    )
+
+
+ORACLES["funnel_conversion"] = """
+WITH views AS (
+  SELECT user_id, MIN(ts) AS first_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+clicks AS (
+  SELECT e.user_id, MIN(e.ts) AS first_click
+  FROM events e JOIN views v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.first_view
+  GROUP BY e.user_id
+),
+purchases AS (
+  SELECT e.user_id, MIN(e.ts) AS first_purchase
+  FROM events e JOIN clicks c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+  GROUP BY e.user_id
+)
+SELECT COUNT(v.first_view) AS n_view,
+       COUNT(c.first_click) AS n_view_click,
+       COUNT(p.first_purchase) AS n_full_funnel
+FROM views v
+LEFT JOIN clicks c ON v.user_id = c.user_id
+LEFT JOIN purchases p ON v.user_id = p.user_id
+"""

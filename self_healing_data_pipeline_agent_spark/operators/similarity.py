@@ -395,3 +395,33 @@ SELECT query_id, rn, neighbor_id, cosine FROM scored WHERE rn <= {TOP_K}
 
 
 ORACLES["ann_lsh_topk"] = _lsh_oracle_sql()
+
+
+# --- X9d: per-label centroids (IVF training / class-mean analysis) ----------
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column, long format
+    (label, dim, centroid) — the building block IVF coarse quantizers and
+    class-mean classifiers train on.
+
+    Scale shape: posexplode streams (label, dim, value) triples through
+    whole-stage codegen into ONE grouped average — no per-label collect,
+    no array re-assembly shuffle (long format IS the output), and partial
+    aggregation means each task ships at most |labels|×|dims| partials
+    regardless of row count.
+    """
+    df = load_table(spark, sf_dir, "embeddings")
+    exploded = df.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    )
+    return exploded.groupBy("label", "dim").agg(
+        davg(F.col("v").cast("double")).alias("centroid")
+    )
+
+
+ORACLES["label_centroids"] = f"""
+SELECT label, g.pos AS dim,
+       {sql_davg('CAST(embedding[g.pos + 1] AS DOUBLE)')} AS centroid
+FROM embeddings, generate_series(0, 63) AS g(pos)
+GROUP BY label, g.pos
+"""

@@ -777,3 +777,48 @@ SELECT d.doc_id, (c.doc_id IS NOT NULL) AS contaminated
 FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
 WHERE d.doc_id % {BENCH_DOC_MOD} <> 0
 """
+
+
+# --- X-mix: mixture resampling (per-stratum hash-rate downsample) -----------
+
+# per-language keep rates in 256ths, compared on the first md5 byte: the
+# mixture weights a training run would use to rebalance a multilingual
+# corpus (keep all high-value strata, thin the dominant one).
+MIXTURE_KEEP_256 = {"en": 64, "de": 192, "es": 192, "fr": 192, "zh": 256}
+
+
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture resampling: deterministically downsample each
+    language stratum at its own rate (en 25%, de/es/fr 75%, zh 100%).
+
+    Same zero-shuffle shape as ``q_train_val_split`` — the keep decision
+    is a pure function of (doc_id, lang), so it is reproducible across
+    reruns/backfills, needs no RNG state, and composes with the split
+    (a doc keeps its split after resampling).  At 100 TB this is a
+    map-only filter that prunes at the scan.
+    """
+    df = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    rate = F.lit(None).cast("int")
+    for lang, keep in MIXTURE_KEEP_256.items():
+        rate = F.when(F.col("lang") == lang, keep).otherwise(rate)
+    return (
+        df.filter(bucket < rate)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+_DUCK_MIX_RATE = "CASE " + " ".join(
+    f"WHEN lang = '{lang}' THEN {keep}" for lang, keep in MIXTURE_KEEP_256.items()
+) + " END"
+
+ORACLES["mixture_resample"] = f"""
+SELECT lang, COUNT(*) AS n_kept
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT)
+      < {_DUCK_MIX_RATE}
+GROUP BY lang
+"""
