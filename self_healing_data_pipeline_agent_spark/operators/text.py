@@ -642,6 +642,12 @@ def q_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy("doc_a").agg(F.min("label").alias("nbr_label"))
         )
+        # localCheckpoint (eager): materializes the round AND truncates
+        # lineage — without it every round's plan nests the previous one
+        # and driver-side planning grows without bound (the classic
+        # iterative-dataflow failure; GraphX checkpoints the same way).
+        # On a cluster prefer reliable checkpoints (setCheckpointDir) to
+        # survive executor loss.
         new_labels = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
             .select(
@@ -650,7 +656,7 @@ def q_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .cache()
+            .localCheckpoint()
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("label", "old"), "doc_id")
