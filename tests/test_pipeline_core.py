@@ -374,3 +374,44 @@ def test_streaming_incident_metrics_match_batch(spark, tmp_path):
     batch = status_metrics(load_incidents(spark, tmp_path))
     assert batch["total"] == 4
     assert batch["successes"] == stream_counts["success"] + stream_counts["healed_success"]
+
+
+def test_compaction_merges_small_files(spark, tmp_path):
+    """Small-file compaction: 40 tiny files -> size-targeted rewrite,
+    same rows; ordered variant keeps disjoint per-file key ranges."""
+    from pyspark.sql import functions as F
+
+    from self_healing_data_pipeline_agent_spark.maintenance import (
+        compact_parquet_table,
+        table_file_stats,
+    )
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compacted")
+    df = spark.range(0, 4000).withColumn("v", F.col("id") * 2)
+    df.repartition(40).write.parquet(src)
+    assert table_file_stats(spark, src)["n_files"] == 40
+
+    stats = compact_parquet_table(spark, src, dst, target_file_bytes=10**9)
+    assert stats["files_before"] == 40
+    assert stats["files_after"] == 1
+    out = spark.read.parquet(dst)
+    assert out.count() == 4000
+    assert out.agg(F.sum("v")).collect()[0][0] == df.agg(F.sum("v")).collect()[0][0]
+
+    # ordered compaction: per-file id ranges must be disjoint (row-group
+    # skipping depends on this)
+    dst2 = str(tmp_path / "ordered")
+    compact_parquet_table(
+        spark, src, dst2, target_file_bytes=30_000, order_by="id"
+    )
+    ranges = (
+        spark.read.parquet(dst2)
+        .groupBy(F.col("_metadata.file_path"))
+        .agg(F.min("id").alias("lo"), F.max("id").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(ranges) > 1
+    for prev, cur in zip(ranges, ranges[1:]):
+        assert prev["hi"] < cur["lo"]
