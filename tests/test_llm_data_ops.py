@@ -204,3 +204,41 @@ def test_approx_profiles_close_to_exact(spark, sf_dir):
         a = approx_q[flag]
         for c in ("p50_qty", "p25_price", "p75_price"):
             assert abs(a[c] - e[c]) / abs(e[c]) < 0.02
+
+
+def test_streaming_merge_upsert_converges_to_batch_merge(spark, tmp_path):
+    """Two change micro-batches streamed through foreachBatch MERGE must
+    leave the snapshot identical to one batch merge of their union."""
+    from self_healing_data_pipeline_agent_spark.streaming.merge import (
+        merge_upsert,
+        streaming_merge_upsert,
+    )
+
+    snapshot = str(tmp_path / "snapshot")
+    deltas = tmp_path / "deltas"
+    deltas.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "s", "v"]
+    )
+    base.write.parquet(snapshot)
+    schema = base.schema
+
+    d1 = spark.createDataFrame([(2, "b2", 21.0), (4, "d", 40.0)], schema)
+    d2 = spark.createDataFrame([(4, "d2", 41.0), (5, "e", 50.0)], schema)
+    d1.write.parquet(str(deltas / "batch1"))
+    q = streaming_merge_upsert(spark, str(deltas / "*"), snapshot, ckpt, "k", schema)
+    q.awaitTermination()
+    d2.write.parquet(str(deltas / "batch2"))
+    q = streaming_merge_upsert(spark, str(deltas / "*"), snapshot, ckpt, "k", schema)
+    q.awaitTermination()
+
+    got = {
+        r["k"]: (r["s"], r["v"])
+        for r in spark.read.parquet(snapshot).collect()
+    }
+    expected_df = merge_upsert(merge_upsert(base, d1, "k"), d2, "k")
+    expected = {r["k"]: (r["s"], r["v"]) for r in expected_df.collect()}
+    assert got == expected
+    assert got[4] == ("d2", 41.0) and got[2] == ("b2", 21.0)
