@@ -147,6 +147,36 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
     return out
 
 
+def _lsh_code_for_table(t: int, dim: int) -> F.Column:
+    code = None
+    for b in range(LSH_BITS):
+        plane = _hyperplane(dim, t * LSH_BITS + b)
+        arr = F.array(*[F.lit(v) for v in plane])
+        proj = F.aggregate(
+            F.zip_with(F.col("embedding"), arr,
+                       lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        bit = F.when(proj > 0, 2 ** b).otherwise(0)
+        code = bit if code is None else code + bit
+    return code
+
+
+def _lsh_coded(emb: DataFrame, dim: int = 64) -> DataFrame:
+    """(vec_id, embedding, table, code) — one row per LSH table per
+    vector; shared by the ANN index and the near-dup blocker."""
+    return emb.select(
+        "vec_id", "embedding",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(t).alias("table"),
+                         _lsh_code_for_table(t, dim).alias("code"))
+                for t in range(LSH_TABLES)
+            ])
+        ).alias("tc"),
+    ).select("vec_id", "embedding", "tc.table", "tc.code")
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str, dim: int = 64) -> DataFrame:
     """X9 at scale: multi-table random-hyperplane LSH.
 
@@ -165,32 +195,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str, dim: int = 64) -> DataFrame
     table) and LSH_TABLES up for recall.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-
-    def code_for_table(t: int) -> F.Column:
-        code = None
-        for b in range(LSH_BITS):
-            plane = _hyperplane(dim, t * LSH_BITS + b)
-            arr = F.array(*[F.lit(v) for v in plane])
-            proj = F.aggregate(
-                F.zip_with(F.col("embedding"), arr,
-                           lambda x, y: x.cast("double") * y),
-                F.lit(0.0), lambda acc, x: acc + x,
-            )
-            bit = F.when(proj > 0, 2 ** b).otherwise(0)
-            code = bit if code is None else code + bit
-        return code
-
-    # (vec_id, embedding, table, code) — one row per table per vector
-    coded = emb.select(
-        "vec_id", "embedding",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(t).alias("table"),
-                         code_for_table(t).alias("code"))
-                for t in range(LSH_TABLES)
-            ])
-        ).alias("tc"),
-    ).select("vec_id", "embedding", "tc.table", "tc.code")
+    coded = _lsh_coded(emb, dim)
 
     q = coded.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
@@ -351,12 +356,9 @@ SELECT query_id, rn, neighbor_id, cosine FROM scored WHERE rn <= {TOP_K}
 """
 
 
-def _lsh_oracle_sql(dim: int = 64) -> str:
-    """DuckDB twin of q_ann_lsh_topk.  The hyperplanes are deterministic
-    Python constants (md5-derived), so they inline as literal DOUBLE[]
-    arrays; each sign bit is the same left-fold dot product both engines
-    compute bit-identically, making even this 'approximate' index
-    exactly value-checkable."""
+def _duck_coded_sql(dim: int = 64) -> str:
+    """DuckDB twin of ``_lsh_coded``: hyperplanes inline as literal
+    DOUBLE[] arrays, sign bits fold identically to Spark's."""
     table_exprs = []
     for t in range(LSH_TABLES):
         bits = []
@@ -372,10 +374,18 @@ def _lsh_oracle_sql(dim: int = 64) -> str:
             + " + ".join(bits)
             + " AS code FROM embeddings"
         )
-    coded = "\n  UNION ALL\n  ".join(table_exprs)
+    return "\n  UNION ALL\n  ".join(table_exprs)
+
+
+def _lsh_oracle_sql(dim: int = 64) -> str:
+    """DuckDB twin of q_ann_lsh_topk.  The hyperplanes are deterministic
+    Python constants (md5-derived), so they inline as literal DOUBLE[]
+    arrays; each sign bit is the same left-fold dot product both engines
+    compute bit-identically, making even this 'approximate' index
+    exactly value-checkable."""
     return f"""
 WITH coded AS (
-  {coded}
+  {_duck_coded_sql(dim)}
 ),
 candidates AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
@@ -425,3 +435,58 @@ SELECT label, g.pos AS dim,
 FROM embeddings, generate_series(0, 63) AS g(pos)
 GROUP BY label, g.pos
 """
+
+
+# --- X8e: embedding near-dup at scale (LSH blocking) ------------------------
+
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str,
+                             dim: int = 64) -> DataFrame:
+    """The 100 TB path for ``q_embedding_near_dup``: LSH sign-code
+    blocking replaces the all-pairs join.  Pairs meet only if some LSH
+    table gives both vectors the same code — the self-join shuffles on
+    (table, code) so candidate volume tracks collisions (~N²/2^bits per
+    table), not N²; exact cosine then verifies candidates.  Same
+    deterministic hyperplanes as the ANN index, so the blocker is
+    value-checked bit-for-bit, and missed-pair recall is pytest-asserted
+    against the brute-force twin.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    coded = _lsh_coded(emb, dim)
+    a = coded.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        l2_norm(F.col("embedding")).alias("na"), "table",
+        F.col("code").alias("code_a"),
+    )
+    b = coded.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        l2_norm(F.col("embedding")).alias("nb"), "table",
+        F.col("code").alias("code_b"),
+    )
+    candidates = (
+        a.join(b, ["table"])
+        .filter((F.col("code_a") == F.col("code_b"))
+                & (F.col("vec_a") < F.col("vec_b")))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        candidates.select("vec_a", "vec_b", sim.alias("cosine"))
+        .filter(F.col("cosine") >= 0.9)
+    )
+
+
+ORACLES["embedding_near_dup_lsh"] = f"""
+WITH coded AS (
+  {_duck_coded_sql()}
+),
+candidates AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM coded a JOIN coded b ON a.tbl = b.tbl AND a.code = b.code
+  WHERE a.vec_id < b.vec_id
+)
+SELECT cd.vec_a, cd.vec_b, {{cos}} AS cosine
+FROM candidates cd
+JOIN embeddings a ON a.vec_id = cd.vec_a
+JOIN embeddings b ON b.vec_id = cd.vec_b
+WHERE {{cos}} >= 0.9
+""".format(cos=_DUCK_COS)

@@ -242,3 +242,26 @@ def test_streaming_merge_upsert_converges_to_batch_merge(spark, tmp_path):
     expected = {r["k"]: (r["s"], r["v"]) for r in expected_df.collect()}
     assert got == expected
     assert got[4] == ("d2", 41.0) and got[2] == ("b2", 21.0)
+
+
+def test_embedding_near_dup_lsh_subset_and_recall(spark, sf_dir):
+    """LSH-blocked near-dup pairs must be a SUBSET of the brute-force
+    pairs (exact verification can only drop candidates, never invent
+    them), with decent recall — near-dup vectors agree on most sign
+    bits, so some table should collide for most true pairs."""
+    from self_healing_data_pipeline_agent_spark.operators.similarity import (
+        q_embedding_near_dup,
+        q_embedding_near_dup_lsh,
+    )
+
+    brute = {
+        (r["vec_a"], r["vec_b"]) for r in q_embedding_near_dup(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in q_embedding_near_dup_lsh(spark, sf_dir).collect()
+    }
+    assert lsh <= brute
+    if brute:
+        recall = len(lsh) / len(brute)
+        assert recall > 0.5, f"recall {recall:.2f} too low"
