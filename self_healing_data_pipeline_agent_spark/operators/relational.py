@@ -986,3 +986,96 @@ SELECT COALESCE(d_orderkey, o_orderkey) AS m_orderkey,
        COALESCE(d_totalprice, o_totalprice) AS m_totalprice
 FROM base FULL OUTER JOIN delta ON o_orderkey = d_orderkey
 """
+
+
+# --- X2b: correlation drift profile -----------------------------------------
+
+def q_corr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between measures per group — correlation DRIFT
+    catches relationship breaks (e.g. price decoupling from quantity)
+    that per-column mean/std profiles cannot see.
+
+    Not ``F.corr``: its streaming-merge float state is partitioning- and
+    engine-dependent.  Instead the five sufficient statistics are exact
+    integer sums of 1e-4-quantized units (128-bit accumulators for the
+    product terms), and the closed-form correlation is evaluated from
+    those exact integers with the same IEEE expression tree as the
+    oracle — partition-invariant AND bit-stable across engines.  The
+    quantization scale cancels algebraically in the ratio.
+    """
+    df = load_table(spark, sf_dir, "lineitem")
+    xu = to_units(F.col("l_quantity"))
+    yu = to_units(F.col("l_extendedprice"))
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum(xu).cast("double")
+    sy = F.sum(yu).cast("double")
+    sxy = F.sum((xu * yu).cast("decimal(38,0)")).cast("double")
+    sxx = F.sum((xu * xu).cast("decimal(38,0)")).cast("double")
+    syy = F.sum((yu * yu).cast("decimal(38,0)")).cast("double")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(corr, 9).alias("corr_qty_price"),
+    )
+
+
+def _sql_u(expr: str) -> str:
+    return f"CAST(FLOOR(({expr}) * 10000.0 + 0.5) AS BIGINT)"
+
+
+ORACLES["corr_profile"] = f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       ROUND(
+         (CAST(COUNT(*) AS DOUBLE) * CAST(SUM({_sql_u('l_quantity')} * {_sql_u('l_extendedprice')}) AS DOUBLE)
+          - CAST(SUM({_sql_u('l_quantity')}) AS DOUBLE) * CAST(SUM({_sql_u('l_extendedprice')}) AS DOUBLE))
+         / (SQRT(CAST(COUNT(*) AS DOUBLE) * CAST(SUM({_sql_u('l_quantity')} * {_sql_u('l_quantity')}) AS DOUBLE)
+                 - CAST(SUM({_sql_u('l_quantity')}) AS DOUBLE) * CAST(SUM({_sql_u('l_quantity')}) AS DOUBLE))
+            * SQRT(CAST(COUNT(*) AS DOUBLE) * CAST(SUM({_sql_u('l_extendedprice')} * {_sql_u('l_extendedprice')}) AS DOUBLE)
+                   - CAST(SUM({_sql_u('l_extendedprice')}) AS DOUBLE) * CAST(SUM({_sql_u('l_extendedprice')}) AS DOUBLE))),
+         9) AS corr_qty_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- X5c: TPC-H Q19-style disjunctive predicate pushdown --------------------
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19-analog: revenue under an OR of conjunctive brand/size/quantity
+    bands.  The disjunction mixes join-side predicates (part) with
+    fact-side predicates (lineitem) — Catalyst still extracts the
+    common-term simplifications and pushes the partial predicates to both
+    scans (l_quantity range to lineitem, brand/size union to part), so the
+    join sees pre-filtered inputs; the residual OR evaluates post-join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    band1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    band2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 35)
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.filter(band1 | band2).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum(revenue).alias("revenue"),
+    )
+
+
+ORACLES["disjunctive_revenue"] = f"""
+SELECT COUNT(*) AS n_lines,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 35)
+"""
