@@ -12,6 +12,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.oracle_sql import sql_davg
+from ..functions.stable import SCALE as UNIT_SCALE
+from ..functions.stable import _units as to_units
 from ..functions.stable import davg
 from ..sources.tables import load_table
 
@@ -350,4 +352,44 @@ SELECT COUNT(v.first_view) AS n_view,
 FROM views v
 LEFT JOIN clicks c ON v.user_id = c.user_id
 LEFT JOIN purchases p ON v.user_id = p.user_id
+"""
+
+
+# --- X14b: time-RANGE window frame ------------------------------------------
+
+def q_user_rolling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame rolling aggregate: per user, events and exact-unit
+    value in the trailing hour of EVENT TIME (RANGE BETWEEN 3600s
+    PRECEDING AND CURRENT ROW over epoch seconds) — the time-based
+    complement of the ROWS-frame query (rolling_order_totals).
+
+    A RANGE frame is keyed by the ORDER BY value, not row position, so
+    ties share a frame and gaps shrink it — semantics a ROWS frame cannot
+    express.  One shuffle on user_id; per-user sort bounded by that
+    user's events.  Value sums run in integer units (associative —
+    engine-order-proof).
+    """
+    df = load_table(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    units = F.sum(to_units(F.coalesce(F.col("value"), F.lit(0.0)))).over(w)
+    return df.select(
+        "user_id", "event_id", epoch.alias("epoch_s"),
+        F.count(F.lit(1)).over(w).alias("n_trailing_hour"),
+        (units.cast("double") / F.lit(UNIT_SCALE)).alias("value_trailing_hour"),
+    )
+
+
+ORACLES["user_rolling_hour"] = """
+SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch_s,
+       COUNT(*) OVER w AS n_trailing_hour,
+       CAST(SUM(CAST(FLOOR(COALESCE(value, 0.0) * 10000.0 + 0.5) AS BIGINT)) OVER w
+            AS DOUBLE) / 10000.0 AS value_trailing_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
 """
