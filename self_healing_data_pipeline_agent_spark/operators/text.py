@@ -828,3 +828,84 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT)
       < {_DUCK_MIX_RATE}
 GROUP BY lang
 """
+
+
+# --- X10b: rolling-hash fingerprints (Rabin-Karp + winnowing) ---------------
+
+RK_MOD = 2147483647          # 2^31 - 1 (Mersenne)
+RK_BASE = 1000003
+RK_BASE2 = 1426104154        # BASE^2 mod MOD, precomputed
+WINNOW_W = 4                 # fingerprint = min rolling hash per 4-window
+
+
+def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints via Rabin-Karp rolling hashes + winnowing
+    (the MOSS scheme): hash every 3-token window polynomially, then keep
+    the MINIMUM hash of each 4-window of those — a position-robust
+    fingerprint set whose size is ~1/W of the token count, guaranteed to
+    share members for any sufficiently long common substring.
+
+    Dataflow: posexplode + two rounds of ``lead`` — the hash "rolls" via
+    window functions instead of a carried accumulator (the dataflow form
+    of O(1)-per-position updates), all inside whole-stage codegen, one
+    shuffle on doc_id.  All arithmetic is term-wise mod 2^31-1 in BIGINT,
+    identical on any engine.
+    """
+    df = load_table(spark, sf_dir, "documents")
+    toks = (
+        df.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+        .filter(F.col("tok") != "")
+    )
+    th = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint") % RK_MOD
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    hashed = toks.select("doc_id", "pos", th.alias("h"))
+    rolled = hashed.select(
+        "doc_id", "pos",
+        (
+            (F.col("h") * RK_BASE2) % RK_MOD
+            + (F.lead("h", 1).over(w) * RK_BASE) % RK_MOD
+            + F.lead("h", 2).over(w)
+        ).alias("acc"),
+    ).select("doc_id", "pos", (F.col("acc") % RK_MOD).alias("rh"))
+    rolled = rolled.filter(F.col("rh").isNotNull())
+    w2 = Window.partitionBy("doc_id").orderBy("pos")
+    fp = F.least(
+        F.col("rh"),
+        F.lead("rh", 1).over(w2),
+        F.lead("rh", 2).over(w2),
+        F.lead("rh", 3).over(w2),
+    )
+    guard = F.lead("rh", 3).over(w2)
+    return (
+        rolled.select("doc_id", fp.alias("fp"), guard.alias("_g"))
+        .filter(F.col("_g").isNotNull())
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
+ORACLES["rolling_fingerprints"] = f"""
+WITH th AS (
+  SELECT doc_id,
+         list_transform({_DUCK_TOKENS},
+             t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % {RK_MOD}) AS hs
+  FROM documents
+),
+rolled AS (
+  SELECT doc_id,
+         list_transform(range(1, len(hs) - 1),
+             i -> ((hs[i] * {RK_BASE2}) % {RK_MOD}
+                   + (hs[i+1] * {RK_BASE}) % {RK_MOD}
+                   + hs[i+2]) % {RK_MOD}) AS rh
+  FROM th
+),
+winnowed AS (
+  SELECT doc_id,
+         list_transform(range(1, len(rh) - {WINNOW_W - 2}),
+             i -> least(rh[i], rh[i+1], rh[i+2], rh[i+3])) AS fps
+  FROM rolled
+)
+SELECT DISTINCT doc_id, unnest(fps) AS fp FROM winnowed
+"""
