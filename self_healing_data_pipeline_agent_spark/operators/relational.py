@@ -1079,3 +1079,62 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
    OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
        AND l_quantity BETWEEN 10 AND 35)
 """
+
+
+# --- H2 at scale: healing proposals as a dataflow ---------------------------
+
+HEAL_PREV_MAX = 0.2  # the contract's pre-healing null tolerance
+
+
+def q_healing_proposals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's H2 healing formula (self_healing_agent.py:93 —
+    ``new = min(cap 0.8, max(prev + 0.2, observed + 0.05))``) applied PER
+    GROUP as a DataFrame op: one pass computes every partition's observed
+    null fraction and its proposed tolerance.
+
+    This is what healing means at 100 TB — the reference heals one global
+    contract from one global fraction; a partitioned table needs a
+    proposal per partition, and emitting them as a DataFrame makes the
+    healing plan itself queryable/joinable (e.g. against an allow-list)
+    before the config write.  Null fractions are exact integer-count
+    ratios, so the formula evaluates bit-identically on any engine.
+    """
+    from ..healing import (
+        NULL_TOLERANCE_CAP,
+        NULL_TOLERANCE_MARGIN,
+        NULL_TOLERANCE_STEP,
+    )
+
+    df = load_table(spark, sf_dir, "events")
+    nf = (
+        F.sum(F.col("value").isNull().cast("bigint")).cast("double")
+        / F.count(F.lit(1))
+    )
+    proposed = F.least(
+        F.lit(NULL_TOLERANCE_CAP),
+        F.greatest(
+            F.lit(HEAL_PREV_MAX + NULL_TOLERANCE_STEP),
+            nf + F.lit(NULL_TOLERANCE_MARGIN),
+        ),
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        nf.alias("nf_value"),
+        (nf > HEAL_PREV_MAX).alias("violates"),
+        F.when(nf > HEAL_PREV_MAX, proposed)
+        .otherwise(F.lit(HEAL_PREV_MAX))
+        .alias("proposed_max_null_fraction"),
+    )
+
+
+ORACLES["healing_proposals"] = """
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS nf_value,
+       (CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)) > 0.2 AS violates,
+       CASE WHEN (CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)) > 0.2
+            THEN LEAST(0.8, GREATEST(0.2 + 0.2,
+                 CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) + 0.05))
+            ELSE 0.2 END AS proposed_max_null_fraction
+FROM events GROUP BY event_type
+"""
