@@ -295,37 +295,41 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     event time per user (a click only counts after the user's first view,
     a purchase only after that first qualifying click).
 
-    Scale shape: stage 1 is one grouped min; each later stage is a
-    co-partitioned join on user_id (same key every hop — one shuffle
-    lineage, AQE reuses the partitioning) followed by a grouped min of
-    the filtered tail.  No window sorts, no per-user state bigger than
-    two timestamps.
+    Scale shape: ONE shuffle.  The three stage timestamps are chained
+    whole-partition window minimums over the same partitionBy(user_id) —
+    each stage's conditional min may reference the previous stage's
+    column, and because every window requires the identical distribution
+    (and no ordering), Catalyst stacks all three Window operators behind
+    a single exchange with no sorts.  The join formulation of the same
+    funnel costs three grouped-min shuffles plus two joins.
     """
-    ev = load_table(spark, sf_dir, "events")
-    views = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id").agg(F.min("ts").alias("first_view"))
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "ts", "event_type")
     )
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .join(views, "user_id")
-        .filter(F.col("ts") > F.col("first_view"))
-        .groupBy("user_id").agg(F.min("ts").alias("first_click"))
-    )
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(clicks, "user_id")
-        .filter(F.col("ts") > F.col("first_click"))
-        .groupBy("user_id").agg(F.min("ts").alias("first_purchase"))
-    )
-    return (
-        views.join(clicks, "user_id", "left")
-        .join(purchases, "user_id", "left")
-        .agg(
-            F.count("first_view").alias("n_view"),
-            F.count("first_click").alias("n_view_click"),
-            F.count("first_purchase").alias("n_full_funnel"),
+    w = Window.partitionBy("user_id")
+    fv = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    staged = ev.withColumn("fv", fv)
+    fc = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("fv")),
+            F.col("ts"),
         )
+    ).over(w)
+    staged = staged.withColumn("fc", fc)
+    fp = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("fc")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("fp", fp)
+    per_user = staged.select("user_id", "fv", "fc", "fp").distinct()
+    return per_user.agg(
+        F.count("fv").alias("n_view"),
+        F.count("fc").alias("n_view_click"),
+        F.count("fp").alias("n_full_funnel"),
     )
 
 

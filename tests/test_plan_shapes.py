@@ -120,3 +120,14 @@ def test_decontaminate_broadcasts_benchmark_shingles(spark, sf_dir):
 
     df = q_decontaminate_docs(spark, sf_dir)
     assert has_broadcast_join(df)
+
+
+def test_funnel_stacks_windows_behind_one_exchange(spark, sf_dir):
+    # three chained conditional-min windows share one partitioning: the
+    # whole funnel costs 2 exchanges (windows + final rollup), no sorts
+    from self_healing_data_pipeline_agent_spark.operators.events import (
+        q_funnel_conversion,
+    )
+
+    df = q_funnel_conversion(spark, sf_dir)
+    assert count_exchanges(df) <= 2
