@@ -48,6 +48,8 @@ HEADLINE = [
     "top_terms",
     "jaccard_pairs",
     "minhash_lsh_pairs",
+    "duplicate_clusters",
+    "decontaminate_docs",
     "knn_cosine",
     "exact_dedup_docs",
 ]
