@@ -1081,6 +1081,44 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
 """
 
 
+# --- X5d: TPC-H Q17-style correlated scalar subquery ------------------------
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17-analog: revenue from lineitems whose quantity is below half the
+    part's average quantity — the correlated-scalar-subquery shape
+    (``WHERE l_quantity < (SELECT 0.5*AVG ... WHERE same part)``).
+
+    Spark-first decorrelation: instead of agg-then-self-join (two
+    shuffles of the fact table), compute the per-part average as a
+    whole-partition window (``partitionBy(l_partkey)``, no orderBy) —
+    ONE exchange of lineitem, no join, and the same plan shape scales to
+    any part-key cardinality.  ``l_quantity`` is integer-valued, so
+    sum/count and the 0.5* threshold are exact in both engines and the
+    strict ``<`` comparison is partitioning-invariant.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    flagged = li.withColumn("part_avg_qty", F.avg("l_quantity").over(w))
+    return flagged.filter(
+        F.col("l_quantity") < 0.5 * F.col("part_avg_qty")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum(F.col("l_extendedprice")).alias("small_qty_revenue"),
+    )
+
+
+ORACLES["small_qty_revenue"] = f"""
+SELECT COUNT(*) AS n_lines,
+       {sql_dsum('l_extendedprice')} AS small_qty_revenue
+FROM (
+    SELECT l_extendedprice, l_quantity,
+           AVG(l_quantity) OVER (PARTITION BY l_partkey) AS part_avg_qty
+    FROM lineitem
+)
+WHERE l_quantity < 0.5 * part_avg_qty
+"""
+
+
 # --- H2 at scale: healing proposals as a dataflow ---------------------------
 
 HEAL_PREV_MAX = 0.2  # the contract's pre-healing null tolerance
