@@ -93,7 +93,9 @@ class Contract:
 
     @property
     def row_count_min(self) -> int:
-        return int((self.raw.get("quality") or {}).get("row_count_min", 0))
+        # default 1, matching the reference (src/data_quality_checks.py:34):
+        # a contract without quality.row_count_min still fails on empty input
+        return int((self.raw.get("quality") or {}).get("row_count_min", 1))
 
     @property
     def drift_profile_path(self) -> str:

@@ -54,7 +54,8 @@ def heal_contract(
             if kind == "row_count":
                 observed = int(check.get("observed") or 0)
                 quality = healed.raw.setdefault("quality", {})
-                prev = int(quality.get("row_count_min", 0))
+                # default 1 mirrors the reference (self_healing_agent.py:64)
+                prev = int(quality.get("row_count_min", 1))
                 if observed < prev:
                     new_min = max(0, observed)
                     quality["row_count_min"] = new_min

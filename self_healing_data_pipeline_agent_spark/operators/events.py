@@ -38,9 +38,9 @@ def q_status_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["status_metrics"] = """
 SELECT COUNT(*) AS total,
-       SUM(CASE WHEN event_type LIKE '%error%' THEN 1 ELSE 0 END) AS n_error,
-       SUM(CASE WHEN event_type LIKE '%click%' THEN 1 ELSE 0 END) AS n_click,
-       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase
+       CAST(SUM(CASE WHEN event_type LIKE '%error%' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(SUM(CASE WHEN event_type LIKE '%click%' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
 FROM events
 """
 
@@ -396,4 +396,59 @@ SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch_s,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --- skew-safe aggregation on a manufactured hot key ------------------------
+
+def q_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level SALTED aggregation over a deliberately hot-keyed stream:
+    ~70% of all events share one key (``pmod(event_id, 10) < 7`` ->
+    'hot'), the long tail spreads over 100 user buckets — the classic
+    power-law shape that makes a naive groupBy put most of a 100 TB table
+    into ONE reducer task.
+
+    ``functions/skew.py::salted_agg`` spreads every key over 16
+    deterministic salts (stage 1: partial count + exact unit-sum per
+    (key, salt)), then merges the ≤16 partial rows per key (stage 2, a
+    shuffle over keys x salts rows only).  The result is identical to the
+    direct groupBy — the oracle is the UNsalted SQL — but the largest
+    stage-1 task is 1/16th of the hot key, not all of it.  Sums are
+    quantized units (``functions/stable.py``) so the two-level summation
+    order cannot change a single bit of the result.
+    """
+    from ..functions.skew import salted_agg
+
+    df = load_table(spark, sf_dir, "events")
+    key = F.when(
+        F.pmod(F.col("event_id"), F.lit(10)) < 7, F.lit("hot")
+    ).otherwise(
+        F.concat(F.lit("u"), F.pmod(F.col("user_id"), F.lit(100)).cast("string"))
+    )
+    keyed = df.select(
+        key.alias("agg_key"),
+        to_units(F.coalesce(F.col("value"), F.lit(0.0))).alias("_units"),
+    )
+    return salted_agg(
+        keyed,
+        keys=["agg_key"],
+        partial_aggs={
+            "_n": F.count(F.lit(1)),
+            "_s": F.sum("_units"),
+        },
+        merge_aggs={
+            "n_events": F.sum("_n"),
+            "total_value": F.sum("_s").cast("double") / F.lit(UNIT_SCALE),
+        },
+    )
+
+
+ORACLES["salted_hot_key_agg"] = """
+SELECT CASE WHEN event_id % 10 < 7 THEN 'hot'
+            ELSE 'u' || CAST(user_id % 100 AS VARCHAR) END AS agg_key,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(COALESCE(value, 0.0) * 10000.0 + 0.5) AS BIGINT))
+            AS DOUBLE) / 10000.0 AS total_value
+FROM events
+GROUP BY 1
 """

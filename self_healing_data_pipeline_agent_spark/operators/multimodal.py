@@ -56,7 +56,7 @@ def q_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = with_payload(load_table(spark, sf_dir, "documents"))
     return df.select(
         "doc_id",
-        F.octet_length(F.col("payload")).alias("n_bytes"),
+        F.octet_length(F.col("payload")).cast("bigint").alias("n_bytes"),
         F.sha2(F.col("payload"), 256).alias("sha"),
     )
 

@@ -20,7 +20,7 @@ from ..functions.ranking import DEFAULT_RANK_PARTITIONS, with_global_rank
 from ..functions.stable import SCALE as UNIT_SCALE
 from ..functions.stable import _units as to_units
 from ..functions.stable import davg, dstd, dsum
-from ..sources.tables import load_table
+from ..sources.tables import load_table, parquet_column_spans
 
 ORACLES: dict[str, str] = {}
 
@@ -175,14 +175,19 @@ def q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolation-arithmetic ulps.
 
     Both measure columns are STACKED into long format and ranked in ONE
-    ``with_global_rank`` dataflow: one stats pass, one window shuffle,
-    one offsets broadcast — instead of one full rank dataflow per column
-    (it measures ~2x faster here, and at 100 TB it is one shuffle of the
-    fact table, not two).  Each measure gets its own normalized uniform
-    bucket from the shared per-measure min/max, so bucket balance is
-    independent of the measures' value ranges.
+    ``with_global_rank`` dataflow: one window shuffle, one offsets
+    broadcast — instead of one full rank dataflow per column (it measures
+    ~2x faster here, and at 100 TB it is one shuffle of the fact table,
+    not two).  Each measure gets its own normalized uniform bucket from
+    the per-measure min/max, so bucket balance is independent of the
+    measures' value ranges.
+
+    The spans come from parquet FOOTER statistics (zone maps) — a
+    metadata-only read, so deriving buckets costs ZERO data passes; only
+    if the files carry no stats does it fall back to one min/max agg.
     """
     df = load_table(spark, sf_dir, "lineitem")
+    measures = ["l_quantity", "l_extendedprice"]
     long = df.select(
         "l_returnflag",
         F.expr(
@@ -190,13 +195,16 @@ def q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 1, CAST(l_extendedprice AS DOUBLE)) AS (k, v)"
         ),
     )
-    # one tiny job: per-measure span, used to normalize bucket widths
-    spans = {
-        r["k"]: (r["mn"], r["mx"])
-        for r in long.groupBy("k").agg(
-            F.min("v").alias("mn"), F.max("v").alias("mx")
-        ).collect()
-    }
+    col_spans = parquet_column_spans(sf_dir, "lineitem", measures)
+    if col_spans is not None:
+        spans = {k: col_spans[m] for k, m in enumerate(measures)}
+    else:  # statless files: one tiny min/max agg job
+        spans = {
+            r["k"]: (r["mn"], r["mx"])
+            for r in long.groupBy("k").agg(
+                F.min("v").alias("mn"), F.max("v").alias("mx")
+            ).collect()
+        }
     nbkt = DEFAULT_RANK_PARTITIONS
     bucket = F.lit(0)
     for k, (mn, mx) in spans.items():
@@ -410,7 +418,10 @@ def q_topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         df.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+        .select(
+            "o_orderpriority", F.col("rn").cast("bigint").alias("rn"),
+            "o_orderkey", "o_totalprice",
+        )
     )
 
 
@@ -676,7 +687,7 @@ def q_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["referential_orphans"] = """
 SELECT l_returnflag,
        COUNT(*) AS n_rows,
-       SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_orphans
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
 FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
 GROUP BY l_returnflag
 """
@@ -921,9 +932,9 @@ def q_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["pivot_status_priority"] = """
 SELECT o_orderpriority,
-       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_F,
-       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_O,
-       SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_P
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_F,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_O,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_P
 FROM orders GROUP BY o_orderpriority
 """
 

@@ -72,7 +72,10 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
-        .select("query_id", "rn", "neighbor_id", "cosine")
+        .select(
+            "query_id", F.col("rn").cast("bigint").alias("rn"),
+            "neighbor_id", "cosine",
+        )
     )
 
 
@@ -227,7 +230,10 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str, dim: int = 64) -> DataFrame
     return (
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
-        .select("query_id", "rn", "neighbor_id", "cosine")
+        .select(
+            "query_id", F.col("rn").cast("bigint").alias("rn"),
+            "neighbor_id", "cosine",
+        )
     )
 
 
@@ -313,7 +319,10 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.withColumn("rn", F.row_number().over(w_rank))
         .filter(F.col("rn") <= TOP_K)
-        .select("query_id", "rn", "neighbor_id", "cosine")
+        .select(
+            "query_id", F.col("rn").cast("bigint").alias("rn"),
+            "neighbor_id", "cosine",
+        )
     )
 
 
@@ -424,8 +433,10 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = df.select(
         "label", F.posexplode("embedding").alias("dim", "v")
     )
-    return exploded.groupBy("label", "dim").agg(
-        davg(F.col("v").cast("double")).alias("centroid")
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(davg(F.col("v").cast("double")).alias("centroid"))
+        .select("label", F.col("dim").cast("bigint").alias("dim"), "centroid")
     )
 
 

@@ -111,8 +111,8 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return df.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
-        bpe.alias("n_bpe_tokens"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        bpe.cast("bigint").alias("n_bpe_tokens"),
         (n_alpha.cast("double") / F.length("text")).alias("alpha_ratio"),
         (stop.cast("double") / n_tokens).alias("stopword_ratio"),
     )
@@ -155,9 +155,9 @@ def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return df.select(
         "doc_id",
-        scores["en"].alias("score_en"),
-        scores["de"].alias("score_de"),
-        scores["fr"].alias("score_fr"),
+        scores["en"].cast("bigint").alias("score_en"),
+        scores["de"].cast("bigint").alias("score_de"),
+        scores["fr"].cast("bigint").alias("score_fr"),
         guess.alias("lang_guess"),
     )
 
@@ -196,7 +196,7 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical = F.concat_ws(" ", F.expr(f"transform({_TOKENS}, x -> lower(x))"))
     return df.select(
         "doc_id", F.md5(canonical).alias("fingerprint"),
-        F.size(_tokens_col()).alias("n_tokens"),
+        F.size(_tokens_col()).cast("bigint").alias("n_tokens"),
     )
 
 
@@ -438,8 +438,12 @@ _DUCK_BANDS = "\n  UNION ALL\n  ".join(
     for band in range(BANDS)
 )
 
-ORACLES["minhash_lsh_pairs"] = f"""
-WITH {_DUCK_SHINGLE_CTE},
+# Shared CTE chain: shingles -> minhash signatures -> banded LSH candidates
+# -> exact-verified intersections.  Composed by the minhash_lsh_pairs oracle
+# AND the duplicate_clusters oracle so both check the SAME edge set the
+# Spark side produces (bit-exact parity by construction, independent of
+# LSH recall).
+_DUCK_LSH_CTES = f"""{_DUCK_SHINGLE_CTE},
 hashed AS (
   SELECT doc_id, md5('a:' || shingle) AS h0, md5('b:' || shingle) AS h1
   FROM shingles
@@ -464,7 +468,10 @@ inter AS (
   JOIN shingles sa ON sa.doc_id = c.doc_a
   JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
   GROUP BY c.doc_a, c.doc_b
-)
+)"""
+
+ORACLES["minhash_lsh_pairs"] = f"""
+WITH {_DUCK_LSH_CTES}
 SELECT i.doc_a, i.doc_b,
        CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter) AS jaccard
 FROM inter i
@@ -529,7 +536,7 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
+            ham.cast("bigint").alias("hamming"),
         )
         .filter(F.col("hamming") <= 2)
     )
@@ -543,7 +550,7 @@ WITH fp AS (
   GROUP BY doc_id
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(xor(a.simhash16, b.simhash16)) AS hamming
+       CAST(bit_count(xor(a.simhash16, b.simhash16)) AS BIGINT) AS hamming
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 2
 """
@@ -584,7 +591,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TFIDF_TOP_K)
-        .select("doc_id", "rn", "term", "tfidf")
+        .select("doc_id", F.col("rn").cast("bigint").alias("rn"), "term", "tfidf")
     )
 
 
@@ -615,19 +622,20 @@ SELECT doc_id, rn, term, tfidf FROM (
 CC_MAX_ITERS = 20
 
 
-def q_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs -> duplicate CLUSTERS via iterative min-label
-    propagation (connected components) — what a dedup pipeline actually
-    keys on: keep one representative per cluster, not per pair.
+def _connected_components(pairs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) undirected pairs -> (doc_id, cluster_id) via
+    iterative min-label propagation.
 
     Iterative Spark shape: start every member at label = own doc_id; each
     round joins labels across edges and keeps the per-node minimum;
     convergence in O(cluster diameter) rounds (driver-checked, bounded).
     Each round is one shuffle on the edge key — the standard large-graph
-    CC layout (GraphX/GraphFrames do the same dataflow).  The DuckDB twin
-    is a recursive CTE, so even this iterative operator is value-checked.
+    CC layout (GraphX/GraphFrames do the same dataflow).
+
+    Raises ``RuntimeError`` if the iteration cap is hit before
+    convergence — a silent cap-out would return partially propagated
+    (wrong) cluster ids for components with diameter > CC_MAX_ITERS.
     """
-    pairs = q_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).cache()
@@ -637,6 +645,7 @@ def q_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .cache()
     )
+    converged = False
     for _ in range(CC_MAX_ITERS):
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
@@ -667,23 +676,39 @@ def q_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected components did not converge in {CC_MAX_ITERS} rounds"
+            " (component diameter exceeds the iteration cap); raise"
+            " CC_MAX_ITERS or pre-contract the edge set"
+        )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
-ORACLES["duplicate_clusters"] = f"""
-WITH RECURSIVE {_DUCK_SHINGLE_CTE},
-sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-  FROM shingles a JOIN shingles b
-    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-),
+def q_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> duplicate CLUSTERS — what a dedup pipeline
+    actually keys on: keep one representative per cluster, not per pair.
+
+    Edges come from the LSH scale path (``minhash_lsh_pairs``: banded
+    candidate generation + exact verification), NOT the all-pairs
+    inverted-index join — at 100 TB the candidate set is corpus-linear
+    while all-pairs degrades quadratically on hot shingles.  The DuckDB
+    twin recomputes the SAME LSH pipeline as CTEs and clusters it with a
+    recursive CTE, so the iterative operator stays fully value-checked.
+    """
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return _connected_components(pairs)
+
+
+# LSH edge set -> transitive closure -> per-doc min label.  Shared by the
+# duplicate_clusters oracle and the dedup_keep_best oracle.
+_DUCK_CC_CTES = f"""{_DUCK_LSH_CTES},
 pairs AS (
-  SELECT doc_a, doc_b
-  FROM inter JOIN sizes sa ON sa.doc_id = inter.doc_a
-             JOIN sizes sb ON sb.doc_id = inter.doc_b
+  SELECT i.doc_a, i.doc_b
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+               JOIN sizes sb ON sb.doc_id = i.doc_b
   WHERE CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter)
         >= {JACCARD_THRESHOLD}
 ),
@@ -696,9 +721,15 @@ reach (doc_id, peer) AS (
   SELECT doc_a, doc_b FROM edges
   UNION
   SELECT r.doc_id, e.doc_b FROM reach r JOIN edges e ON r.peer = e.doc_a
-)
-SELECT doc_id, LEAST(doc_id, MIN(peer)) AS cluster_id
-FROM reach GROUP BY doc_id
+),
+clusters AS (
+  SELECT doc_id, LEAST(doc_id, MIN(peer)) AS cluster_id
+  FROM reach GROUP BY doc_id
+)"""
+
+ORACLES["duplicate_clusters"] = f"""
+WITH RECURSIVE {_DUCK_CC_CTES}
+SELECT doc_id, cluster_id FROM clusters
 """
 
 
@@ -908,4 +939,163 @@ winnowed AS (
   FROM rolled
 )
 SELECT DISTINCT doc_id, unnest(fps) AS fp FROM winnowed
+"""
+
+
+# --- dedup representative selection (clusters -> keep-best) ------------------
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: for every near-dup cluster, KEEP the
+    best representative (most tokens, doc_id tiebreak) and report cluster
+    size — the decision a dedup pipeline actually writes out.
+
+    Composition: LSH-clustered components (``duplicate_clusters``) joined
+    back to a per-doc quality signal, then one window over cluster_id
+    (clusters are tiny, so the per-partition sort is bounded by cluster
+    size regardless of corpus scale).  rank + member count share the same
+    partition key -> one shuffle.
+    """
+    clusters = q_duplicate_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(_tokens_col()).cast("bigint").alias("n_tokens")
+    )
+    joined = clusters.join(docs, "doc_id")
+    w_rank = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    w_all = Window.partitionBy("cluster_id")
+    return (
+        joined.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n_members", F.count(F.lit(1)).over(w_all))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+            "n_tokens",
+        )
+    )
+
+
+ORACLES["dedup_keep_best"] = f"""
+WITH RECURSIVE {_DUCK_CC_CTES},
+ranked AS (
+  SELECT c.cluster_id, c.doc_id,
+         CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY len({_DUCK_TOKENS}) DESC, c.doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT cluster_id, doc_id AS keep_doc_id,
+       CAST(n_members AS BIGINT) AS n_members, n_tokens
+FROM ranked WHERE rn = 1
+"""
+
+
+# --- sequence packing (concat-and-chunk for LLM pretraining) -----------------
+
+PACK_CTX_TOKENS = 512
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: per language, documents are laid
+    end-to-end in deterministic (doc_id) order and the token stream is cut
+    into {PACK_CTX_TOKENS}-token context windows; each doc reports the
+    pack its first token falls into and its offset there — exactly the
+    bookkeeping an LLM pretraining dataloader needs.
+
+    One window shuffle on lang (running sum, frame excluding the current
+    row), pure integer arithmetic after — no UDF, engine-exact.  At 100 TB
+    the partition key becomes (lang, shard) so no single language
+    serializes; the running sum then needs one tiny per-shard offset
+    broadcast, same pattern as ``functions/ranking.py``.
+    """
+    df = load_table(spark, sf_dir, "documents")
+    base = df.select(
+        "doc_id", "lang", F.size(_tokens_col()).cast("bigint").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    offset = F.pmod(cum, F.lit(PACK_CTX_TOKENS))
+    # integer division via (cum - cum%N)/N: exact in double space far past
+    # any real corpus, and both window references share one Window operator
+    return base.select(
+        "doc_id", "lang", "n_tokens",
+        ((cum - offset) / F.lit(PACK_CTX_TOKENS)).cast("bigint").alias("pack_id"),
+        offset.cast("bigint").alias("offset_in_pack"),
+    )
+
+
+ORACLES["pack_sequences"] = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c
+  FROM toks
+)
+SELECT doc_id, lang, n_tokens,
+       CAST((c - c % {PACK_CTX_TOKENS}) / {PACK_CTX_TOKENS} AS BIGINT) AS pack_id,
+       CAST(c % {PACK_CTX_TOKENS} AS BIGINT) AS offset_in_pack
+FROM cum
+"""
+
+
+# --- PII scrubbing (regex masking, JVM-side) ---------------------------------
+
+# Dialect-portable patterns: character classes + bounded quantifiers only,
+# identical semantics in Java regex (Spark) and RE2 (DuckDB).
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IPV4 = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+_PII_PHONE = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking for training corpora: emails, IPv4 addresses and
+    phone-like digit runs replaced by typed placeholder tokens, with
+    per-document match counts (counted on the ORIGINAL text) for audit.
+
+    Pure JVM regex — no UDF, fully codegen'd, trivially parallel (no
+    shuffle at all: this is a map-only pass, the ideal 100 TB shape).
+    Replacement order is fixed (email -> ip -> phone) on both engines so
+    overlapping matches resolve identically.
+    """
+    df = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _PII_EMAIL, "[EMAIL]"),
+            _PII_IPV4, "[IP]",
+        ),
+        _PII_PHONE, "[PHONE]",
+    )
+    return df.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.regexp_count(t, F.lit(_PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t, F.lit(_PII_IPV4)).cast("bigint").alias("n_ips"),
+        F.regexp_count(t, F.lit(_PII_PHONE)).cast("bigint").alias("n_phones"),
+    )
+
+
+ORACLES["pii_scrub"] = f"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+           '{_PII_IPV4}', '[IP]', 'g'),
+         '{_PII_PHONE}', '[PHONE]', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phones
+FROM documents
 """

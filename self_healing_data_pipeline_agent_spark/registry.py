@@ -21,17 +21,89 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _MODULES = [_relational, _events, _text, _similarity, _multimodal, _streaming_events]
 
+# Explicit dict order.  The driver's CORRECTNESS gate evaluates the FIRST
+# 50 entries of queries(); round 1 proved that with alphabetical module
+# order the entire similarity/multimodal/streaming surface (and half of
+# text) never reached the window.  Front-load: (a) everything the r1 gate
+# did not check, (b) queries whose oracle or implementation changed this
+# round, (c) new operators — then the already-green remainder.
+QUERY_ORDER = [
+    # -- similarity (no r1 record) --
+    "knn_cosine",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_near_dup",
+    "embedding_near_dup_lsh",
+    "embedding_norm_stats",
+    "label_centroids",
+    # -- text, second half (no r1 record) --
+    "minhash_lsh_pairs",
+    "simhash_fingerprints",
+    "simhash_near_dup",
+    "rolling_fingerprints",
+    "lang_guess",
+    "text_quality",
+    "token_stats_by_lang",
+    "top_terms",
+    "tfidf_top_terms",
+    "train_val_split",
+    "mixture_resample",
+    # -- multimodal (no r1 record) --
+    "payload_stats",
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    # -- streaming (no r1 record) --
+    "streaming_hourly_counts",
+    "streaming_dq_profile",
+    "stateful_sessions",
+    # -- r1 hash-reds, oracle CAST-fixed this round --
+    "status_metrics",
+    "referential_orphans",
+    "pivot_status_priority",
+    # -- implementation changed this round --
+    "duplicate_clusters",
+    "quantile_profile",
+    # -- new operators this round --
+    "salted_hot_key_agg",
+    "pack_sequences",
+    "pii_scrub",
+    "dedup_keep_best",
+    # -- representative spread of r1-green queries fills the window --
+    "tpch_q1",
+    "revenue_by_nation",
+    "shipping_priority",
+    "jaccard_pairs",
+    "decontaminate_docs",
+    "doc_fingerprints",
+    "exact_dedup_docs",
+    "sessionization",
+    "funnel_conversion",
+    "attribution_asof",
+    "hourly_windows",
+    "merge_upsert_orders",
+    "stats_profile",
+    "grouped_drift_profile",
+    "drift_compare",
+    "corr_profile",
+]
+
 
 def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
-    queries: dict[str, QueryFn] = {}
+    found: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
     for mod in _MODULES:
         for attr in dir(mod):
             if attr.startswith("q_"):
                 name = attr[2:]
-                queries[name] = getattr(mod, attr)
+                found[name] = getattr(mod, attr)
         for name, sql in getattr(mod, "ORACLES", {}).items():
             oracles[name] = sql
+    queries: dict[str, QueryFn] = {}
+    for name in QUERY_ORDER:
+        if name in found:  # entries land here as their operators merge
+            queries[name] = found.pop(name)
+    queries.update(sorted(found.items()))
     return queries, oracles
 
 

@@ -170,7 +170,6 @@ DEMO_BROKEN_CSV = """customer_id,name,age,country
 DEMO_CONTRACT = """table_name: customers
 source_path: data/raw/customers_v1.csv
 warehouse_path: data/warehouse
-drift_profile_path: data/metadata/reference_profile.json
 columns:
   customer_id:
     type: int
@@ -188,6 +187,7 @@ columns:
 quality:
   row_count_min: 3
 drift:
+  profile_path: data/metadata/reference_profile.json
   mean_relative_tolerance: 0.5
 """
 

@@ -46,6 +46,44 @@ def load_table(spark: SparkSession, sf_dir: str | Path, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def parquet_column_spans(
+    sf_dir: str | Path, name: str, cols: list[str]
+) -> dict[str, tuple[float, float]] | None:
+    """(min, max) per column from parquet FOOTER statistics — a
+    metadata-only read, no data scan.  This is the zone-map trick every
+    warehouse uses: at 100 TB the footers of all files are kilobytes per
+    file and readable in parallel, while an extra ``agg(min, max)`` pass
+    is a second complete scan of the fact table.
+
+    Returns None if any requested column lacks min/max stats (caller
+    falls back to a scan) or has nulls only.
+    """
+    import pyarrow.parquet as pq
+
+    target = Path(sf_dir) / f"{name}.parquet"
+    files = [target] if target.is_file() else sorted(target.glob("**/*.parquet"))
+    spans: dict[str, tuple[float, float]] = {}
+    for fp in files:
+        md = pq.ParquetFile(str(fp)).metadata
+        idx = {
+            md.row_group(0).column(i).path_in_schema: i
+            for i in range(md.row_group(0).num_columns)
+        }
+        for col in cols:
+            if col not in idx:
+                return None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[col]).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                mn, mx = float(st.min), float(st.max)
+                if col in spans:
+                    spans[col] = (min(spans[col][0], mn), max(spans[col][1], mx))
+                else:
+                    spans[col] = (mn, mx)
+    return spans if len(spans) == len(cols) else None
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str | Path, names: tuple[str, ...] = TABLE_NAMES
 ) -> dict[str, DataFrame]:

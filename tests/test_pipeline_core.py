@@ -415,3 +415,30 @@ def test_compaction_merges_small_files(spark, tmp_path):
     assert len(ranges) > 1
     for prev, cur in zip(ranges, ranges[1:]):
         assert prev["hi"] < cur["lo"]
+
+
+def test_dashboard_html_render(spark, tmp_path):
+    """app.py static fallback: renders all five query surfaces into one
+    self-contained HTML file from the incident log."""
+    import app as app_mod
+    from self_healing_data_pipeline_agent_spark.incidents import log_incident
+
+    log_incident(
+        spark, tmp_path, run_id="r1", pipeline_name="p", description="d",
+        stage="baseline", status="success",
+    )
+    log_incident(
+        spark, tmp_path, run_id="r2", pipeline_name="p", description="d",
+        stage="drifted", status="failed", error_type="DataQualityError",
+        error_message="boom", issues={"age": "nulls"},
+        healing_actions={"age": "raise tolerance"},
+    )
+    out = tmp_path / "dash.html"
+    assert app_mod.render_html(tmp_path, out)
+    html_text = out.read_text()
+    for needle in ("Total Runs", "r1", "r2", "DataQualityError", "raise tolerance"):
+        assert needle in html_text
+    # empty workspace -> no file, no crash
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert not app_mod.render_html(empty, empty / "x.html")

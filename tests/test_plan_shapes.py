@@ -131,3 +131,60 @@ def test_funnel_stacks_windows_behind_one_exchange(spark, sf_dir):
 
     df = q_funnel_conversion(spark, sf_dir)
     assert count_exchanges(df) <= 2
+
+
+def test_salted_hot_key_agg_two_level_shape(spark, sf_dir):
+    """Skew-safe agg = exactly two shuffles: (key, salt) partials, then
+    the tiny key-level merge.  More would mean the salting collapsed."""
+    from self_healing_data_pipeline_agent_spark.operators.events import (
+        q_salted_hot_key_agg,
+    )
+
+    df = q_salted_hot_key_agg(spark, sf_dir)
+    assert count_exchanges(df) == 2
+    # and the result is NOT salted: one row per key
+    plan = formatted_plan(df)
+    assert "_salt" in plan  # stage-1 grouping really includes the salt
+
+
+def test_pack_sequences_single_window_shuffle(spark, sf_dir):
+    """pack_id and offset_in_pack must share ONE window (one exchange on
+    lang) — a second exchange would mean the two window references split."""
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        q_pack_sequences,
+    )
+
+    df = q_pack_sequences(spark, sf_dir)
+    assert count_exchanges(df) == 1
+    assert formatted_plan(df).count("Window") <= 2  # one Window op (+header)
+
+
+def test_pii_scrub_is_map_only(spark, sf_dir):
+    """Regex masking is a pure projection: zero exchanges, codegen'd."""
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        q_pii_scrub,
+    )
+
+    df = q_pii_scrub(spark, sf_dir)
+    assert count_exchanges(df) == 0
+
+
+def test_quantile_profile_spans_from_footer_stats(spark, sf_dir):
+    """Bucket spans must come from parquet footer statistics (zero data
+    passes), and must agree with a real scan."""
+    from self_healing_data_pipeline_agent_spark.sources.tables import (
+        load_table,
+        parquet_column_spans,
+    )
+
+    spans = parquet_column_spans(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+    assert spans is not None
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import functions as F
+
+    row = li.agg(
+        F.min("l_quantity"), F.max("l_quantity"),
+        F.min("l_extendedprice"), F.max("l_extendedprice"),
+    ).collect()[0]
+    assert spans["l_quantity"] == (row[0], row[1])
+    assert spans["l_extendedprice"] == (row[2], row[3])
