@@ -52,6 +52,12 @@ HEADLINE = [
     "decontaminate_docs",
     "knn_cosine",
     "exact_dedup_docs",
+    "repetition_ratio",
+    "pack_sequences",
+    "pii_scrub",
+    "salted_hot_key_agg",
+    "customer_order_distribution",
+    "anomaly_zscore",
 ]
 
 

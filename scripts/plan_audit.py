@@ -27,6 +27,7 @@ EXPECTED = {
     "embedding_near_dup": "BNLJ = documented brute-force small-scale twin of LSH",
     "simhash_near_dup": "BNLJ = hamming-band non-equi pair join, broadcast side",
     "tfidf_top_terms": "BNLJ = 1-row corpus-size broadcast crossJoin",
+    "source_mix": "BNLJ = 1-row corpus-total broadcast crossJoin",
     "jaccard_pairs": "shuffles: cached shingle set feeds 3 consumers",
     "minhash_lsh_pairs": "shuffles: signature agg + band join + verification",
     "quantile_profile": "shuffles: two ranked columns, tiny offset windows",

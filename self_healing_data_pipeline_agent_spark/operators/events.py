@@ -452,3 +452,61 @@ SELECT CASE WHEN event_id % 10 < 7 THEN 'hot'
 FROM events
 GROUP BY 1
 """
+
+
+# --- z-score anomaly profile -------------------------------------------------
+
+ZSCORE_CUTOFF = 3.0
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type anomaly profile: count of events whose value is
+    more than 3 sigma from the type mean — streaming-DQ's batch twin.
+
+    ONE shuffle total: a whole-partition window (partitionBy event_type,
+    no ordering — no sort) attaches each type's exact unit-sums to every
+    row, the z-flag is a codegen'd comparison, and the same-key final
+    aggregation reuses the window's hash partitioning (Exchange reuse:
+    the second agg shuffles nothing new).  Mean/std use the quantized
+    stable formulas so the flag boundary is engine-exact.
+    """
+    df = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type")
+    units = to_units(F.col("value"))
+    s1 = F.sum(units).over(w).cast("double") / F.lit(UNIT_SCALE)
+    s2 = (
+        F.sum(units.cast("decimal(38,0)") * units.cast("decimal(38,0)")).over(w)
+        .cast("double") / F.lit(UNIT_SCALE * UNIT_SCALE)
+    )
+    n = F.count(F.lit(1)).over(w)
+    mean = s1 / n
+    std = F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1)))
+    z = (F.col("value") - mean) / std
+    flagged = df.select(
+        "event_type",
+        (F.abs(z) > ZSCORE_CUTOFF).cast("int").alias("is_anomaly"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("is_anomaly").cast("bigint").alias("n_anomalies"),
+    )
+
+
+ORACLES["anomaly_zscore"] = f"""
+WITH stats AS (
+  SELECT event_type, value,
+         CAST(SUM(CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT)) OVER w AS DOUBLE)
+           / 10000.0 AS s1,
+         CAST(SUM(CAST(FLOOR(value * 10000.0 + 0.5) AS HUGEINT)
+                  * CAST(FLOOR(value * 10000.0 + 0.5) AS HUGEINT)) OVER w AS DOUBLE)
+           / 100000000.0 AS s2,
+         COUNT(*) OVER w AS n
+  FROM events WHERE value IS NOT NULL
+  WINDOW w AS (PARTITION BY event_type)
+)
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN ABS((value - s1 / n)
+                 / SQRT((s2 - s1 * s1 / n) / (n - 1))) > {ZSCORE_CUTOFF}
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM stats GROUP BY event_type
+"""

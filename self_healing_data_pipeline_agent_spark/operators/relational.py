@@ -1187,3 +1187,89 @@ SELECT event_type,
             ELSE 0.2 END AS proposed_max_null_fraction
 FROM events GROUP BY event_type
 """
+
+
+# --- TPC-H Q13: customer order-count distribution ---------------------------
+
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: how many customers placed exactly N orders (including
+    N=0) — the classic LEFT join + double aggregation.  First aggregate
+    is per customer (shuffle on custkey, partial counts map-side); the
+    second groups the tiny (distinct-count-of-counts) result.  At scale
+    the first shuffle carries one row per customer, the second a few
+    hundred rows total."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.select("c_custkey")
+        .join(orders.select("o_custkey"), customer.c_custkey == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_custkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("c_count"))
+    )
+
+
+ORACLES["customer_order_distribution"] = """
+SELECT c_count, COUNT(*) AS n_customers
+FROM (
+  SELECT c_custkey, COUNT(o_custkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY n_customers DESC, c_count DESC
+"""
+
+
+# --- fixed-width histogram profile (zone-map spans, zero extra passes) ------
+
+HIST_BINS = 10
+
+
+def q_histogram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group fixed-width histogram of l_extendedprice (10 bins) — the
+    distribution-drift input that mean/std profiling can't see (bimodal
+    shifts, tail growth).
+
+    Bin edges derive from parquet FOOTER statistics (zone maps) — zero
+    data passes, same trick as ``quantile_profile`` — so the whole
+    histogram is ONE aggregation over the scan.  The oracle recomputes
+    min/max by scanning; the values are identical because footer stats
+    are exact for these files."""
+    df = load_table(spark, sf_dir, "lineitem")
+    spans = parquet_column_spans(sf_dir, "lineitem", ["l_extendedprice"])
+    if spans is None:  # statless fallback: one tiny min/max job
+        r = df.agg(
+            F.min("l_extendedprice"), F.max("l_extendedprice")
+        ).collect()[0]
+        mn, mx = float(r[0]), float(r[1])
+    else:
+        mn, mx = spans["l_extendedprice"]
+    width = (mx - mn) / HIST_BINS
+    bin_id = F.least(
+        F.lit(HIST_BINS - 1),
+        F.floor((F.col("l_extendedprice") - F.lit(mn)) / F.lit(width)),
+    ).cast("bigint")
+    return (
+        df.groupBy("l_returnflag", bin_id.alias("bin_id"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+ORACLES["histogram_profile"] = f"""
+WITH span AS (
+  SELECT MIN(l_extendedprice) AS mn,
+         (MAX(l_extendedprice) - MIN(l_extendedprice)) / {HIST_BINS} AS width
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(LEAST({HIST_BINS - 1},
+                  FLOOR((l_extendedprice - mn) / width)) AS BIGINT) AS bin_id,
+       COUNT(*) AS n_rows
+FROM lineitem CROSS JOIN span
+GROUP BY l_returnflag, bin_id
+"""

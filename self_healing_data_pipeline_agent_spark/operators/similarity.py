@@ -501,3 +501,48 @@ JOIN embeddings a ON a.vec_id = cd.vec_a
 JOIN embeddings b ON b.vec_id = cd.vec_b
 WHERE {{cos}} >= 0.9
 """.format(cos=_DUCK_COS)
+
+
+# --- int8 quantization codebook ----------------------------------------------
+
+def q_embedding_quant_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8 quantization parameters (min / max / scale /
+    zero-point) — the codebook an embedding store computes once per
+    corpus snapshot to serve vectors at 4x less memory.
+
+    posexplode streams (dim, value) pairs into ONE grouped min/max —
+    map-side partials mean each task ships at most 64 partial rows.
+    min/max are exact (order-free), scale is one deterministic double
+    division, zero-point one explicit round-half-up — all engine-exact.
+    """
+    df = load_table(spark, sf_dir, "embeddings")
+    exploded = df.select(F.posexplode("embedding").alias("dim", "v"))
+    agg = exploded.groupBy("dim").agg(
+        F.min(F.col("v").cast("double")).alias("mn"),
+        F.max(F.col("v").cast("double")).alias("mx"),
+    )
+    scale = (F.col("mx") - F.col("mn")) / F.lit(255.0)
+    zero_point = F.floor(-F.col("mn") / scale + F.lit(0.5)).cast("bigint")
+    return agg.select(
+        F.col("dim").cast("bigint").alias("dim"),
+        "mn", "mx",
+        scale.alias("scale"),
+        F.when(F.col("mx") > F.col("mn"), zero_point).otherwise(F.lit(0))
+        .alias("zero_point"),
+    )
+
+
+ORACLES["embedding_quant_codebook"] = """
+WITH exploded AS (
+  SELECT g.pos AS dim, CAST(embedding[g.pos + 1] AS DOUBLE) AS v
+  FROM embeddings, generate_series(0, 63) AS g(pos)
+), agg AS (
+  SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM exploded GROUP BY dim
+)
+SELECT CAST(dim AS BIGINT) AS dim, mn, mx,
+       (mx - mn) / 255.0 AS scale,
+       CASE WHEN mx > mn
+            THEN CAST(FLOOR(-mn / ((mx - mn) / 255.0) + 0.5) AS BIGINT)
+            ELSE 0 END AS zero_point
+FROM agg
+"""

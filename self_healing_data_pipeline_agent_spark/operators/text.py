@@ -376,9 +376,14 @@ def _minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for band in range(BANDS)
     ])
+    # cached like the shingle set: the signature build (md5 + 16 min-aggs)
+    # is the hot loop, and both the pair query and the clustering query
+    # consume the identical plan — CacheManager shares one materialization.
+    # At scale this is the per-snapshot signature table you'd persist.
     return (
         sigs.select("doc_id", F.explode(bands).alias("b"))
         .select("doc_id", "b.band", "b.band_sig")
+        .cache()
     )
 
 
@@ -1098,4 +1103,193 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS BIGINT) AS n_ips,
        CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phones
 FROM documents
+"""
+
+
+# --- repetition ratio (duplicate n-gram fraction) ----------------------------
+
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicate 3-gram fraction — the boilerplate/loop
+    detector every pretraining quality stack carries (high ratio = pages
+    of repeated chrome or degenerate generation).
+
+    One posexplode -> one groupBy(doc_id) computing total AND distinct
+    shingle counts together (count-distinct planned as a two-level
+    partial aggregate; still a single shuffle on doc_id).  Docs shorter
+    than 3 tokens have no shingles and are excluded on both engines.
+    """
+    df = load_table(spark, sf_dir, "documents")
+    toks = (
+        df.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+        )
+        .filter(F.col("tok") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = (
+        toks.select(
+            "doc_id",
+            F.concat_ws(
+                " ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+            ).alias("shingle"),
+            F.lead("tok", 2).over(w).alias("_t2"),
+        )
+        .filter(F.col("_t2").isNotNull())
+    )
+    return sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.countDistinct("shingle").alias("n_distinct"),
+        (
+            F.lit(1.0)
+            - F.countDistinct("shingle").cast("double") / F.count(F.lit(1))
+        ).alias("repetition_ratio"),
+    )
+
+
+ORACLES["repetition_ratio"] = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM documents
+)
+SELECT doc_id,
+       COUNT(*) AS n_shingles,
+       COUNT(DISTINCT shingle) AS n_distinct,
+       1.0 - CAST(COUNT(DISTINCT shingle) AS DOUBLE) / COUNT(*) AS repetition_ratio
+FROM sh GROUP BY doc_id
+"""
+
+
+# --- Gopher-style quality gates ----------------------------------------------
+
+QG_MIN_TOKENS = 10
+QG_MAX_TOKENS = 100000
+QG_MIN_ALPHA = 0.55
+
+
+def q_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document filter pass: boolean gates over the quality signals
+    (length window, alpha ratio, stopword presence) plus the final keep
+    decision — the Gopher/C4-style rule stack as ONE map-side projection
+    over the corpus scan (gates compose in codegen; no shuffle, no UDF).
+    """
+    df = load_table(spark, sf_dir, "documents")
+    toks = _tokens_col()
+    n_tokens = F.size(toks)
+    n_alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    alpha_ratio = n_alpha.cast("double") / F.length("text")
+    has_stop = F.size(
+        F.filter(toks, lambda x: (x == "the") | (x == "a") | (x == "of"))
+    ) > 0
+    len_ok = (n_tokens >= QG_MIN_TOKENS) & (n_tokens <= QG_MAX_TOKENS)
+    alpha_ok = alpha_ratio >= QG_MIN_ALPHA
+    return df.select(
+        "doc_id",
+        len_ok.alias("len_ok"),
+        alpha_ok.alias("alpha_ok"),
+        has_stop.alias("has_stopword"),
+        (len_ok & alpha_ok & has_stop).alias("keep"),
+    )
+
+
+ORACLES["quality_gates"] = f"""
+WITH sig AS (
+  SELECT doc_id,
+         len({_DUCK_TOKENS}) AS n_tokens,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           / length(text) AS alpha_ratio,
+         len(list_filter(string_split(text, ' '),
+             x -> x = 'the' OR x = 'a' OR x = 'of')) > 0 AS has_stopword
+  FROM documents
+)
+SELECT doc_id,
+       n_tokens >= {QG_MIN_TOKENS} AND n_tokens <= {QG_MAX_TOKENS} AS len_ok,
+       alpha_ratio >= {QG_MIN_ALPHA} AS alpha_ok,
+       has_stopword,
+       (n_tokens >= {QG_MIN_TOKENS} AND n_tokens <= {QG_MAX_TOKENS})
+         AND alpha_ratio >= {QG_MIN_ALPHA} AND has_stopword AS keep
+FROM sig
+"""
+
+
+# --- source mixture report ---------------------------------------------------
+
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining mixture report: per (source, lang) doc and token
+    counts plus each cell's share of total corpus tokens — the table a
+    data-mixing decision reads.
+
+    One groupBy for the cells; the corpus total is a 1-row broadcast
+    crossJoin (never a single-partition window).  Shares are one double
+    division over exact integer sums -> engine-identical.
+    """
+    df = load_table(spark, sf_dir, "documents")
+    base = df.select(
+        "source", "lang", F.size(_tokens_col()).cast("bigint").alias("n_tokens")
+    )
+    cells = base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    total = base.agg(F.sum("n_tokens").alias("corpus_tokens"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "source", "lang", "n_docs", "total_tokens",
+        (F.col("total_tokens").cast("double") / F.col("corpus_tokens"))
+        .alias("token_share"),
+    )
+
+
+ORACLES["source_mix"] = f"""
+WITH base AS (
+  SELECT source, lang, CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens
+  FROM documents
+), cells AS (
+  SELECT source, lang, COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+  FROM base GROUP BY source, lang
+), total AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS corpus_tokens FROM base)
+SELECT source, lang, n_docs, total_tokens,
+       CAST(total_tokens AS DOUBLE) / corpus_tokens AS token_share
+FROM cells CROSS JOIN total
+"""
+
+
+# --- n-gram (bigram) frequencies ---------------------------------------------
+
+def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 bigrams — the n-gram LM / boilerplate-phrase view.
+    Same posexplode + window-lead shingling as the dedup path (codegen'd;
+    no interpreted higher-order lambda), partial aggregation bounds the
+    shuffle by vocabulary-squared-observed, not corpus size."""
+    df = load_table(spark, sf_dir, "documents")
+    toks = (
+        df.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+        )
+        .filter(F.col("tok") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        toks.select(
+            F.concat_ws(" ", "tok", F.lead("tok", 1).over(w)).alias("bigram"),
+            F.lead("tok", 1).over(w).alias("_t1"),
+        )
+        .filter(F.col("_t1").isNotNull())
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+ORACLES["ngram_counts"] = f"""
+WITH grams AS (
+  SELECT unnest(list_transform(range(1, len({_DUCK_TOKENS})),
+                i -> {_DUCK_TOKENS}[i] || ' ' || {_DUCK_TOKENS}[i+1])) AS bigram
+  FROM documents
+)
+SELECT bigram, COUNT(*) AS n_occurrences
+FROM grams GROUP BY bigram
+ORDER BY n_occurrences DESC, bigram ASC
+LIMIT 20
 """

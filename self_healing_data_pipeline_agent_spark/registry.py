@@ -69,23 +69,24 @@ QUERY_ORDER = [
     "pack_sequences",
     "pii_scrub",
     "dedup_keep_best",
-    # -- representative spread of r1-green queries fills the window --
+    "repetition_ratio",
+    "quality_gates",
+    "source_mix",
+    "ngram_counts",
+    "customer_order_distribution",
+    "histogram_profile",
+    "anomaly_zscore",
+    "embedding_quant_codebook",
+    # -- representative spread of r1-green queries fills the window
+    #    (every query displaced from the window holds a green r1 record) --
     "tpch_q1",
     "revenue_by_nation",
-    "shipping_priority",
     "jaccard_pairs",
     "decontaminate_docs",
-    "doc_fingerprints",
-    "exact_dedup_docs",
     "sessionization",
-    "funnel_conversion",
     "attribution_asof",
-    "hourly_windows",
-    "merge_upsert_orders",
     "stats_profile",
-    "grouped_drift_profile",
     "drift_compare",
-    "corr_profile",
 ]
 
 

@@ -188,3 +188,30 @@ def test_quantile_profile_spans_from_footer_stats(spark, sf_dir):
     ).collect()[0]
     assert spans["l_quantity"] == (row[0], row[1])
     assert spans["l_extendedprice"] == (row[2], row[3])
+
+
+def test_anomaly_zscore_reuses_window_partitioning(spark, sf_dir):
+    """Whole-partition window + same-key final agg must plan exactly ONE
+    exchange — the aggregation reuses the window's hash partitioning."""
+    from self_healing_data_pipeline_agent_spark.operators.events import (
+        q_anomaly_zscore,
+    )
+
+    assert count_exchanges(q_anomaly_zscore(spark, sf_dir)) == 1
+
+
+def test_histogram_profile_single_pass(spark, sf_dir):
+    """Footer-stat bin edges -> the whole histogram is one aggregation."""
+    from self_healing_data_pipeline_agent_spark.operators.relational import (
+        q_histogram_profile,
+    )
+
+    assert count_exchanges(q_histogram_profile(spark, sf_dir)) == 1
+
+
+def test_quality_gates_map_only(spark, sf_dir):
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        q_quality_gates,
+    )
+
+    assert count_exchanges(q_quality_gates(spark, sf_dir)) == 0
