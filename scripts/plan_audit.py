@@ -28,6 +28,7 @@ EXPECTED = {
     "simhash_near_dup": "BNLJ = hamming-band non-equi pair join, broadcast side",
     "tfidf_top_terms": "BNLJ = 1-row corpus-size broadcast crossJoin",
     "source_mix": "BNLJ = 1-row corpus-total broadcast crossJoin",
+    "idle_rich_customers": "BNLJ = 1-row global-average broadcast crossJoin",
     "jaccard_pairs": "shuffles: cached shingle set feeds 3 consumers",
     "minhash_lsh_pairs": "shuffles: signature agg + band join + verification",
     "quantile_profile": "shuffles: two ranked columns, tiny offset windows",

@@ -510,3 +510,43 @@ SELECT event_type, COUNT(*) AS n_events,
             THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
 FROM stats GROUP BY event_type
 """
+
+
+# --- cohort retention --------------------------------------------------------
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by their FIRST activity week
+    (cohort), counted distinct per subsequent activity week — the
+    warehouse query behind every retention curve.
+
+    Two aggregations, both keyed on user_id first: the cohort assignment
+    is a per-user min (one shuffle), the retention matrix a distinct
+    count over (cohort_week, activity_week) pairs whose input is already
+    one row per (user, week).  Weeks via date_trunc in UTC — identical
+    bucketing in both engines."""
+    df = load_table(spark, sf_dir, "events")
+    user_weeks = df.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    cohorts = user_weeks.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    return (
+        user_weeks.join(cohorts, "user_id")
+        .groupBy("cohort_week", F.col("week").alias("activity_week"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+ORACLES["cohort_retention"] = """
+WITH user_weeks AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+  FROM events
+), cohorts AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM user_weeks GROUP BY user_id
+)
+SELECT c.cohort_week, u.week AS activity_week,
+       COUNT(DISTINCT u.user_id) AS n_users
+FROM user_weeks u JOIN cohorts c ON u.user_id = c.user_id
+GROUP BY c.cohort_week, u.week
+"""

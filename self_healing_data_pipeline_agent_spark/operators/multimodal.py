@@ -208,3 +208,30 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "payload"
     )
     return df.mapInPandas(_frame_kernel, schema=FRAME_SCHEMA)
+
+
+# --- content-hash payload dedup ----------------------------------------------
+
+def q_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload dedup summary: sha256 content groups with more than
+    one row — how a blob store dedups images/audio at any scale (hash is
+    computed in the scan pass; the shuffle carries 32-byte digests, never
+    payloads).  Grouping on the digest makes the operator partitionable
+    regardless of blob size."""
+    df = with_payload(load_table(spark, sf_dir, "documents"))
+    return (
+        df.select(F.sha2(F.col("payload"), 256).alias("sha"))
+        .groupBy("sha")
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .orderBy(F.desc("n_copies"), F.asc("sha"))
+    )
+
+
+ORACLES["payload_dedup"] = """
+SELECT sha256(text) AS sha, COUNT(*) AS n_copies
+FROM documents
+GROUP BY sha
+HAVING COUNT(*) > 1
+ORDER BY n_copies DESC, sha ASC
+"""

@@ -1273,3 +1273,95 @@ SELECT l_returnflag,
 FROM lineitem CROSS JOIN span
 GROUP BY l_returnflag, bin_id
 """
+
+
+# --- TPC-H Q15: top supplier by revenue --------------------------------------
+
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: revenue per supplier, keep the maximum-revenue
+    supplier(s).  The classic agg -> global-max -> filter pattern WITHOUT
+    a second scan: an empty-frame window max over the aggregate's own
+    (tiny) output.  At 100 TB the fact scan happens once; the window runs
+    over |suppliers| rows, and because revenue uses exact quantized units
+    the max-equality filter is engine-stable (no float-tie ambiguity)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .alias("total_revenue")
+        )
+    )
+    w = Window.partitionBy()  # whole-result window over the small aggregate
+    top = (
+        revenue.withColumn("max_rev", F.max("total_revenue").over(w))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .drop("max_rev")
+    )
+    return top.join(
+        F.broadcast(supplier.select("s_suppkey", "s_name")),
+        top.l_suppkey == F.col("s_suppkey"),
+    ).select("s_suppkey", "s_name", "total_revenue")
+
+
+ORACLES["top_supplier_revenue"] = f"""
+WITH revenue AS (
+  SELECT l_suppkey,
+         {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+# --- TPC-H Q22: above-average-balance customers with no orders ---------------
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: per market segment, count customers whose balance
+    exceeds the global positive-balance average AND who never ordered.
+    Composition: 1-row broadcast scalar (the average) + broadcast-able
+    ANTI join against order keys + one small aggregate.  The anti join's
+    build side is orders' single pruned column; with AQE it broadcasts,
+    so the customer scan is one map-side pass."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        davg(F.col("c_acctbal")).alias("avg_bal")
+    )
+    rich = (
+        customer.select("c_custkey", "c_mktsegment", "c_acctbal")
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+    )
+    idle_rich = rich.join(
+        orders.select("o_custkey"),
+        rich.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    )
+    return idle_rich.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum(F.col("c_acctbal")).alias("total_balance"),
+    )
+
+
+ORACLES["idle_rich_customers"] = f"""
+WITH avg_bal AS (
+  SELECT {sql_davg('c_acctbal')} AS avg_bal FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       {sql_dsum('c_acctbal')} AS total_balance
+FROM customer CROSS JOIN avg_bal
+WHERE c_acctbal > avg_bal
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY c_mktsegment
+"""

@@ -77,14 +77,14 @@ QUERY_ORDER = [
     "histogram_profile",
     "anomaly_zscore",
     "embedding_quant_codebook",
+    "top_supplier_revenue",
+    "idle_rich_customers",
+    "cohort_retention",
+    "payload_dedup",
     # -- representative spread of r1-green queries fills the window
     #    (every query displaced from the window holds a green r1 record) --
     "tpch_q1",
     "revenue_by_nation",
-    "jaccard_pairs",
-    "decontaminate_docs",
-    "sessionization",
-    "attribution_asof",
     "stats_profile",
     "drift_compare",
 ]
