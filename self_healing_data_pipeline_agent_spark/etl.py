@@ -24,14 +24,14 @@ parquet table write.  Everything between is a narrow plan (no shuffle).
 
 from __future__ import annotations
 
-import logging
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
 from .contract import Contract
+from .logger import get_logger
 
-log = logging.getLogger(__name__)
+log = get_logger(__name__)
 
 
 def read_source(spark: SparkSession, contract: Contract, base_dir: str | Path) -> DataFrame:

@@ -550,3 +550,47 @@ SELECT c.cohort_week, u.week AS activity_week,
 FROM user_weeks u JOIN cohorts c ON u.user_id = c.user_id
 GROUP BY c.cohort_week, u.week
 """
+
+
+# --- out-of-order arrival profile --------------------------------------------
+
+def q_late_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type out-of-order fraction: how many events carry a timestamp
+    EARLIER than an event already seen for the same user (arrival order =
+    event_id) — the measurement that sizes a streaming watermark.
+
+    One window shuffle on (event_type): running max of ts over arrival
+    order per (type, user) flags stragglers, then the same-key
+    aggregation reuses the window's partitioning.  Integer epoch-micros
+    comparisons only."""
+    df = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type", "user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ts_us = F.unix_micros(F.col("ts"))
+    max_seen = F.max(ts_us).over(w)
+    late = (max_seen.isNotNull() & (ts_us < max_seen)).cast("int")
+    flagged = df.select("event_type", late.alias("is_late"))
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("is_late").cast("bigint").alias("n_late"),
+        (F.sum("is_late").cast("double") / F.count(F.lit(1))).alias("late_fraction"),
+    )
+
+
+ORACLES["late_data_profile"] = """
+WITH flagged AS (
+  SELECT event_type,
+         CASE WHEN MAX(epoch_us(ts)) OVER (
+                PARTITION BY event_type, user_id ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ) > epoch_us(ts) THEN 1 ELSE 0 END AS is_late
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(is_late) AS BIGINT) AS n_late,
+       CAST(SUM(is_late) AS DOUBLE) / COUNT(*) AS late_fraction
+FROM flagged GROUP BY event_type
+"""

@@ -1365,3 +1365,44 @@ WHERE c_acctbal > avg_bal
   AND c_custkey NOT IN (SELECT o_custkey FROM orders)
 GROUP BY c_mktsegment
 """
+
+
+# --- fulfillment-lag profile -------------------------------------------------
+
+FULFILLMENT_SLA_DAYS = 90
+
+
+def q_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority fulfillment SLA profile: order-date -> ship-date lag
+    in exact integer days, with the fraction of lines blowing a 90-day
+    SLA.  FK join with the orders side pruned to two columns
+    (broadcastable under AQE at this shape; co-shuffled at 100 TB);
+    day-difference comparisons are pure integer math."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = li.select("l_orderkey", "l_shipdate").join(
+        orders.select("o_orderkey", "o_orderpriority", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    lag_days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return joined.select("o_orderpriority", lag_days.alias("lag_days")).groupBy(
+        "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum((F.col("lag_days") > FULFILLMENT_SLA_DAYS).cast("int"))
+        .cast("bigint").alias("n_slow"),
+        F.sum("lag_days").cast("bigint").alias("total_lag_days"),
+        (F.sum("lag_days").cast("double") / F.count(F.lit(1))).alias("avg_lag_days"),
+    )
+
+
+ORACLES["fulfillment_lag"] = f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate)
+                     > {FULFILLMENT_SLA_DAYS} THEN 1 ELSE 0 END) AS BIGINT) AS n_slow,
+       CAST(SUM(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT) AS total_lag_days,
+       CAST(SUM(date_diff('day', o_orderdate, l_shipdate)) AS DOUBLE) / COUNT(*) AS avg_lag_days
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""

@@ -1293,3 +1293,70 @@ FROM grams GROUP BY bigram
 ORDER BY n_occurrences DESC, bigram ASC
 LIMIT 20
 """
+
+
+# --- exact stratified sampling -----------------------------------------------
+
+STRATUM_SAMPLE_N = 50
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-N-per-stratum deterministic sampling (eval-set
+    construction): within each language, docs are ordered by a salted md5
+    of their id — an order that is uniform, stable across engines and
+    runs, and independent of storage layout — and the first N are kept.
+
+    One window shuffle on the stratum key; the per-partition sort is
+    bounded by stratum size.  (Contrast ``mixture_resample``: that gates
+    on a hash RATE and returns a binomial-sized sample; this returns an
+    exact count per stratum, which eval harnesses usually require.)
+    """
+    df = load_table(spark, sf_dir, "documents")
+    order_key = F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(order_key.asc(), F.col("doc_id").asc())
+    return (
+        df.select("doc_id", "lang", order_key.alias("sort_key"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= STRATUM_SAMPLE_N)
+        .select("doc_id", "lang", F.col("rn").cast("bigint").alias("rn"))
+    )
+
+
+ORACLES["stratified_sample"] = f"""
+SELECT doc_id, lang, rn FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         ) AS rn
+  FROM documents
+) WHERE rn <= {STRATUM_SAMPLE_N}
+"""
+
+
+# --- vocabulary growth (Heaps'-law profile) ----------------------------------
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary profile: total tokens vs distinct terms
+    and the type-token ratio — the Heaps'-law health check that catches
+    degenerate corpora (template spam shows near-constant vocabulary as
+    tokens grow).  One explode -> one groupBy; the distinct count plans
+    as a two-level partial aggregate bounded by vocabulary size."""
+    df = load_table(spark, sf_dir, "documents")
+    terms = df.select("lang", F.explode(_tokens_col()).alias("term"))
+    return terms.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.countDistinct("term").alias("distinct_terms"),
+        (F.countDistinct("term").cast("double") / F.count(F.lit(1)))
+        .alias("type_token_ratio"),
+    )
+
+
+ORACLES["vocab_growth"] = f"""
+SELECT lang,
+       COUNT(*) AS total_tokens,
+       COUNT(DISTINCT term) AS distinct_terms,
+       CAST(COUNT(DISTINCT term) AS DOUBLE) / COUNT(*) AS type_token_ratio
+FROM (SELECT lang, unnest({_DUCK_TOKENS}) AS term FROM documents)
+GROUP BY lang
+"""

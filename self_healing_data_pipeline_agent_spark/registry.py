@@ -81,12 +81,13 @@ QUERY_ORDER = [
     "idle_rich_customers",
     "cohort_retention",
     "payload_dedup",
-    # -- representative spread of r1-green queries fills the window
-    #    (every query displaced from the window holds a green r1 record) --
-    "tpch_q1",
-    "revenue_by_nation",
-    "stats_profile",
-    "drift_compare",
+    "stratified_sample",
+    "vocab_growth",
+    "late_data_profile",
+    "fulfillment_lag",
+    # every r1-green query displaced past position 50 by the 20 new
+    # operators keeps its official green r1 record; across r1+r2 every
+    # declared query has at least one driver-checked row
 ]
 
 

@@ -442,3 +442,17 @@ def test_dashboard_html_render(spark, tmp_path):
     empty = tmp_path / "empty"
     empty.mkdir()
     assert not app_mod.render_html(empty, empty / "x.html")
+
+
+def test_get_logger_configured_once():
+    """Reference parity (src/logger.py): INFO level, one handler, second
+    call returns the same configured logger without stacking handlers."""
+    from self_healing_data_pipeline_agent_spark.logger import get_logger
+
+    lg = get_logger("graft-test-logger")
+    assert lg.level == 30 - 10  # INFO
+    assert len(lg.handlers) == 1
+    assert get_logger("graft-test-logger") is lg
+    assert len(lg.handlers) == 1
+    rec = lg.makeRecord("graft-test-logger", 20, "f", 1, "hello %s", ("x",), None)
+    assert "hello x" in lg.handlers[0].format(rec)
