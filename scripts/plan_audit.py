@@ -31,6 +31,7 @@ EXPECTED = {
     "idle_rich_customers": "BNLJ = 1-row global-average broadcast crossJoin",
     "jaccard_pairs": "shuffles: cached shingle set feeds 3 consumers",
     "minhash_lsh_pairs": "shuffles: signature agg + band join + verification",
+    "incremental_dedup": "shuffles: signature agg + batch-vs-corpus band join + verification",
     "quantile_profile": "shuffles: two ranked columns, tiny offset windows",
 }
 

@@ -594,3 +594,60 @@ SELECT event_type, COUNT(*) AS n_events,
        CAST(SUM(is_late) AS DOUBLE) / COUNT(*) AS late_fraction
 FROM flagged GROUP BY event_type
 """
+
+
+# --- binned range join (temporal neighborhood) -------------------------------
+
+NEIGHBOR_WINDOW_SEC = 300  # +-5 minutes
+
+
+def q_error_context_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-neighborhood range join: for every error event, count the
+    click/view events by the same user within +-5 minutes — the "what was
+    the user doing when it broke" query.  A big-to-big NON-EQUI join that
+    naive engines plan as a nested-loop scan.
+
+    Scale plan — the canonical BINNED range join: bucket time into
+    window-sized bins; the error side expands to its 3 candidate bins
+    (b-1, b, b+1), the context side keeps its single home bin, and the
+    join becomes an EQUI join on (user_id, bin) followed by the exact
+    |dt| <= window filter.  Every qualifying pair meets in exactly one
+    bin (the context event's home bin), so no dedup is needed.  Shuffle
+    cost is 3x one side's keys — linear, not quadratic; bin width = the
+    range predicate's span keeps candidate fan-in minimal.  Integer
+    epoch-micros only."""
+    df = load_table(spark, sf_dir, "events")
+    win_us = NEIGHBOR_WINDOW_SEC * 1_000_000
+    ts_us = F.unix_micros(F.col("ts"))
+    errors = df.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", ts_us.alias("err_us"),
+        F.floor(ts_us / win_us).alias("bin"),
+    )
+    errors3 = errors.select(
+        "event_id", "user_id", "err_us",
+        F.explode(
+            F.array(F.col("bin") - 1, F.col("bin"), F.col("bin") + 1)
+        ).alias("bin"),
+    )
+    context = df.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", ts_us.alias("ctx_us"),
+        F.floor(ts_us / win_us).alias("bin"),
+    )
+    pairs = errors3.join(context, ["user_id", "bin"]).filter(
+        F.abs(F.col("ctx_us") - F.col("err_us")) <= win_us
+    )
+    return (
+        pairs.groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_context"))
+    )
+
+
+ORACLES["error_context_join"] = f"""
+SELECT e.event_id, COUNT(*) AS n_context
+FROM events e JOIN events c
+  ON c.user_id = e.user_id
+ AND c.event_type IN ('click', 'view')
+ AND ABS(epoch_us(c.ts) - epoch_us(e.ts)) <= {NEIGHBOR_WINDOW_SEC * 1_000_000}
+WHERE e.event_type = 'error'
+GROUP BY e.event_id
+"""

@@ -1406,3 +1406,218 @@ SELECT o_orderpriority,
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """
+
+
+# --- TPC-H Q7: volume shipping between two nations ---------------------------
+
+Q7_NATION_A = "NATION_1"
+Q7_NATION_B = "NATION_2"
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: bilateral trade volume by (supplier nation, customer
+    nation, ship year) for one nation pair in both directions.
+
+    Scale plan: the nation filter is applied to the DIMS before any fact
+    join — supplier and customer each shrink to ~1/25 of their rows and
+    broadcast; the fact table is then filtered by the broadcast hash
+    joins themselves (no shuffle of lineitem on a dimension key).  The
+    only shuffle is the final 2x2xN-year aggregation, which is partial
+    (map-side) first."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    pair = nation.filter(F.col("n_name").isin(Q7_NATION_A, Q7_NATION_B))
+    supp_n = supplier.join(
+        F.broadcast(pair.select(F.col("n_nationkey").alias("s_nationkey"),
+                                F.col("n_name").alias("supp_nation"))),
+        "s_nationkey",
+    ).select("s_suppkey", "supp_nation")
+    cust_n = customer.join(
+        F.broadcast(pair.select(F.col("n_nationkey").alias("c_nationkey"),
+                                F.col("n_name").alias("cust_nation"))),
+        "c_nationkey",
+    ).select("c_custkey", "cust_nation")
+
+    shipped = li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    joined = (
+        shipped.join(F.broadcast(supp_n), shipped.l_suppkey == supp_n.s_suppkey)
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_n), F.col("o_custkey") == cust_n.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation",
+        F.year("l_shipdate").cast("bigint").alias("l_year"),
+    ).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+ORACLES["tpch_q7"] = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE n1.n_name IN ('{Q7_NATION_A}', '{Q7_NATION_B}')
+  AND n2.n_name IN ('{Q7_NATION_A}', '{Q7_NATION_B}')
+  AND n1.n_name <> n2.n_name
+  AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+# --- TPC-H Q10: returned-item reporting --------------------------------------
+
+Q10_TOP_N = 20
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: top customers by lost revenue from returned items in one
+    quarter.  The order filter prunes the fact scan (pushdown-able on a
+    date-partitioned layout); customer and nation broadcast onto the
+    post-aggregation result — joining dims AFTER the groupBy keeps the
+    shuffle payload to (custkey, units) instead of full customer rows.
+    Exact-unit revenue makes the top-N cut engine-stable; c_custkey is the
+    deterministic tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    quarter = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1995-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    returned = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    rev = (
+        returned.join(quarter, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("revenue"))
+    )
+    out = (
+        rev.join(F.broadcast(customer.select("c_custkey", "c_name", "c_acctbal",
+                                             "c_nationkey")),
+                 rev.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+    return out.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(
+        Q10_TOP_N
+    )
+
+
+ORACLES["tpch_q10"] = f"""
+SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+FROM (
+  SELECT o_custkey, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+  GROUP BY o_custkey
+) JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT {Q10_TOP_N}
+"""
+
+
+# --- PSI distribution drift (histogram-based) --------------------------------
+
+PSI_BINS = 10
+PSI_EPS = 1e-6
+PSI_CUTOFF = "1999-01-01"
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per histogram bin of l_extendedprice:
+    baseline = shipments before 1999, current = 1999+.  PSI catches the
+    distribution drift (bimodal shift, tail growth) that ``drift_compare``'s
+    mean test cannot see; per-bin terms localize WHERE the distribution
+    moved.  psi_term = (p_cur - p_base) * ln(p_cur / p_base), eps-smoothed.
+
+    Scale plan: bin edges come from parquet footer zone maps (no extra
+    pass), both sides histogram in ONE aggregation over one scan
+    (conditional counts), and the PSI arithmetic runs in a whole-result
+    window over <= PSI_BINS rows.  Terms are rounded half-up at 6dp on
+    both engines to absorb libm ln() ulp differences."""
+    df = load_table(spark, sf_dir, "lineitem")
+    spans = parquet_column_spans(sf_dir, "lineitem", ["l_extendedprice"])
+    if spans is None:
+        r = df.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).collect()[0]
+        mn, mx = float(r[0]), float(r[1])
+    else:
+        mn, mx = spans["l_extendedprice"]
+    width = (mx - mn) / PSI_BINS
+    bin_id = F.least(
+        F.lit(PSI_BINS - 1),
+        F.floor((F.col("l_extendedprice") - F.lit(mn)) / F.lit(width)),
+    ).cast("bigint")
+    cutoff = F.lit(PSI_CUTOFF).cast("timestamp")
+    is_cur = (F.col("l_shipdate") >= cutoff).cast("int")
+    hist = df.select(bin_id.alias("bin_id"), is_cur.alias("is_cur")).groupBy(
+        "bin_id"
+    ).agg(
+        F.sum(1 - F.col("is_cur")).cast("bigint").alias("n_base"),
+        F.sum("is_cur").cast("bigint").alias("n_cur"),
+    )
+    w = Window.partitionBy()  # whole-result window over <= PSI_BINS rows
+    p_base = F.greatest(
+        F.lit(PSI_EPS),
+        F.col("n_base").cast("double") / F.sum("n_base").over(w),
+    )
+    p_cur = F.greatest(
+        F.lit(PSI_EPS),
+        F.col("n_cur").cast("double") / F.sum("n_cur").over(w),
+    )
+    term = (p_cur - p_base) * F.log(p_cur / p_base)
+    round6 = F.floor(term * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return hist.select(
+        "bin_id", "n_base", "n_cur", round6.alias("psi_term")
+    )
+
+
+ORACLES["psi_drift"] = f"""
+WITH span AS (
+  SELECT MIN(l_extendedprice) AS mn,
+         (MAX(l_extendedprice) - MIN(l_extendedprice)) / {PSI_BINS} AS width
+  FROM lineitem
+),
+hist AS (
+  SELECT CAST(LEAST({PSI_BINS - 1},
+                    FLOOR((l_extendedprice - mn) / width)) AS BIGINT) AS bin_id,
+         CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '{PSI_CUTOFF} 00:00:00'
+                       THEN 0 ELSE 1 END) AS BIGINT) AS n_base,
+         CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '{PSI_CUTOFF} 00:00:00'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+  FROM lineitem CROSS JOIN span
+  GROUP BY bin_id
+)
+SELECT bin_id, n_base, n_cur,
+       FLOOR((GREATEST({PSI_EPS}, CAST(n_cur AS DOUBLE) / SUM(n_cur) OVER ())
+              - GREATEST({PSI_EPS}, CAST(n_base AS DOUBLE) / SUM(n_base) OVER ()))
+             * LN(GREATEST({PSI_EPS}, CAST(n_cur AS DOUBLE) / SUM(n_cur) OVER ())
+                  / GREATEST({PSI_EPS}, CAST(n_base AS DOUBLE) / SUM(n_base) OVER ()))
+             * 1e6 + 0.5) / 1e6 AS psi_term
+FROM hist
+"""

@@ -1360,3 +1360,133 @@ SELECT lang,
 FROM (SELECT lang, unnest({_DUCK_TOKENS}) AS term FROM documents)
 GROUP BY lang
 """
+
+
+# --- incremental corpus dedup (new batch vs existing index) ------------------
+
+INCR_BATCH_MOD = 10  # doc_id % 10 == 0 -> "new batch"; rest -> corpus
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production dedup shape: match a NEW batch of documents against the
+    EXISTING corpus index — you never re-dedup 100 TB; you dedup this
+    hour's arrivals against the persisted signature table.  Batch =
+    ``doc_id % 10 == 0`` (a stand-in for the arrival partition), corpus =
+    the rest.
+
+    Scale plan: the corpus side of the band join is the persisted LSH
+    signature index (here rebuilt, shared via cache with the other
+    minhash queries); candidate generation joins batch bands against
+    corpus bands only — no batch x batch or corpus x corpus pairs ever
+    form.  Exact Jaccard verification runs on candidates alone, so the
+    per-batch cost is bounded by the batch's collision fan-out, not
+    corpus size."""
+    banded = _minhash_banded(spark, sf_dir)
+    is_batch = F.col("doc_id") % INCR_BATCH_MOD == 0
+    new_b = banded.filter(is_batch).select(
+        F.col("doc_id").alias("new_doc"), "band", "band_sig"
+    )
+    corpus_b = banded.filter(~is_batch).select(
+        F.col("doc_id").alias("corpus_doc"), "band", "band_sig"
+    )
+    candidates = (
+        new_b.join(corpus_b, ["band", "band_sig"])
+        .select("new_doc", "corpus_doc")
+        .distinct()
+    )
+    sh = _shingle_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sa_sh = sh.select(F.col("doc_id").alias("new_doc"), "shingle")
+    sb_sh = sh.select(F.col("doc_id").alias("corpus_doc"), "shingle")
+    inter = (
+        candidates.join(sa_sh, "new_doc")
+        .join(sb_sh, ["corpus_doc", "shingle"])
+        .groupBy("new_doc", "corpus_doc")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("new_doc"),
+                      F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("corpus_doc"),
+                      F.col("n_shingles").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return (
+        inter.join(sa, "new_doc").join(sb, "corpus_doc")
+        .select("new_doc", "corpus_doc", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+ORACLES["incremental_dedup"] = f"""
+WITH {_DUCK_SHINGLE_CTE},
+hashed AS (
+  SELECT doc_id, md5('a:' || shingle) AS h0, md5('b:' || shingle) AS h1
+  FROM shingles
+),
+sigs AS (
+  SELECT doc_id,
+  {_DUCK_SIG_AGGS}
+  FROM hashed GROUP BY doc_id
+),
+banded AS (
+  {_DUCK_BANDS}
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS corpus_doc
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_sig = b.band_sig
+  WHERE a.doc_id % {INCR_BATCH_MOD} = 0 AND b.doc_id % {INCR_BATCH_MOD} <> 0
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.new_doc, c.corpus_doc, COUNT(*) AS n_inter
+  FROM candidates c
+  JOIN shingles sa ON sa.doc_id = c.new_doc
+  JOIN shingles sb ON sb.doc_id = c.corpus_doc AND sb.shingle = sa.shingle
+  GROUP BY c.new_doc, c.corpus_doc
+)
+SELECT i.new_doc, i.corpus_doc,
+       CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.new_doc
+JOIN sizes sb ON sb.doc_id = i.corpus_doc
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter)
+      >= {JACCARD_THRESHOLD}
+"""
+
+
+# --- text normalization ------------------------------------------------------
+
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization for dedup/decontamination keying:
+    lowercase, strip every character outside [a-z0-9 ], collapse runs of
+    spaces, trim.  Emitted as (doc_id, n_norm_chars, norm_hash) — the
+    hash is the join key a normalized-dedup pass runs on; raw text never
+    needs to leave the scan.
+
+    The character class is ASCII-only by design: identical semantics in
+    Java regex and DuckDB's RE2, so the md5 of the normalized form is
+    engine-portable.  Narrow plan, no shuffle."""
+    df = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +", " ",
+        )
+    )
+    return df.select(
+        "doc_id",
+        F.length(norm).cast("bigint").alias("n_norm_chars"),
+        F.md5(norm).alias("norm_hash"),
+    )
+
+
+ORACLES["normalize_text"] = """
+SELECT doc_id,
+       CAST(LENGTH(TRIM(regexp_replace(regexp_replace(LOWER(text),
+            '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS n_norm_chars,
+       md5(TRIM(regexp_replace(regexp_replace(LOWER(text),
+            '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash
+FROM documents
+"""

@@ -332,3 +332,87 @@ def streaming_incident_metrics(spark: SparkSession, base_dir) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+# --- Stream-stream interval join ---------------------------------------------
+
+JOIN_WINDOW_SEC = 300  # +-5 minutes, matches batch error_context_join
+
+
+def streaming_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM inner join with a time-range condition: error events
+    joined to the click/view events of the same user within +-5 minutes,
+    both sides unbounded streams.
+
+    This is Spark's native interval join: the range predicate plus both
+    watermarks lets the engine bound how long each side's rows stay in
+    join state (a row is droppable once the other side's watermark passes
+    its interval) — the stateful analogue of the batch binned range join
+    ``error_context_join``.  On this finite ``availableNow`` run every
+    match lands in-state before any eviction, so the result is EXACTLY
+    the batch interval join — a strong batch-stream equivalence check."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    staging = tempfile.mkdtemp(prefix="events_stream_")
+    (Path(staging) / "events.parquet").symlink_to(Path(sf_dir) / "events.parquet")
+
+    def side():
+        return (
+            spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+            .parquet(staging)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+
+    errors = (
+        side()
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.col("user_id").alias("err_user"),
+            F.col("ts").alias("err_ts"),
+        )
+        .withWatermark("err_ts", WATERMARK)
+    )
+    context = (
+        side()
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            F.col("event_id").alias("ctx_id"),
+            F.col("user_id").alias("ctx_user"),
+            F.col("ts").alias("ctx_ts"),
+        )
+        .withWatermark("ctx_ts", WATERMARK)
+    )
+    joined = errors.join(
+        context,
+        (F.col("err_user") == F.col("ctx_user"))
+        & (F.col("ctx_ts") >= F.col("err_ts") - F.expr(f"INTERVAL {JOIN_WINDOW_SEC} SECONDS"))
+        & (F.col("ctx_ts") <= F.col("err_ts") + F.expr(f"INTERVAL {JOIN_WINDOW_SEC} SECONDS")),
+    ).select("err_id", "ctx_id")
+    name = f"error_context_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+def q_streaming_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_error_context(spark, sf_dir)
+
+
+# Batch twin: the exact interval join (finite stream, single micro-batch
+# per side -> no state eviction before matching).
+ORACLES["streaming_error_context"] = f"""
+SELECT e.event_id AS err_id, c.event_id AS ctx_id
+FROM events e JOIN events c
+  ON c.user_id = e.user_id
+ AND c.event_type IN ('click', 'view')
+ AND ABS(epoch_us(c.ts) - epoch_us(e.ts)) <= {JOIN_WINDOW_SEC * 1_000_000}
+WHERE e.event_type = 'error'
+"""

@@ -215,3 +215,52 @@ def test_quality_gates_map_only(spark, sf_dir):
     )
 
     assert count_exchanges(q_quality_gates(spark, sf_dir)) == 0
+
+
+def test_tpch_q7_broadcasts_both_filtered_dims(spark, sf_dir):
+    from self_healing_data_pipeline_agent_spark.operators.relational import (
+        q_tpch_q7,
+    )
+
+    df = q_tpch_q7(spark, sf_dir)
+    assert has_pushed_filter(df, "l_shipdate")
+    plan = formatted_plan(df)
+    # both nation-filtered dims broadcast: no shuffle of lineitem on a
+    # dimension key — the only exchanges are orders join + final agg
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_error_context_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The binned range join must plan as an EQUI join on (user_id, bin):
+    no BroadcastNestedLoopJoin / CartesianProduct despite the range
+    predicate."""
+    from self_healing_data_pipeline_agent_spark.operators.events import (
+        q_error_context_join,
+    )
+
+    plan = formatted_plan(q_error_context_join(spark, sf_dir))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
+
+
+def test_normalize_text_is_shuffle_free(spark, sf_dir):
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        q_normalize_text,
+    )
+
+    assert count_exchanges(q_normalize_text(spark, sf_dir)) == 0
+
+
+def test_incremental_dedup_no_corpus_self_pairs(spark, sf_dir):
+    """Batch-vs-corpus candidate join only: every returned match pairs a
+    batch doc (id % 10 == 0) with a corpus doc (id % 10 != 0)."""
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        INCR_BATCH_MOD,
+        q_incremental_dedup,
+    )
+
+    rows = q_incremental_dedup(spark, sf_dir).collect()
+    for r in rows:
+        assert r["new_doc"] % INCR_BATCH_MOD == 0
+        assert r["corpus_doc"] % INCR_BATCH_MOD != 0
