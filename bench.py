@@ -58,6 +58,12 @@ HEADLINE = [
     "salted_hot_key_agg",
     "customer_order_distribution",
     "anomaly_zscore",
+    "tpch_q7",
+    "tpch_q10",
+    "psi_drift",
+    "error_context_join",
+    "incremental_dedup",
+    "normalize_text",
 ]
 
 

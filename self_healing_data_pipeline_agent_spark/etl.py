@@ -87,6 +87,24 @@ def write_warehouse(df: DataFrame, contract: Contract, base_dir: str | Path) -> 
     """
     out = str(Path(base_dir) / contract.warehouse_path / contract.table_name)
     bucket = contract.raw.get("bucket_by")
+    partition = contract.raw.get("partition_by")
+    cluster = contract.raw.get("cluster_by")
+    if cluster:
+        # Sort-cluster the files on the declared columns: range-partition
+        # then sort within partitions, so every parquet file covers a
+        # narrow value span and its footer min/max (zone maps) let any
+        # engine skip files on a filter.  At 100 TB this is the difference
+        # between scanning 3 files and 30,000 for a point-range query.
+        # List form sizes partitions via AQE; dict form pins the file
+        # count ({columns: [...], partitions: N}) for layout contracts.
+        if isinstance(cluster, dict):
+            cols, n = cluster["columns"], cluster.get("partitions")
+        else:
+            cols, n = cluster, None
+        df = (
+            df.repartitionByRange(int(n), *cols) if n
+            else df.repartitionByRange(*cols)
+        ).sortWithinPartitions(*cols)
     if bucket:
         (
             df.write.mode("overwrite")
@@ -96,6 +114,13 @@ def write_warehouse(df: DataFrame, contract: Contract, base_dir: str | Path) -> 
             .format("parquet")
             .saveAsTable(contract.table_name)
         )
+    elif partition:
+        # Hive-style directory partitioning: the coarse pruning axis.
+        # Readers with a filter on a partition column never list, open,
+        # or scan the other directories (PartitionFilters, not data
+        # filters) — the primary data-skipping lever for time-organized
+        # warehouses.
+        df.write.mode("overwrite").partitionBy(*partition).parquet(out)
     else:
         df.write.mode("overwrite").parquet(out)
     return out

@@ -1621,3 +1621,128 @@ SELECT bin_id, n_base, n_cur,
              * 1e6 + 0.5) / 1e6 AS psi_term
 FROM hist
 """
+
+
+# --- TPC-H Q8: national market share -----------------------------------------
+
+Q8_NATION = "NATION_3"
+Q8_REGION = "REGION_0"
+Q8_PTYPE = "PROMO"
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: one nation's share of revenue for one part type sold to
+    customers of one region, by order year — the widest TPC-H join tree
+    this schema supports (lineitem + orders + customer + supplier + part
+    + nation x2 + region).
+
+    Scale plan: every dimension is filtered BEFORE joining and broadcast
+    (part shrinks ~6x on p_type, customers to one region); the fact table
+    joins orders on the only big-big edge.  The share division runs on
+    the tiny per-year aggregate; both numerator and denominator come from
+    ONE pass using a conditional exact-unit sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    region_nations = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == Q8_REGION)),
+            nation.n_regionkey == region.r_regionkey,
+        ).select(F.col("n_nationkey").alias("c_nationkey"))
+    )
+    cust_r = customer.join(F.broadcast(region_nations), "c_nationkey").select(
+        "c_custkey"
+    )
+    promo_parts = part.filter(F.col("p_type") == Q8_PTYPE).select("p_partkey")
+    supp_n = supplier.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("s_nationkey"),
+                                  F.col("n_name").alias("supp_nation"))),
+        "s_nationkey",
+    ).select("s_suppkey", "supp_nation")
+
+    joined = (
+        li.join(F.broadcast(promo_parts), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp_n), li.l_suppkey == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+              li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cust_r), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_vol = F.when(F.col("supp_nation") == Q8_NATION, vol).otherwise(0.0)
+    by_year = joined.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("o_year")
+    ).agg(
+        dsum(nation_vol).alias("nation_volume"),
+        dsum(vol).alias("total_volume"),
+    )
+    share6 = F.floor(
+        (F.col("nation_volume") / F.col("total_volume")) * F.lit(1e6) + F.lit(0.5)
+    ) / F.lit(1e6)
+    return by_year.select(
+        "o_year", "nation_volume", "total_volume", share6.alias("mkt_share")
+    )
+
+
+ORACLES["tpch_q8"] = f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       {sql_dsum(f"CASE WHEN n1.n_name = '{Q8_NATION}' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")} AS nation_volume,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_volume,
+       FLOOR(({sql_dsum(f"CASE WHEN n1.n_name = '{Q8_NATION}' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+              / {sql_dsum('l_extendedprice * (1 - l_discount)')}) * 1e6 + 0.5) / 1e6 AS mkt_share
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+JOIN region   ON r_regionkey = n2.n_regionkey
+WHERE p_type = '{Q8_PTYPE}' AND r_name = '{Q8_REGION}'
+GROUP BY o_year
+"""
+
+
+# --- hot-key skew profile ----------------------------------------------------
+
+SKEW_TOP_K = 20
+
+
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis: the top-20 heaviest join/agg keys of
+    the fact table with each key's share of all rows — the measurement
+    that decides WHEN to salt (``functions/skew.py``) or let AQE split.
+    A 100 TB job that shuffles on a key where the top key holds 5% of
+    rows stalls on one straggler task; this profile is the early warning.
+
+    One partial-aggregated groupBy (bounded by |keys|), then top-k and
+    the share arithmetic run on the aggregate only.  The global total
+    comes from summing the per-key counts in a whole-result window —
+    no second scan of the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_rows"))
+    w = Window.partitionBy()  # over |keys| aggregated rows, not the fact table
+    share6 = F.floor(
+        (F.col("n_rows").cast("double") / F.sum("n_rows").over(w))
+        * F.lit(1e6) + F.lit(0.5)
+    ) / F.lit(1e6)
+    ranked = per_key.select(
+        "l_orderkey", "n_rows", share6.alias("row_share")
+    ).orderBy(F.col("n_rows").desc(), F.col("l_orderkey").asc())
+    return ranked.limit(SKEW_TOP_K)
+
+
+ORACLES["key_skew_profile"] = f"""
+SELECT l_orderkey, n_rows, row_share FROM (
+  SELECT l_orderkey, COUNT(*) AS n_rows,
+         FLOOR((CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER ())
+               * 1e6 + 0.5) / 1e6 AS row_share
+  FROM lineitem GROUP BY l_orderkey
+)
+ORDER BY n_rows DESC, l_orderkey ASC
+LIMIT {SKEW_TOP_K}
+"""

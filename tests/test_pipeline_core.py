@@ -456,3 +456,74 @@ def test_get_logger_configured_once():
     assert len(lg.handlers) == 1
     rec = lg.makeRecord("graft-test-logger", 20, "f", 1, "hello %s", ("x",), None)
     assert "hello x" in lg.handlers[0].format(rec)
+
+
+def test_partitioned_warehouse_prunes_directories(spark, tmp_path):
+    """A contract with partition_by writes Hive-style directories; a read
+    with a filter on the partition column prunes to that directory
+    (PartitionFilters in the scan, not a data filter)."""
+    from pyspark.sql import functions as F
+
+    from self_healing_data_pipeline_agent_spark.contract import Contract
+    from self_healing_data_pipeline_agent_spark.etl import write_warehouse
+    from self_healing_data_pipeline_agent_spark.plans import formatted_plan
+
+    df = spark.range(300).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 3).alias("day_bucket"),
+        (F.col("id") * 2).alias("value"),
+    )
+    contract = Contract(
+        raw={
+            "table_name": "part_events_test",
+            "warehouse_path": "wh",
+            "columns": {},
+            "partition_by": ["day_bucket"],
+        }
+    )
+    out = write_warehouse(df, contract, tmp_path)
+    dirs = sorted(p.name for p in (tmp_path / "wh/part_events_test").iterdir()
+                  if p.is_dir())
+    assert dirs == ["day_bucket=0", "day_bucket=1", "day_bucket=2"]
+
+    read = spark.read.parquet(out).filter(F.col("day_bucket") == 1)
+    plan = formatted_plan(read)
+    assert "PartitionFilters" in plan
+    assert "day_bucket" in plan[plan.index("PartitionFilters"):].splitlines()[0]
+    assert read.count() == 100
+
+
+def test_clustered_warehouse_files_have_narrow_spans(spark, tmp_path):
+    """cluster_by range-partitions + sorts files so each parquet file's
+    footer min/max covers a narrow, non-overlapping span — the zone-map
+    layout that lets scans skip files on a range filter."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from self_healing_data_pipeline_agent_spark.contract import Contract
+    from self_healing_data_pipeline_agent_spark.etl import write_warehouse
+
+    df = spark.range(10_000).select(
+        F.col("id").alias("order_id"),
+        (F.col("id") * 17 % 10_000).alias("order_ts"),
+    ).repartition(8)  # scrambled layout before the clustered write
+    contract = Contract(
+        raw={
+            "table_name": "clustered_orders_test",
+            "warehouse_path": "wh",
+            "columns": {},
+            "cluster_by": {"columns": ["order_ts"], "partitions": 4},
+        }
+    )
+    out = write_warehouse(df, contract, tmp_path)
+    spans = []
+    for fp in sorted(Path(out).glob("*.parquet")):
+        md = pq.ParquetFile(str(fp)).metadata
+        idx = {md.row_group(0).column(i).path_in_schema: i
+               for i in range(md.row_group(0).num_columns)}
+        st = md.row_group(0).column(idx["order_ts"]).statistics
+        spans.append((st.min, st.max))
+    assert len(spans) > 1
+    spans.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # non-overlapping: each file owns a value range
