@@ -416,3 +416,125 @@ FROM events e JOIN events c
  AND ABS(epoch_us(c.ts) - epoch_us(e.ts)) <= {JOIN_WINDOW_SEC * 1_000_000}
 WHERE e.event_type = 'error'
 """
+
+
+# --- Streaming deduplication -------------------------------------------------
+
+def streaming_dedup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingestion under source replay: the staging directory
+    contains the SAME events file twice (the classic at-least-once
+    delivery shape — a redelivered batch), and ``dropDuplicates`` on the
+    event id inside the watermark collapses the replay before the
+    windowed aggregation.
+
+    State for the dedup operator is bounded by the watermark horizon
+    (ids older than max-event-time - 2h are evicted) — the property that
+    makes streaming dedup viable at 100 TB/day, where an unbounded seen-id
+    set would OOM.  The oracle is the ordinary hourly count: if dedup
+    works, the double-delivered input counts once."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    staging = tempfile.mkdtemp(prefix="events_stream_")
+    (Path(staging) / "events.parquet").symlink_to(Path(sf_dir) / "events.parquet")
+    (Path(staging) / "events_replay.parquet").symlink_to(
+        Path(sf_dir) / "events.parquet"
+    )
+    stream = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .parquet(staging)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    deduped = (
+        stream.withWatermark("ts", WATERMARK)
+        .dropDuplicates(["event_id", "ts"])
+    )
+    windowed = (
+        deduped.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+    name = f"dedup_hourly_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            windowed.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+def q_streaming_dedup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_dedup_hourly(spark, sf_dir)
+
+
+# Batch twin: the single-copy hourly count with the watermark cutoff —
+# identical to streaming_hourly_counts' oracle BECAUSE dedup removed the
+# double delivery.
+ORACLES["streaming_dedup_hourly"] = """
+WITH horizon AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS wm FROM events)
+SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS n_events
+FROM events, horizon
+GROUP BY date_trunc('hour', ts), wm
+HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm
+"""
+
+
+# --- Stream-static enrichment join -------------------------------------------
+
+def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join: the event stream enriched against the static
+    customer dimension (market segment), then counted per (segment,
+    hour).  The static side is broadcast per micro-batch and re-read only
+    when the dim table version changes — no state accumulates for it
+    (unlike the stream-stream join's buffered sides).  This is the
+    standard streaming enrichment deployment shape: facts stream, dims
+    sit in the warehouse."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    staging = tempfile.mkdtemp(prefix="events_stream_")
+    (Path(staging) / "events.parquet").symlink_to(Path(sf_dir) / "events.parquet")
+    stream = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .parquet(staging)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    customers = (
+        spark.read.parquet(str(Path(sf_dir) / "customer.parquet"))
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    enriched = stream.join(F.broadcast(customers), "user_id")
+    windowed = (
+        enriched.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("c_mktsegment"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"),
+                "c_mktsegment", "n_events")
+    )
+    name = f"enriched_counts_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            windowed.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+def q_streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_enriched_counts(spark, sf_dir)
+
+
+ORACLES["streaming_enriched_counts"] = """
+WITH horizon AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS wm FROM events)
+SELECT date_trunc('hour', ts) AS window_start, c_mktsegment,
+       COUNT(*) AS n_events
+FROM events JOIN customer ON user_id = c_custkey, horizon
+GROUP BY date_trunc('hour', ts), c_mktsegment, wm
+HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm
+"""
