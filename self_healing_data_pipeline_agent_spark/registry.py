@@ -86,8 +86,12 @@ QUERY_ORDER = [
     "late_data_profile",
     "fulfillment_lag",
     # every r1-green query displaced past position 50 by the 20 new
-    # operators keeps its official green r1 record; across r1+r2 every
-    # declared query has at least one driver-checked row
+    # operators keeps its official green r1 record.  Operators added
+    # mid-round-2 (tpch_q7/q8/q10, psi_drift, error_context_join,
+    # incremental_dedup, normalize_text, key_skew_profile,
+    # streaming_error_context/dedup_hourly/enriched_counts) land past the
+    # window this round — pytest-green at sf0.001+sf0.01, to be
+    # front-loaded in round 3.
 ]
 
 

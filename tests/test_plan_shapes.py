@@ -264,3 +264,17 @@ def test_incremental_dedup_no_corpus_self_pairs(spark, sf_dir):
     for r in rows:
         assert r["new_doc"] % INCR_BATCH_MOD == 0
         assert r["corpus_doc"] % INCR_BATCH_MOD != 0
+
+
+def test_tpch_q8_single_big_join_rest_broadcast(spark, sf_dir):
+    """Q8's 7-table tree: every dimension broadcasts (filtered first);
+    the only shuffle-join edge is lineitem-orders."""
+    from self_healing_data_pipeline_agent_spark.operators.relational import (
+        q_tpch_q8,
+    )
+
+    df = q_tpch_q8(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4
+    n_smj = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert n_smj <= 1
