@@ -651,3 +651,74 @@ FROM events e JOIN events c
 WHERE e.event_type = 'error'
 GROUP BY e.event_id
 """
+
+
+# --- gaps-and-islands: per-user activity streaks -----------------------------
+
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user consecutive-active-day streaks (gaps-and-islands).
+
+    Single-shuffle shape: ``groupBy(user)`` collects each user's distinct
+    active days into one bounded array (cardinality is capped by the
+    calendar span, not the event volume — at 100 TB a user still has at
+    most a few thousand days), and every later stage — posexplode, the
+    lag/cumsum island windows, the per-island and per-user re-aggregations
+    — reuses that same hash(user) partitioning, so Catalyst inserts no
+    further exchange: grouping keys (user, island) are a superset of the
+    existing partitioning and windows are partitioned by user.
+
+    Island id = running count of day-gaps > 1 within the user's ordered
+    day sequence; streak length = island row count.
+    """
+    df = load_table(spark, sf_dir, "events")
+    days = (
+        df.select("user_id", F.to_date("ts").alias("day"))
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("day")).alias("days"))
+    )
+    d = days.select("user_id", F.posexplode("days").alias("pos", "day"))
+    w = Window.partitionBy("user_id").orderBy("pos")
+    gap_flag = F.when(
+        F.datediff(F.col("day"), F.lag("day").over(w)) > 1, 1
+    ).otherwise(0)
+    islands = (
+        d.withColumn("island", F.sum(gap_flag).over(w))
+        .groupBy("user_id", "island")
+        .agg(F.count(F.lit(1)).alias("streak_len"))
+    )
+    return islands.groupBy("user_id").agg(
+        F.sum("streak_len").cast("bigint").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("streak_len").alias("longest_streak"),
+    )
+
+
+ORACLES["activity_streaks"] = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+flagged AS (
+  SELECT user_id, day,
+         CASE WHEN date_diff('day',
+                             LAG(day) OVER (PARTITION BY user_id ORDER BY day),
+                             day) > 1
+              THEN 1 ELSE 0 END AS gap_flag
+  FROM days
+),
+islands AS (
+  SELECT user_id, day,
+         SUM(gap_flag) OVER (
+           PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+),
+streaks AS (
+  SELECT user_id, island, COUNT(*) AS streak_len
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(SUM(streak_len) AS BIGINT) AS n_active_days,
+       COUNT(*) AS n_streaks,
+       MAX(streak_len) AS longest_streak
+FROM streaks GROUP BY user_id
+"""

@@ -1746,3 +1746,150 @@ SELECT l_orderkey, n_rows, row_share FROM (
 ORDER BY n_rows DESC, l_orderkey ASC
 LIMIT {SKEW_TOP_K}
 """
+
+
+# --- SCD2 run-compaction of order-priority history ---------------------------
+
+def q_scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build: compress each customer's
+    order-priority sequence into validity intervals.
+
+    Classic warehouse dimension maintenance re-expressed as one dataflow:
+    change-flag (lag) -> running island id (cumsum) -> per-run aggregate ->
+    valid_to from the next run's valid_from (lead).  Single shuffle: every
+    stage is partitioned by (or grouped on a superset of) ``o_custkey``,
+    so after the first window exchange Catalyst inserts only sorts.
+    Ties on ``o_orderdate`` are broken by ``o_orderkey`` for a total,
+    engine-portable order.  ``valid_to IS NULL`` marks the open run.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderpriority").over(w)
+    chg = F.when(
+        prev.isNull() | (prev != F.col("o_orderpriority")), 1
+    ).otherwise(0)
+    runs = (
+        orders.withColumn("island", F.sum(chg).over(w))
+        .groupBy("o_custkey", "island")
+        .agg(
+            F.min("o_orderpriority").alias("o_orderpriority"),  # constant per run
+            F.min("o_orderdate").alias("valid_from"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("island")
+    return runs.select(
+        "o_custkey",
+        "o_orderpriority",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_orders",
+    )
+
+
+ORACLES["scd2_priority_history"] = """
+WITH flagged AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+         CASE WHEN LAG(o_orderpriority) OVER w IS NULL
+                OR LAG(o_orderpriority) OVER w <> o_orderpriority
+              THEN 1 ELSE 0 END AS chg
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+runs0 AS (
+  SELECT o_custkey, o_orderdate, o_orderpriority,
+         SUM(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM flagged
+),
+runs AS (
+  SELECT o_custkey, island,
+         MIN(o_orderpriority) AS o_orderpriority,
+         MIN(o_orderdate) AS valid_from,
+         COUNT(*) AS n_orders
+  FROM runs0 GROUP BY o_custkey, island
+)
+SELECT o_custkey, o_orderpriority, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY island)
+         AS valid_to,
+       n_orders
+FROM runs
+"""
+
+
+# --- robust outlier profile: median / MAD ------------------------------------
+
+def q_mad_outlier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier profile of ``l_extendedprice`` per
+    return flag: median, median-absolute-deviation, and the count of rows
+    whose |x - median| exceeds 3x MAD.
+
+    Exact MAD is inherently multi-pass (the deviation distribution needs
+    the median first); the 2-column integer-unit projection is cached so
+    the three passes scan a narrow columnar cache, not the fact table.
+    Cross-engine float parity: all ranking happens on integer 1e-4 units,
+    and medians are DOUBLED before use (``2 * percentile``) so the p=0.5
+    interpolation midpoint (k + 0.5) becomes an exact integer — every
+    comparison and division below is then IEEE-exact in both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    units_df = li.select(
+        "l_returnflag", to_units(F.col("l_extendedprice")).alias("units")
+    ).cache()
+    med = units_df.groupBy("l_returnflag").agg(
+        (F.expr("percentile(units, 0.5)") * 2).cast("bigint").alias("med2")
+    )
+    dev = units_df.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        "med2",
+        F.abs(F.col("units") * 2 - F.col("med2")).alias("dev2"),
+    )
+    mad = dev.groupBy("l_returnflag").agg(
+        F.expr("percentile(dev2, 0.5)").alias("mad2")
+    )
+    flagged = dev.join(F.broadcast(mad), "l_returnflag")
+    n_outliers = F.count_if(F.col("dev2") > F.lit(3.0) * F.col("mad2"))
+    return flagged.groupBy("l_returnflag").agg(
+        (F.max("med2").cast("double") / F.lit(2 * UNIT_SCALE)).alias(
+            "median_price"
+        ),
+        (F.max("mad2") / F.lit(2 * UNIT_SCALE)).alias("mad_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+        n_outliers.alias("n_outliers"),
+        (
+            n_outliers.cast("double") / F.count(F.lit(1))
+        ).alias("outlier_frac"),
+    )
+
+
+ORACLES["mad_outlier_profile"] = """
+WITH units AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_extendedprice * 10000.0 + 0.5) AS BIGINT) AS units
+  FROM lineitem
+),
+med AS (
+  SELECT l_returnflag, CAST(2 * quantile_cont(units, 0.5) AS BIGINT) AS med2
+  FROM units GROUP BY l_returnflag
+),
+dev AS (
+  SELECT u.l_returnflag, med2, ABS(u.units * 2 - med2) AS dev2
+  FROM units u JOIN med USING (l_returnflag)
+),
+mad AS (
+  SELECT l_returnflag, quantile_cont(dev2, 0.5) AS mad2
+  FROM dev GROUP BY l_returnflag
+)
+SELECT d.l_returnflag,
+       CAST(MAX(med2) AS DOUBLE) / 20000.0 AS median_price,
+       MAX(mad2) / 20000.0 AS mad_price,
+       COUNT(*) AS n_rows,
+       COUNT(*) FILTER (WHERE dev2 > 3.0 * mad2) AS n_outliers,
+       CAST(COUNT(*) FILTER (WHERE dev2 > 3.0 * mad2) AS DOUBLE) / COUNT(*)
+         AS outlier_frac
+FROM dev d JOIN mad USING (l_returnflag)
+GROUP BY d.l_returnflag
+"""

@@ -1490,3 +1490,157 @@ SELECT doc_id,
             '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash
 FROM documents
 """
+
+
+# --- duplicate-shingle coverage (corpus redundancy metric) -------------------
+
+def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicate-n-gram coverage: for each document, the
+    fraction of its distinct 3-gram shingles that occur in at least one
+    OTHER document; aggregated per source as an exact redundancy metric
+    (the per-doc statistic RefinedWeb/Pile-style pipelines threshold on).
+
+    Scale shape: reuses the cached shingle relation; document frequency
+    is one vocabulary-bounded groupBy, the flag join is co-partitioned on
+    ``shingle`` (no extra exchange), and coverage is quantized to integer
+    1e-4 units (``n_dup * 10000 DIV n_shingles``) before the cross-source
+    average so the result is partition- and engine-invariant.  Docs with
+    fewer than 3 tokens have no shingles and are excluded (both engines).
+    """
+    sh = _shingle_df(spark, sf_dir)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfreq"))
+    per_doc = (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count_if(F.col("dfreq") >= 2).alias("n_dup"),
+        )
+        .withColumn(
+            "cov_units", F.expr("n_dup * 10000 DIV n_shingles")
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        per_doc.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.sum("cov_units").cast("double")
+                / (F.lit(10000.0) * F.count(F.lit(1)))
+            ).alias("avg_dup_coverage"),
+            F.count_if(
+                F.col("n_dup") * 2 >= F.col("n_shingles")
+            ).alias("n_heavy_dup_docs"),
+        )
+    )
+
+
+ORACLES["dup_ngram_coverage"] = f"""
+WITH {_DUCK_SHINGLE_CTE},
+dfreq AS (
+  SELECT shingle, COUNT(*) AS dfreq FROM shingles GROUP BY shingle
+),
+per_doc AS (
+  SELECT doc_id,
+         COUNT(*) AS n_shingles,
+         COUNT(*) FILTER (WHERE dfreq >= 2) AS n_dup,
+         (COUNT(*) FILTER (WHERE dfreq >= 2)) * 10000 // COUNT(*) AS cov_units
+  FROM shingles JOIN dfreq USING (shingle)
+  GROUP BY doc_id
+)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(CAST(SUM(cov_units) AS BIGINT) AS DOUBLE)
+         / (10000.0 * COUNT(*)) AS avg_dup_coverage,
+       COUNT(*) FILTER (WHERE n_dup * 2 >= n_shingles) AS n_heavy_dup_docs
+FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+GROUP BY d.source
+"""
+
+
+# --- fixed-width token-chunk exact dedup -------------------------------------
+
+CHUNK_TOKENS = 16
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup at 16-token-chunk granularity: per
+    source, how many full chunks exist and what fraction of them occur
+    2+ times corpus-wide (the coarse form of substring dedup used before
+    expensive suffix-style passes; catches copy-paste and boilerplate
+    that document-level hashing misses).
+
+    Shape: dense token index via row_number (positions stay contiguous
+    after empty-token filtering), chunk re-assembly grouped on a superset
+    of the window's ``doc_id`` partitioning (no second exchange), then a
+    chunk-text groupBy whose shuffle is bounded by distinct chunk count;
+    the occurrence join is co-partitioned.  Partial tail chunks (<16
+    tokens) are excluded so chunk keys are fixed-width.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    chunks = (
+        toks.withColumn("rn", F.row_number().over(w) - 1)
+        .groupBy(
+            "doc_id", "source",
+            F.expr(f"rn DIV {CHUNK_TOKENS}").alias("chunk_id"),
+        )
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "tok"))),
+                    lambda s: s.tok,
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.count(F.lit(1)).alias("clen"),
+        )
+        .filter(F.col("clen") == CHUNK_TOKENS)
+    )
+    occ = chunks.groupBy("chunk_text").agg(F.count(F.lit(1)).alias("n_occ"))
+    return (
+        chunks.join(occ, "chunk_text")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count_if(F.col("n_occ") >= 2).alias("n_dup_chunks"),
+            (
+                F.count_if(F.col("n_occ") >= 2).cast("double")
+                / F.count(F.lit(1))
+            ).alias("dup_frac"),
+        )
+    )
+
+
+ORACLES["chunk_dedup"] = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(lst) AS tok,
+         unnest(range(1, len(lst) + 1)) AS i
+  FROM (SELECT doc_id, source, {_DUCK_TOKENS} AS lst FROM documents)
+),
+chunks AS (
+  SELECT doc_id, source, (i - 1) // {CHUNK_TOKENS} AS chunk_id,
+         string_agg(tok, ' ' ORDER BY i) AS chunk_text,
+         COUNT(*) AS clen
+  FROM toks
+  GROUP BY doc_id, source, (i - 1) // {CHUNK_TOKENS}
+  HAVING COUNT(*) = {CHUNK_TOKENS}
+),
+occ AS (
+  SELECT chunk_text, COUNT(*) AS n_occ FROM chunks GROUP BY chunk_text
+)
+SELECT source,
+       COUNT(*) AS n_chunks,
+       COUNT(*) FILTER (WHERE n_occ >= 2) AS n_dup_chunks,
+       CAST(COUNT(*) FILTER (WHERE n_occ >= 2) AS DOUBLE) / COUNT(*)
+         AS dup_frac
+FROM chunks JOIN occ USING (chunk_text)
+GROUP BY source
+"""

@@ -89,9 +89,10 @@ QUERY_ORDER = [
     # operators keeps its official green r1 record.  Operators added
     # mid-round-2 (tpch_q7/q8/q10, psi_drift, error_context_join,
     # incremental_dedup, normalize_text, key_skew_profile,
-    # streaming_error_context/dedup_hourly/enriched_counts) land past the
-    # window this round — pytest-green at sf0.001+sf0.01, to be
-    # front-loaded in round 3.
+    # streaming_error_context/dedup_hourly/enriched_counts,
+    # activity_streaks, scd2_priority_history, mad_outlier_profile,
+    # dup_ngram_coverage, chunk_dedup) land past the window this round —
+    # pytest-green at sf0.001+sf0.01, to be front-loaded in round 3.
 ]
 
 

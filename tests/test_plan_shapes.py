@@ -278,3 +278,23 @@ def test_tpch_q8_single_big_join_rest_broadcast(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 4
     n_smj = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
     assert n_smj <= 1
+
+
+def test_activity_streaks_single_shuffle(spark, sf_dir):
+    # gaps-and-islands chain: collect_set agg, posexplode, two windows and
+    # two re-aggregations must all reuse the one hash(user_id) exchange
+    from self_healing_data_pipeline_agent_spark.operators.events import (
+        q_activity_streaks,
+    )
+
+    assert count_exchanges(q_activity_streaks(spark, sf_dir)) == 1
+
+
+def test_scd2_single_shuffle(spark, sf_dir):
+    # lag -> cumsum -> per-run agg -> lead: one hash(o_custkey) exchange,
+    # Catalyst adds only sorts after it
+    from self_healing_data_pipeline_agent_spark.operators.relational import (
+        q_scd2_priority_history,
+    )
+
+    assert count_exchanges(q_scd2_priority_history(spark, sf_dir)) == 1
