@@ -33,6 +33,7 @@ EXPECTED = {
     "minhash_lsh_pairs": "shuffles: signature agg + band join + verification",
     "incremental_dedup": "shuffles: signature agg + batch-vs-corpus band join + verification",
     "quantile_profile": "shuffles: two ranked columns, tiny offset windows",
+    "semantic_dedup": "BNLJ = broadcast cross join with the 16-centroid codebook",
 }
 
 STREAMING = {"streaming_hourly_counts", "streaming_dq_profile", "stateful_sessions"}

@@ -722,3 +722,99 @@ SELECT user_id,
        MAX(streak_len) AS longest_streak
 FROM streaks GROUP BY user_id
 """
+
+
+# --- sweep line: peak concurrent sessions per day ----------------------------
+
+def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak number of concurrently-open sessions per day (sweep line over
+    the gap-based session intervals of ``q_sessionization``).
+
+    Distributed prefix-sum shape: each session emits +1 at its start and
+    -1 at its (exclusive) end; the running sum is computed in TWO levels
+    — a per-day partitioned window (parallel across days) plus a carry-in
+    of prior-day net totals (a window over the tiny distinct-day
+    relation) — instead of one global ordered window, which would funnel
+    every delta through a single partition at 100 TB.  Peak per day =
+    carry + max(within-day running).
+
+    Determinism: deltas order by (ts, delta) so ends sort before starts
+    at the same instant (touching sessions never overlap, zero-length
+    sessions never count), and within equal (ts, delta) groups the
+    running-sum multiset — hence its max — is order-invariant.
+    """
+    sess = q_sessionization(spark, sf_dir)
+    starts = sess.select(
+        F.to_date("session_start").alias("day"),
+        F.col("session_start").alias("ts"),
+        F.lit(1).alias("delta"),
+    )
+    ends = sess.select(
+        F.to_date("session_end").alias("day"),
+        F.col("session_end").alias("ts"),
+        F.lit(-1).alias("delta"),
+    )
+    ev = starts.union(ends)
+    w_run = (
+        Window.partitionBy("day")
+        .orderBy("ts", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per_day = (
+        ev.withColumn("running", F.sum("delta").over(w_run))
+        .groupBy("day")
+        .agg(
+            F.max("running").alias("day_peak"),
+            F.sum("delta").alias("day_delta"),
+            F.count_if(F.col("delta") == 1).alias("n_starts"),
+            F.count_if(F.col("delta") == -1).alias("n_ends"),
+        )
+    )
+    w_carry = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = F.coalesce(F.sum("day_delta").over(w_carry), F.lit(0))
+    return per_day.select(
+        "day",
+        (carry + F.col("day_peak")).cast("bigint").alias("peak_concurrent"),
+        "n_starts",
+        "n_ends",
+    )
+
+
+ORACLES["session_concurrency"] = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_MICROS}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end
+  FROM (
+    SELECT user_id, ts,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+  ) GROUP BY user_id, session_id
+),
+deltas AS (
+  SELECT CAST(session_start AS DATE) AS day, session_start AS ts, 1 AS delta
+  FROM sessions
+  UNION ALL
+  SELECT CAST(session_end AS DATE) AS day, session_end AS ts, -1 AS delta
+  FROM sessions
+),
+run AS (
+  SELECT day, delta,
+         SUM(delta) OVER (ORDER BY ts, delta ROWS UNBOUNDED PRECEDING) AS running
+  FROM deltas
+)
+SELECT day,
+       CAST(MAX(running) AS BIGINT) AS peak_concurrent,
+       COUNT(*) FILTER (WHERE delta = 1) AS n_starts,
+       COUNT(*) FILTER (WHERE delta = -1) AS n_ends
+FROM run GROUP BY day
+"""

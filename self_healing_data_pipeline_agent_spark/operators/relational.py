@@ -1893,3 +1893,68 @@ SELECT d.l_returnflag,
 FROM dev d JOIN mad USING (l_returnflag)
 GROUP BY d.l_returnflag
 """
+
+
+# --- Q9-adapted: product-line profit by supplier nation and year -------------
+
+Q9_PART_LIKE = "widget"
+Q9_COST_FACTOR = 0.5
+
+
+def q_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 adapted to this schema: profit on one product family by
+    supplier nation and ship year.  The dataset has no partsupp table, so
+    unit cost is proxied as ``Q9_COST_FACTOR * p_retailprice`` (documented
+    divergence; the join/aggregation shape is Q9's).
+
+    Scale plan: the part filter shrinks the dimension BEFORE the fact
+    join and broadcasts; supplier+nation pre-join into one broadcast dim,
+    so lineitem is never shuffled on a dimension key — the only exchange
+    is the final (nation, year) aggregation, partial map-side first.
+    Profit is summed in exact 1e-4 units (order-independent, engine-
+    stable)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    part_f = part.filter(F.col("p_name").contains(Q9_PART_LIKE)).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp_n = supplier.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("s_nationkey"),
+                                  "n_name")),
+        "s_nationkey",
+    ).select("s_suppkey", "n_name")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(Q9_COST_FACTOR) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    joined = (
+        li.join(F.broadcast(part_f), li.l_partkey == part_f.p_partkey)
+        .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+    )
+    return joined.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("l_shipdate").cast("bigint").alias("o_year"),
+    ).agg(
+        dsum(profit).alias("profit"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+ORACLES["profit_by_nation_year"] = f"""
+SELECT n_name AS nation,
+       CAST(year(l_shipdate) AS BIGINT) AS o_year,
+       {sql_dsum(
+           'l_extendedprice * (1 - l_discount)'
+           f' - {Q9_COST_FACTOR} * p_retailprice * l_quantity'
+       )} AS profit,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%{Q9_PART_LIKE}%'
+GROUP BY n_name, o_year
+"""

@@ -546,3 +546,95 @@ SELECT CAST(dim AS BIGINT) AS dim, mn, mx,
             ELSE 0 END AS zero_point
 FROM agg
 """
+
+
+# --- SemDeDup-style semantic dedup -------------------------------------------
+
+# Within-cell cosine above which the higher id is a dup.  Calibrated to the
+# synthetic corpus (max pairwise cosine ~0.51): 0.35 flags ~12% of vectors,
+# so the prune path is actually exercised; real embeddings would use ~0.9+.
+SEMDEDUP_TAU = 0.35
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-then-prune semantic dedup (the SemDeDup recipe, Abbas et
+    al. 2023): assign every embedding to its nearest coarse-codebook
+    cell, compare pairs ONLY within a cell, and keep the lowest vec_id of
+    every cosine>=tau group (`kept = 0` rows carry `dup_of`, the smallest
+    id they duplicate).  Mirrors the reference's dedup intent
+    (src/data_quality_checks.py:20-57 deduplicates on exact values) at
+    the semantic level a training corpus needs.
+
+    Scale shape: the codebook broadcast makes assignment a narrow map;
+    the pairwise stage is confined to one cell (cells are hash-
+    partitioned, the self-join is co-partitioned on `cell` — no global
+    pair explosion), and a production codebook sized ~sqrt(N) keeps
+    per-cell membership, and therefore cell^2 work, bounded.  The fold
+    dot product is bit-identical to DuckDB's list_dot_product, so the
+    tau comparison is engine-exact.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    ac = _ivf_assignments(emb)
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos"), F.asc("centroid_id")
+    )
+    assign = (
+        ac.withColumn("arn", F.row_number().over(w_assign))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", F.col("centroid_id").alias("cell"))
+    )
+    members = assign.join(
+        emb.select("vec_id", "embedding", l2_norm(F.col("embedding")).alias("norm")),
+        "vec_id",
+    )
+    a = members.select(
+        F.col("cell"), F.col("vec_id").alias("vid"),
+        F.col("embedding").alias("ea"), F.col("norm").alias("na"),
+    )
+    b = members.select(
+        F.col("cell"), F.col("vec_id").alias("other"),
+        F.col("embedding").alias("eb"), F.col("norm").alias("nb"),
+    )
+    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    dups = (
+        a.join(b, "cell")
+        .filter(F.col("vid") > F.col("other"))
+        .select("vid", "other", sim.alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(SEMDEDUP_TAU))
+        .groupBy("vid")
+        .agg(F.min("other").alias("dup_of"))
+    )
+    return assign.join(dups, assign.vec_id == dups.vid, "left").select(
+        "vec_id",
+        "cell",
+        F.when(F.col("dup_of").isNull(), 1).otherwise(0).cast("bigint").alias("kept"),
+        "dup_of",
+    )
+
+
+ORACLES["semantic_dedup"] = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id < {IVF_CELLS}
+),
+ac AS (
+  SELECT v.vec_id, c.centroid_id,
+         ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                            ORDER BY {_DUCK_VC_COS} DESC, c.centroid_id ASC) AS arn
+  FROM embeddings v CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id, centroid_id AS cell FROM ac WHERE arn = 1
+),
+dups AS (
+  SELECT x.vec_id AS vid, MIN(y.vec_id) AS dup_of
+  FROM assign x JOIN assign y ON x.cell = y.cell AND x.vec_id > y.vec_id
+  JOIN embeddings a ON a.vec_id = x.vec_id
+  JOIN embeddings b ON b.vec_id = y.vec_id
+  WHERE {_DUCK_COS} >= {SEMDEDUP_TAU}
+  GROUP BY x.vec_id
+)
+SELECT s.vec_id, s.cell,
+       CAST(CASE WHEN dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
+       dup_of
+FROM assign s LEFT JOIN dups ON s.vec_id = vid
+"""

@@ -91,7 +91,8 @@ QUERY_ORDER = [
     # incremental_dedup, normalize_text, key_skew_profile,
     # streaming_error_context/dedup_hourly/enriched_counts,
     # activity_streaks, scd2_priority_history, mad_outlier_profile,
-    # dup_ngram_coverage, chunk_dedup) land past the window this round —
+    # dup_ngram_coverage, chunk_dedup, semantic_dedup, session_concurrency,
+    # profit_by_nation_year) land past the window this round —
     # pytest-green at sf0.001+sf0.01, to be front-loaded in round 3.
 ]
 

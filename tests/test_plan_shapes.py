@@ -298,3 +298,27 @@ def test_scd2_single_shuffle(spark, sf_dir):
     )
 
     assert count_exchanges(q_scd2_priority_history(spark, sf_dir)) == 1
+
+
+def test_profit_by_nation_year_all_broadcast(spark, sf_dir):
+    # filtered part dim and pre-joined supplier+nation dim both broadcast:
+    # the fact table is never shuffled on a dimension key
+    from self_healing_data_pipeline_agent_spark.operators.relational import (
+        q_profit_by_nation_year,
+    )
+
+    plan = formatted_plan(q_profit_by_nation_year(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_session_concurrency_bounded_exchanges(spark, sf_dir):
+    # two-level prefix sum: sessionization's user shuffle, the per-day
+    # window/agg, and the tiny distinct-day carry window — the sweep line
+    # must not funnel raw deltas through one global ordered window
+    from self_healing_data_pipeline_agent_spark.operators.events import (
+        q_session_concurrency,
+    )
+
+    df = q_session_concurrency(spark, sf_dir)
+    assert count_exchanges(df) <= 6
