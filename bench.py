@@ -64,6 +64,11 @@ HEADLINE = [
     "error_context_join",
     "incremental_dedup",
     "normalize_text",
+    # dup_ngram_coverage is the one r2-late addition that is genuinely
+    # work-bound at sf0.1 (document-frequency join over the shingle set,
+    # Spark ~0.9x the embedded oracle); the other late ops are sub-second
+    # and would only add scheduler floor to the aggregate.
+    "dup_ngram_coverage",
 ]
 
 
