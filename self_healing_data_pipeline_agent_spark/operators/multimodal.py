@@ -108,12 +108,55 @@ def extract_features(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFram
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched feature extraction over the binary payload column.
-    (No SQL oracle — rows-only check; determinism is pytest-asserted.)"""
+    """Arrow-batched feature extraction over the binary payload column,
+    exploded to scalar ``(doc_id, n_bytes, bin_id, weight)`` rows so the
+    result is hash-checkable (list columns are not canonicalizable by the
+    oracle harness — r2 ERR).  16 rows per doc, all bins emitted including
+    zero-weight ones, so the schema is stable and the oracle can generate
+    the same grid."""
     df = with_payload(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "payload"
     )
-    return df.mapInPandas(extract_features, schema=FEATURE_SCHEMA)
+    feats = df.mapInPandas(extract_features, schema=FEATURE_SCHEMA)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.posexplode("byte_histogram").alias("bin_id", "weight"),
+    ).select(
+        "doc_id",
+        "n_bytes",
+        F.col("bin_id").cast("bigint").alias("bin_id"),
+        "weight",
+    )
+
+
+# The high nibble of each payload byte is exactly every odd-position char
+# of hex(payload) — byte-exact histogram bins without any blob indexing.
+# weight = count/n is an exact-int IEEE division in both engines, so the
+# doubles are bit-identical.
+ORACLES["multimodal_features"] = """
+WITH h AS (
+  SELECT doc_id, upper(hex(encode(text))) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+), nib AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(hx) + 1, 2),
+                i -> strpos('0123456789ABCDEF', substr(hx, CAST(i AS INT), 1)) - 1)
+         ) AS bin_id
+  FROM h
+), cnt AS (
+  SELECT doc_id, bin_id, COUNT(*) AS c FROM nib GROUP BY doc_id, bin_id
+)
+SELECT h.doc_id,
+       CAST(h.n AS BIGINT) AS n_bytes,
+       CAST(b.bin_id AS BIGINT) AS bin_id,
+       CASE WHEN h.n = 0 THEN 0.0
+            ELSE CAST(COALESCE(cnt.c, 0) AS DOUBLE) / h.n END AS weight
+FROM h
+CROSS JOIN (SELECT unnest(range(16)) AS bin_id) b
+LEFT JOIN cnt ON cnt.doc_id = h.doc_id AND cnt.bin_id = b.bin_id
+"""
 
 
 # --- resize / frame-sample plumbing -----------------------------------------
@@ -193,21 +236,78 @@ def _frame_kernel(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]"
 
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched resize over the binary payload column.  Narrow map —
-    no shuffle; memory bounded by the Arrow batch size.  (Rows-only
-    check; determinism pytest-asserted.)"""
+    no shuffle; memory bounded by the Arrow batch size.  The query surface
+    hex-encodes the resized bytes so the oracle harness can hash-compare
+    (binary columns canonicalize differently across engines); the kernel
+    itself stays binary-in/binary-out."""
     df = with_payload(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "payload"
     )
-    return df.mapInPandas(_resize_kernel, schema=RESIZE_SCHEMA)
+    out = df.mapInPandas(_resize_kernel, schema=RESIZE_SCHEMA)
+    return out.select(
+        "doc_id", "n_bytes", F.hex(F.col("resized")).alias("resized_hex")
+    )
+
+
+# resize = indexed gather: output byte i is input byte (i*n)//64, i.e. the
+# hex pair starting at char (i*n)//64 * 2 + 1 of hex(payload).
+ORACLES["multimodal_resize"] = f"""
+WITH h AS (
+  SELECT doc_id, upper(hex(encode(text))) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_bytes,
+       CASE WHEN n = 0 THEN ''
+            ELSE array_to_string(
+                   list_transform(range({RESIZE_TARGET}),
+                     i -> substr(hx, CAST((i * n // {RESIZE_TARGET}) * 2 + 1 AS INT), 2)),
+                   '')
+       END AS resized_hex
+FROM h
+"""
 
 
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched frame sampling over the binary payload column (video
-    stand-in).  Same no-shuffle scale shape as q_multimodal_resize."""
+    stand-in).  Same no-shuffle scale shape as q_multimodal_resize; hex at
+    the query surface for oracle hashability."""
     df = with_payload(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "payload"
     )
-    return df.mapInPandas(_frame_kernel, schema=FRAME_SCHEMA)
+    out = df.mapInPandas(_frame_kernel, schema=FRAME_SCHEMA)
+    return out.select(
+        "doc_id",
+        "n_frames",
+        "n_sampled",
+        F.hex(F.col("sampled")).alias("sampled_hex"),
+    )
+
+
+# frames = fixed-width substrings of hex(payload): frame j is the 64-char
+# slice at j*64+1; sampling keeps every FRAME_STRIDE-th frame.
+ORACLES["multimodal_frame_sample"] = f"""
+WITH h AS (
+  SELECT doc_id, upper(hex(encode(text))) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+), f AS (
+  SELECT doc_id, hx, n,
+         CAST((n + {FRAME_SIZE - 1}) // {FRAME_SIZE} AS BIGINT) AS n_frames
+  FROM h
+)
+SELECT doc_id,
+       n_frames,
+       CAST((n_frames + {FRAME_STRIDE - 1}) // {FRAME_STRIDE} AS BIGINT) AS n_sampled,
+       CASE WHEN n = 0 THEN ''
+            ELSE array_to_string(
+                   list_transform(range(0, n_frames, {FRAME_STRIDE}),
+                     j -> substr(hx, CAST(j * {FRAME_SIZE * 2} + 1 AS INT), {FRAME_SIZE * 2})),
+                   '')
+       END AS sampled_hex
+FROM f
+"""
 
 
 # --- content-hash payload dedup ----------------------------------------------

@@ -637,29 +637,92 @@ def q_approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 at 100 TB: HyperLogLog cardinalities — fixed-size sketches merge
     associatively, so the shuffle carries ~1.5 KB per (group, column)
     instead of every distinct value (exact COUNT(DISTINCT) shuffles the
-    value universe; at 100 TB that IS the bottleneck).  Declared rows-only:
-    sketch estimates are engine-specific by construction; the exact twin
-    `distinct_counts` is the value-checked query, and the accuracy bound
-    is pytest-asserted against it."""
+    value universe; at 100 TB that IS the bottleneck).
+
+    Sketch estimates are engine-specific, so the raw estimate cannot be
+    hash-compared — instead the query emits the EXACT counts (which the
+    DuckDB oracle reproduces) plus tolerance-band booleans asserting the
+    HLL estimate landed within ±5% of exact.  The oracle emits TRUE for
+    the bands, so a drifting sketch flips the hash red.  (The exact twin
+    `distinct_counts` stays the pure value-checked query; this one is the
+    sketch-accuracy gate.)"""
     df = load_table(spark, sf_dir, "lineitem")
-    return df.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("nd_partkey"),
-        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("nd_suppkey"),
+    agg = df.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("apx_partkey"),
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("apx_suppkey"),
+        F.countDistinct("l_partkey").alias("nd_partkey"),
+        F.countDistinct("l_suppkey").alias("nd_suppkey"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+    def _band(apx: str, exact: str):
+        return (
+            F.abs(F.col(apx) - F.col(exact))
+            <= 0.05 * F.greatest(F.col(exact), F.lit(1))
+        )
+    return agg.select(
+        "l_returnflag",
+        "nd_partkey",
+        "nd_suppkey",
+        "n_rows",
+        _band("apx_partkey", "nd_partkey").alias("partkey_within_band"),
+        _band("apx_suppkey", "nd_suppkey").alias("suppkey_within_band"),
+    )
+
+
+ORACLES["approx_distinct_counts"] = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS nd_partkey,
+       COUNT(DISTINCT l_suppkey) AS nd_suppkey,
+       COUNT(*) AS n_rows,
+       TRUE AS partkey_within_band,
+       TRUE AS suppkey_within_band
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 def q_approx_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 at 100 TB: mergeable-sketch percentiles (fixed accuracy budget,
-    no per-group sort, no value shuffle).  Rows-only for the same reason
-    as q_approx_distinct_counts; accuracy vs the exact `quantile_profile`
-    is pytest-asserted."""
+    no per-group sort, no value shuffle).
+
+    Same banded-oracle contract as q_approx_distinct_counts: emit the
+    EXACT interpolated percentiles (rounded to 6dp — libm-safe, matched
+    by DuckDB's quantile_cont) plus booleans asserting the sketch landed
+    within 2% relative error of exact."""
     df = load_table(spark, sf_dir, "lineitem")
-    return df.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_quantity", 0.5, 10000).alias("p50_qty"),
-        F.percentile_approx("l_extendedprice", 0.25, 10000).alias("p25_price"),
-        F.percentile_approx("l_extendedprice", 0.75, 10000).alias("p75_price"),
+    agg = df.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("apx_p50_qty"),
+        F.percentile_approx("l_extendedprice", 0.25, 10000).alias("apx_p25_price"),
+        F.percentile_approx("l_extendedprice", 0.75, 10000).alias("apx_p75_price"),
+        F.percentile("l_quantity", 0.5).alias("ex_p50_qty"),
+        F.percentile("l_extendedprice", 0.25).alias("ex_p25_price"),
+        F.percentile("l_extendedprice", 0.75).alias("ex_p75_price"),
     )
+    def _band(apx: str, exact: str):
+        return (
+            F.abs(F.col(apx) - F.col(exact))
+            <= 0.02 * F.greatest(F.abs(F.col(exact)), F.lit(1))
+        )
+    return agg.select(
+        "l_returnflag",
+        F.round("ex_p50_qty", 6).alias("p50_qty"),
+        F.round("ex_p25_price", 6).alias("p25_price"),
+        F.round("ex_p75_price", 6).alias("p75_price"),
+        _band("apx_p50_qty", "ex_p50_qty").alias("p50_within_band"),
+        _band("apx_p25_price", "ex_p25_price").alias("p25_within_band"),
+        _band("apx_p75_price", "ex_p75_price").alias("p75_within_band"),
+    )
+
+
+ORACLES["approx_quantile_profile"] = """
+SELECT l_returnflag,
+       ROUND(PERCENTILE_CONT(0.5)  WITHIN GROUP (ORDER BY l_quantity), 6) AS p50_qty,
+       ROUND(PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p25_price,
+       ROUND(PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p75_price,
+       TRUE AS p50_within_band,
+       TRUE AS p25_within_band,
+       TRUE AS p75_within_band
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 def q_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -561,6 +561,61 @@ WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 2
 """
 
 
+# Pigeonhole blocking: 16 bits -> 3 chunks (6 + 5 + 5).  Hamming <= 2 can
+# place differing bits in at most 2 chunks, so every qualifying pair shares
+# at least one chunk verbatim — candidates meet on an equi-join key, never
+# an all-pairs product.
+_SIMHASH_CHUNKS = [(0, 6), (6, 5), (11, 5)]
+
+
+def q_simhash_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8c scale path: SimHash near-dup via pigeonhole chunk blocking.
+
+    Same result set as ``q_simhash_near_dup`` (the blocking is EXACT for
+    Hamming <= 2, not a recall trade-off), but the join is an equi-join on
+    (chunk_id, chunk_val): shuffle partitions by chunk bucket, candidate
+    volume stays corpus-linear for well-spread fingerprints, and the
+    Hamming verify runs only on same-bucket meets.  The all-pairs twin
+    above is the oracle baseline; this is the plan you'd run at 100 TB.
+    (Production: 64-bit simhash, k+1 chunks for Hamming <= k — identical
+    dataflow.)
+    """
+    fp = q_simhash_fingerprints(spark, sf_dir)
+    chunked = None
+    for ci, (shift, width) in enumerate(_SIMHASH_CHUNKS):
+        mask = (1 << width) - 1
+        part = fp.select(
+            "doc_id",
+            "simhash16",
+            F.lit(ci).alias("chunk_id"),
+            F.shiftright(F.col("simhash16"), shift).bitwiseAND(F.lit(mask)).alias("chunk_val"),
+        )
+        chunked = part if chunked is None else chunked.unionByName(part)
+    a = chunked.alias("a")
+    b = chunked.alias("b")
+    cand = (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash16").alias("sh_a"),
+            F.col("b.simhash16").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("bigint"))
+        .filter(F.col("hamming") <= 2)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# Blocking is exact for Hamming <= 2, so the oracle is the all-pairs SQL.
+ORACLES["simhash_near_dup_blocked"] = ORACLES["simhash_near_dup"]
+
+
 # --- X10: TF-IDF top terms per document -------------------------------------
 
 TFIDF_TOP_K = 3
@@ -650,6 +705,16 @@ def _connected_components(pairs: DataFrame) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .cache()
     )
+    # Convergence check: labels only ever DECREASE under min-propagation,
+    # so the frame is converged exactly when sum(label) stops dropping.
+    # One scalar agg on the already-checkpointed frame per round —
+    # replaces the prior 3-way join + limit(1).count() which re-planned
+    # the whole round's dataflow a second time (r2 driver-bench showed it
+    # dominating duplicate_clusters wall time).  DECIMAL(38,0) so the sum
+    # cannot overflow at any corpus size.
+    prev_sum = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
     converged = False
     for _ in range(CC_MAX_ITERS):
         neighbor_min = (
@@ -672,17 +737,15 @@ def _connected_components(pairs: DataFrame) -> DataFrame:
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "doc_id")
-            .filter(F.col("label") != F.col("old"))
-            .limit(1)
-            .count()
-        )
+        new_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             converged = True
             break
+        prev_sum = new_sum
     if not converged:
         raise RuntimeError(
             f"connected components did not converge in {CC_MAX_ITERS} rounds"

@@ -71,10 +71,16 @@ def run_demo(
     contract_path: str | Path,
     clean_source: str,
     broken_source: str,
+    streaming_monitor: bool = False,
 ) -> list[dict[str, Any]]:
     """O2 (reference ``:69-223``): the 4-stage golden scenario.
 
     Returns the list of stage outcomes (mirrors the incident rows written).
+    With ``streaming_monitor=True`` a fifth outcome is appended: the
+    incident log re-read as a STREAM (readStream -> running counts per
+    status, availableNow drain) so the golden scenario exercises the
+    streaming ring end-to-end — the counters it reports must agree with
+    the batch dashboard over the same log.
     """
     outcomes: list[dict[str, Any]] = []
 
@@ -146,6 +152,18 @@ def run_demo(
     except Exception as exc:  # noqa: BLE001
         record("post_healing", "failed_after_healing",
                error_type=type(exc).__name__, error_message=str(exc))
+
+    if streaming_monitor:
+        from .streaming.events import streaming_incident_metrics
+
+        counts = {
+            r["status"]: r["n"]
+            for r in streaming_incident_metrics(spark, base_dir).collect()
+        }
+        outcomes.append(
+            {"stage": "streaming_monitor", "status": "success",
+             "incident_counts": counts}
+        )
     return outcomes
 
 
@@ -224,10 +242,12 @@ def main() -> None:
         spark, base, cfg,
         clean_source="data/raw/customers_v1.csv",
         broken_source="data/raw/customers_v2_broken.csv",
+        streaming_monitor=True,
     )
     print(f"\nworkspace: {base}")
     for o in outcomes:
-        print(f"  {o['stage']:>14}: {o['status']}")
+        extra = f"  {o['incident_counts']}" if "incident_counts" in o else ""
+        print(f"  {o['stage']:>17}: {o['status']}{extra}")
     incidents = load_incidents(spark, base)
     print("incident metrics:", status_metrics(incidents))
     spark.stop()

@@ -208,13 +208,21 @@ def test_golden_four_stage_scenario(spark, demo_dir):
         spark, demo_dir, contract_path,
         clean_source="data/raw/customers_v1.csv",
         broken_source="data/raw/customers_v2_broken.csv",
+        streaming_monitor=True,
     )
     assert [(o["stage"], o["status"]) for o in outcomes] == [
         ("baseline", "success"),
         ("drifted", "failed"),
         ("healing", "healing_actions_applied"),
         ("post_healing", "healed_success"),
+        ("streaming_monitor", "success"),
     ]
+    # the streaming monitor's running counters agree with the batch
+    # dashboard over the same incident log (one incident per stage)
+    assert outcomes[4]["incident_counts"] == {
+        "success": 1, "failed": 1,
+        "healing_actions_applied": 1, "healed_success": 1,
+    }
     # broken-stage failure carries the observed 0.6 null fraction
     drifted = outcomes[1]
     assert drifted["issues"]["null_fractions"]["age"] == pytest.approx(0.6)

@@ -322,3 +322,15 @@ def test_session_concurrency_bounded_exchanges(spark, sf_dir):
 
     df = q_session_concurrency(spark, sf_dir)
     assert count_exchanges(df) <= 6
+
+
+def test_simhash_blocked_is_equi_join_not_cartesian(spark, sf_dir):
+    # pigeonhole chunk blocking: candidates meet on the (chunk_id,
+    # chunk_val) equi-key — the plan must contain no all-pairs product
+    # (the unblocked twin is BroadcastNestedLoopJoin on doc_id < doc_id)
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        q_simhash_near_dup_blocked,
+    )
+
+    plan = formatted_plan(q_simhash_near_dup_blocked(spark, sf_dir))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
