@@ -34,14 +34,19 @@ BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
 def load_table(spark: SparkSession, sf_dir: str | Path, name: str) -> DataFrame:
     path = str(Path(sf_dir) / f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-        # rejects natively.  Read nanos as long, then truncate to
-        # micros — exactly what DuckDB/Arrow do when narrowing ns -> us,
-        # so both engines see identical timestamp values.
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) in some data
+        # drops and TIMESTAMP(MICROS, isAdjustedToUTC=false) in others.
+        # Normalize every variant to the session TIMESTAMP type (UTC):
+        # nanos -> read as long, truncate to micros (what DuckDB/Arrow do
+        # when narrowing); NTZ micros -> cast, which under the UTC session
+        # zone reinterprets the same wall-clock instant bit-identically.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df.select("event_id", "ts", "user_id", "event_type", "value", "props")
     return spark.read.parquet(path)
 
