@@ -31,22 +31,58 @@ TABLE_NAMES = (
 BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
 
 
+def events_ts_unit(sf_dir: str | Path) -> str:
+    """Probe the events parquet FOOTER for the physical unit of ``ts``.
+
+    Returns ``"us"`` (TIMESTAMP(MICROS), possibly NTZ) or ``"ns"``
+    (TIMESTAMP(NANOS)).  The testdata has shipped BOTH variants across
+    driver rounds — reading nanos as micros (or vice versa) compresses or
+    stretches event time 1000x, which silently breaks every event-time
+    operator far from the cause.  One metadata-only probe per load keeps
+    batch (`load_table`) and streaming (`streaming/events.py`) readers on
+    the same interpretation; an unrecognized variant fails loudly here
+    rather than downstream.
+    """
+    import pyarrow.parquet as pq
+
+    target = Path(sf_dir) / "events.parquet"
+    fp = target if target.is_file() else sorted(target.glob("**/*.parquet"))[0]
+    field = pq.ParquetFile(str(fp)).schema_arrow.field("ts")
+    unit = getattr(field.type, "unit", None)
+    if unit in ("us", "ns"):
+        return unit
+    raise ValueError(
+        f"events.ts has unrecognized type {field.type!r} (expected a "
+        "timestamp of unit us/ns) — testdata format changed; update "
+        "events_ts_unit/load_table and re-verify event-time queries"
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str | Path, name: str) -> DataFrame:
     path = str(Path(sf_dir) / f"{name}.parquet")
     if name == "events":
-        # events.ts has shipped as parquet TIMESTAMP(NANOS) in some data
-        # drops and TIMESTAMP(MICROS, isAdjustedToUTC=false) in others.
-        # Normalize every variant to the session TIMESTAMP type (UTC):
-        # nanos -> read as long, truncate to micros (what DuckDB/Arrow do
-        # when narrowing); NTZ micros -> cast, which under the UTC session
-        # zone reinterprets the same wall-clock instant bit-identically.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type == "timestamp_ntz":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        # Normalize every ts variant to the session TIMESTAMP type.  The
+        # NTZ->timestamp cast is bit-identical ONLY under a UTC session
+        # zone (session.py pins it); assert rather than silently shift.
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC", (
+            "events.ts normalization requires spark.sql.session.timeZone=UTC "
+            "(use session.get_spark)"
+        )
+        unit = events_ts_unit(sf_dir)
+        if unit == "ns":
+            # nanos -> read as long, truncate to micros (the same
+            # narrowing DuckDB/Arrow apply).  The legacy flag is required
+            # for Spark to surface INT64-nanos at all; it only affects
+            # TIMESTAMP(NANOS) columns, which appear nowhere else in the
+            # testdata, so leaving it set is benign.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path).withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        else:
+            df = spark.read.parquet(path).withColumn(
+                "ts", F.col("ts").cast("timestamp")
+            )
         return df.select("event_id", "ts", "user_id", "event_type", "value", "props")
     return spark.read.parquet(path)
 

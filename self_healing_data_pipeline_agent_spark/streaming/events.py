@@ -27,22 +27,65 @@ from pyspark.sql.types import (
     TimestampNTZType,
 )
 
+from ..sources.tables import events_ts_unit
+
 ORACLES: dict[str, str] = {}
 
 WATERMARK = "2 hours"
 
-# events parquet physical schema: ts is INT64 nanos (read as long, then
-# truncated to micros — same narrowing DuckDB applies)
-_EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+
+def _events_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, replay: bool = False
+) -> DataFrame:
+    """File-source readStream over the events table with ``ts`` normalized
+    to the session TIMESTAMP type — the streaming twin of
+    ``sources.tables.load_table``, sharing its footer probe so batch and
+    stream can never disagree on the timestamp unit (the r3 failure mode:
+    the testdata migrated TIMESTAMP(NANOS)->TIMESTAMP(MICROS) and a
+    hardcoded nanos reader compressed event time 1000x, silently breaking
+    every watermark/window/interval-join downstream).
+
+    readStream requires a declared schema AND a directory source; the
+    single-file table is exposed through a symlinked staging dir (a real
+    deployment streams a landing directory anyway).  ``replay=True``
+    symlinks the file twice — the at-least-once redelivery shape used by
+    the streaming-dedup check.
+    """
+    unit = events_ts_unit(sf_dir)
+    staging = tempfile.mkdtemp(prefix="events_stream_")
+    (Path(staging) / "events.parquet").symlink_to(Path(sf_dir) / "events.parquet")
+    if replay:
+        (Path(staging) / "events_replay.parquet").symlink_to(
+            Path(sf_dir) / "events.parquet"
+        )
+    if unit == "ns":
+        # INT64 nanos: surface as long (legacy flag), truncate to micros.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return (
+            spark.readStream.schema(_events_schema(LongType()))
+            .parquet(staging)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+    # MICROS NTZ: read as timestamp_ntz, reinterpret under the UTC session
+    # zone (bit-identical; session.py pins the zone, load_table asserts it).
+    return (
+        spark.readStream.schema(_events_schema(TimestampNTZType()))
+        .parquet(staging)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
 
 
 def streaming_hourly_counts(
@@ -50,17 +93,7 @@ def streaming_hourly_counts(
 ) -> DataFrame:
     """Run the watermarked hourly-count stream to completion
     (``availableNow``) and return the appended result."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # the file source requires a directory; expose the single-file table
-    # through a symlinked staging dir (a real deployment streams a landing
-    # directory anyway)
-    staging = tempfile.mkdtemp(prefix="events_stream_")
-    (Path(staging) / "events.parquet").symlink_to(Path(sf_dir) / "events.parquet")
-    stream = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
-        .parquet(staging)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = read_events_stream(spark, sf_dir)
     windowed = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"))
@@ -134,7 +167,9 @@ def _track_sessions(key, pdf_iter, state):
     rows = []
     ev = pd.concat(list(pdf_iter), ignore_index=True)
     ev = ev.sort_values(["ts", "event_id"], kind="mergesort")
-    ts_us = ev["ts"].astype("int64") // 1000  # ns -> us
+    # ts arrives pre-converted to epoch MICROS (unix_micros upstream) so
+    # the kernel never depends on pandas' datetime64 resolution.
+    ts_us = ev["ts"].astype("int64")
     if state.exists:
         start_us, last_us, n = state.get
     else:
@@ -174,14 +209,8 @@ def stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    staging = tempfile.mkdtemp(prefix="events_stream_")
-    (Path(staging) / "events.parquet").symlink_to(Path(sf_dir) / "events.parquet")
-    stream = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
-        .parquet(staging)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .select("user_id", "event_id", "ts")
+    stream = read_events_stream(spark, sf_dir).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts")
     )
     sessions = stream.groupBy("user_id").applyInPandasWithState(
         _track_sessions,
@@ -249,14 +278,7 @@ def streaming_dq_profile(
     This is the 100 TB DQ deployment shape — quality metrics computed
     incrementally as data lands, not by rescanning the warehouse; state
     is one partial-agg row per open window."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    staging = tempfile.mkdtemp(prefix="events_stream_")
-    (Path(staging) / "events.parquet").symlink_to(Path(sf_dir) / "events.parquet")
-    stream = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
-        .parquet(staging)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = read_events_stream(spark, sf_dir)
     windowed = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"))
@@ -351,16 +373,9 @@ def streaming_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``error_context_join``.  On this finite ``availableNow`` run every
     match lands in-state before any eviction, so the result is EXACTLY
     the batch interval join — a strong batch-stream equivalence check."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    staging = tempfile.mkdtemp(prefix="events_stream_")
-    (Path(staging) / "events.parquet").symlink_to(Path(sf_dir) / "events.parquet")
 
     def side():
-        return (
-            spark.readStream.schema(_EVENTS_RAW_SCHEMA)
-            .parquet(staging)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        return read_events_stream(spark, sf_dir)
 
     errors = (
         side()
@@ -432,17 +447,7 @@ def streaming_dedup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes streaming dedup viable at 100 TB/day, where an unbounded seen-id
     set would OOM.  The oracle is the ordinary hourly count: if dedup
     works, the double-delivered input counts once."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    staging = tempfile.mkdtemp(prefix="events_stream_")
-    (Path(staging) / "events.parquet").symlink_to(Path(sf_dir) / "events.parquet")
-    (Path(staging) / "events_replay.parquet").symlink_to(
-        Path(sf_dir) / "events.parquet"
-    )
-    stream = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
-        .parquet(staging)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = read_events_stream(spark, sf_dir, replay=True)
     deduped = (
         stream.withWatermark("ts", WATERMARK)
         .dropDuplicates(["event_id", "ts"])
@@ -492,14 +497,7 @@ def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (unlike the stream-stream join's buffered sides).  This is the
     standard streaming enrichment deployment shape: facts stream, dims
     sit in the warehouse."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    staging = tempfile.mkdtemp(prefix="events_stream_")
-    (Path(staging) / "events.parquet").symlink_to(Path(sf_dir) / "events.parquet")
-    stream = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
-        .parquet(staging)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = read_events_stream(spark, sf_dir)
     customers = (
         spark.read.parquet(str(Path(sf_dir) / "customer.parquet"))
         .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")

@@ -114,11 +114,13 @@ def _run_batch(state, ts_list, uid=7):
         _track_sessions,
     )
 
+    # the streaming plan feeds the kernel epoch MICROS (unix_micros), so
+    # the kernel never depends on pandas' datetime64 resolution
     pdf = pd.DataFrame(
         {
             "user_id": [uid] * len(ts_list),
             "event_id": list(range(len(ts_list))),
-            "ts": pd.to_datetime(ts_list),
+            "ts": pd.to_datetime(ts_list).astype("datetime64[us]").astype("int64"),
         }
     )
     (out,) = list(_track_sessions((uid,), iter([pdf]), state))
