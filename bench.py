@@ -69,7 +69,67 @@ HEADLINE = [
     # Spark ~0.9x the embedded oracle); the other late ops are sub-second
     # and would only add scheduler floor to the aggregate.
     "dup_ngram_coverage",
+    # r3 additions, benched from r4 so the headline tracks the full
+    # surface: the pigeonhole-blocked SimHash scale path, SemDeDup
+    # semantic dedup, and the multimodal kernel trio.
+    "simhash_near_dup_blocked",
+    "semantic_dedup",
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_frame_sample",
 ]
+
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# Two same-plan runs landing this far apart means a transient host stall
+# (CPU steal / noisy neighbor), not the engine — take extra samples.
+NOISE_RATIO = 2.0
+MAX_RUNS = 4
+
+
+def _time_spark(queries, name, spark, sf_dir) -> float:
+    t0 = time.perf_counter()
+    queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def _bench_duckdb(names: list[str], sf_dir: str) -> dict[str, float]:
+    """Time the DuckDB oracle for each headline query IN THIS PROCESS, so
+    the Spark/DuckDB ratio is measured under identical host conditions.
+
+    The r3 driver bench regressed 3.1x with zero plan changes — pure VM
+    noise — and the absolute wall total is the gated number.  A ratio
+    taken in the same minute on the same host is immune to that failure
+    mode: noise slows both engines together."""
+    import duckdb
+
+    from self_healing_data_pipeline_agent_spark.registry import all_oracles
+
+    oracles = all_oracles()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    timings: dict[str, float] = {}
+    for name in names:
+        sql = oracles.get(name)
+        if sql is None:
+            continue
+        best = float("inf")
+        runs = []
+        while len(runs) < MAX_RUNS:
+            t0 = time.perf_counter()
+            con.sql(sql).fetchall()
+            runs.append(time.perf_counter() - t0)
+            best = min(runs)
+            if len(runs) >= 2 and max(runs[-2:]) <= NOISE_RATIO * best:
+                break
+        timings[name] = round(best, 3)
+    con.close()
+    return timings
 
 
 def main() -> None:
@@ -96,18 +156,25 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # best-of-2 per query: first run includes one-time plan compilation /
+    # best-of-N per query: first run includes one-time plan compilation /
     # codegen JIT for that plan shape; the min is the steady-state number a
-    # cluster actually sees on a recurring workload.
+    # cluster actually sees on a recurring workload.  Normally N=2; when
+    # consecutive runs of the SAME plan disagree by >NOISE_RATIO the host
+    # stalled mid-run, so sample up to MAX_RUNS to find a clean window.
     timings: dict[str, float] = {}
+    noisy: list[str] = []
     for name in names:
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = queries[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        runs: list[float] = []
+        while len(runs) < MAX_RUNS:
+            runs.append(_time_spark(queries, name, spark, sf_dir))
+            if len(runs) >= 2 and max(runs[-2:]) <= NOISE_RATIO * min(runs):
+                break
+        if len(runs) > 2:
+            noisy.append(name)
+        timings[name] = round(min(runs), 3)
+
+    duck_timings = _bench_duckdb(names, sf_dir)
+    duck_total = round(sum(duck_timings.values()), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -119,7 +186,13 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_queries": len(timings),
-                "runs_per_query": 2,
+                "runs_per_query": f"2-{MAX_RUNS} (best; extra on >2x jitter)",
+                "noisy_queries": noisy,
+                "duckdb_oracle_total": duck_total,
+                "duckdb_oracle_queries": duck_timings,
+                "spark_vs_duckdb_ratio": (
+                    round(total / duck_total, 3) if duck_total else None
+                ),
             }
         )
     )

@@ -581,34 +581,46 @@ def q_simhash_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     dataflow.)
     """
     fp = q_simhash_fingerprints(spark, sf_dir)
-    chunked = None
-    for ci, (shift, width) in enumerate(_SIMHASH_CHUNKS):
-        mask = (1 << width) - 1
-        part = fp.select(
-            "doc_id",
-            "simhash16",
-            F.lit(ci).alias("chunk_id"),
-            F.shiftright(F.col("simhash16"), shift).bitwiseAND(F.lit(mask)).alias("chunk_val"),
-        )
-        chunked = part if chunked is None else chunked.unionByName(part)
+    # ONE pass over the fingerprints: explode each into its 3 chunk keys
+    # (vs a 3-way union, which re-evaluates the whole tokenize+agg lineage
+    # per branch and per join side — 6 corpus scans).  Both self-join
+    # sides are now the identical subplan shuffled on the same key, so
+    # Catalyst reuses the exchange and the fingerprint agg runs ONCE.
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(ci).alias("chunk_id"),
+                F.shiftright(F.col("simhash16"), shift)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("chunk_val"),
+            )
+            for ci, (shift, width) in enumerate(_SIMHASH_CHUNKS)
+        ]
+    )
+    chunked = fp.select(
+        "doc_id", "simhash16", F.explode(chunks).alias("c")
+    ).select("doc_id", "simhash16", F.col("c.chunk_id").alias("chunk_id"),
+             F.col("c.chunk_val").alias("chunk_val"))
     a = chunked.alias("a")
     b = chunked.alias("b")
-    cand = (
+    # Verify-then-dedup, not dedup-then-verify: the xor+bit_count Hamming
+    # check is codegen-cheap and runs INSIDE the join stage, so candidate
+    # pairs (corpus-dependent, can be millions) are filtered before any
+    # further shuffle; only the qualifying pairs (each met in <= 3 chunks)
+    # reach the dropDuplicates exchange.
+    ham = F.bit_count(
+        F.col("a.simhash16").bitwiseXOR(F.col("b.simhash16"))
+    ).cast("bigint")
+    return (
         a.join(b, ["chunk_id", "chunk_val"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash16").alias("sh_a"),
-            F.col("b.simhash16").alias("sh_b"),
+            ham.alias("hamming"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        cand.withColumn("hamming", ham.cast("bigint"))
         .filter(F.col("hamming") <= 2)
-        .select("doc_a", "doc_b", "hamming")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
