@@ -70,8 +70,13 @@ QUERY_ORDER = [
     "duplicate_clusters",
     "dedup_keep_best",
     "simhash_near_dup_blocked",
-    # every query below position 50 keeps its official green record; local
-    # parity re-verifies the full surface each session.
+    # -- flagged by scripts/window_audit.py: implementation edited after
+    #    its only official green (r1) --
+    "topk_orders_per_priority",
+    # every query below position 50 keeps its official green record;
+    # scripts/window_audit.py tracks staleness (git log -L over each query
+    # function vs its last green round) and local parity re-verifies the
+    # full surface each session.
 ]
 
 
