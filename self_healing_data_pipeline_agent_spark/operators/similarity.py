@@ -575,20 +575,20 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     ac = _ivf_assignments(emb)
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("cos"), F.asc("centroid_id")
-    )
-    # The assignment feeds both self-join sides and the final left join,
-    # so its lineage (broadcast-centroid map + window) is replayed up to
-    # 3x.  Measured at sf0.1 that replay is CHEAPER than materializing
-    # (localCheckpoint tried: 1.5 -> 1.9 s steady, +5 s first run) because
-    # the assignment is a narrow map over the corpus.  At 100 TB a
-    # production run would write the cell map to a table between the
-    # assign and prune stages; the query shape is unchanged either way.
-    assign = (
-        ac.withColumn("arn", F.row_number().over(w_assign))
-        .filter(F.col("arn") == 1)
-        .select("vec_id", F.col("centroid_id").alias("cell"))
+    # Nearest-cell argmax as a map-side-combinable max_by (max cos, ties
+    # to the LOWEST centroid_id via the negated second struct field) —
+    # the same choice the row_number window picks in ann_ivf_topk, but as
+    # a partial aggregation: A/B-measured equivalent at sf0.1 (both
+    # floor-bound), strictly better at scale because the map-side combine
+    # ships ONE row per vector into the shuffle instead of all scored
+    # candidates sorted.  The assignment feeds both self-join sides and
+    # the final left join, so its lineage is replayed up to 3x; measured
+    # at sf0.1 that replay is CHEAPER than materializing (localCheckpoint
+    # tried: +0.4 s steady, +5 s first run) because it is a narrow map +
+    # partial agg.  At 100 TB a production run would write the cell map
+    # to a table between the assign and prune stages.
+    assign = ac.groupBy("vec_id").agg(
+        F.expr("max_by(centroid_id, struct(cos, -centroid_id))").alias("cell")
     )
     members = assign.join(
         emb.select("vec_id", "embedding", l2_norm(F.col("embedding")).alias("norm")),

@@ -152,30 +152,21 @@ _SESSION_STATE_SCHEMA = StructType(
 )
 
 
-def _track_sessions(key, pdf_iter, state):
-    """applyInPandasWithState kernel: per-user gap sessionizer.
+def _fold_sessions(ts_us_sorted, prev):
+    """Pure gap-sessionizer fold, shared by BOTH arbitrary-state APIs.
 
-    State carries the still-open tail session across micro-batches; each
-    batch's events extend it or close it.  Closed sessions are emitted
-    (append mode); the open tail stays in state — at stream end it is
-    unreported, exactly like a live session that hasn't timed out yet.
-    State is O(1) per user regardless of history length — the shape that
-    scales to billions of users under RocksDB state store.
+    ``prev`` is the open tail session ``(start_us, last_us, n)`` or None;
+    returns ``(closed_sessions, new_open_tail)``.  O(1) state per key
+    regardless of history length — the shape that scales to billions of
+    users under a RocksDB state store.
     """
-    import pandas as pd
-
     rows = []
-    ev = pd.concat(list(pdf_iter), ignore_index=True)
-    ev = ev.sort_values(["ts", "event_id"], kind="mergesort")
-    # ts arrives pre-converted to epoch MICROS (unix_micros upstream) so
-    # the kernel never depends on pandas' datetime64 resolution.
-    ts_us = ev["ts"].astype("int64")
-    if state.exists:
-        start_us, last_us, n = state.get
+    if prev is not None:
+        start_us, last_us, n = prev
     else:
         start_us = last_us = -1
         n = 0
-    for t in ts_us:
+    for t in ts_us_sorted:
         t = int(t)
         if start_us < 0:
             start_us, last_us, n = t, t, 1
@@ -184,9 +175,13 @@ def _track_sessions(key, pdf_iter, state):
             start_us, last_us, n = t, t, 1
         else:
             last_us, n = t, n + 1
-    state.update((start_us, last_us, n))
-    uid = int(key[0])
-    out = pd.DataFrame(
+    return rows, (start_us, last_us, n)
+
+
+def _sessions_frame(uid: int, rows):
+    import pandas as pd
+
+    return pd.DataFrame(
         {
             "user_id": [uid] * len(rows),
             "session_start": [pd.Timestamp(r[0], unit="us") for r in rows],
@@ -194,7 +189,27 @@ def _track_sessions(key, pdf_iter, state):
             "n_events": [r[2] for r in rows],
         }
     )
-    yield out
+
+
+def _track_sessions(key, pdf_iter, state):
+    """applyInPandasWithState kernel: per-user gap sessionizer.
+
+    State carries the still-open tail session across micro-batches; each
+    batch's events extend it or close it.  Closed sessions are emitted
+    (append mode); the open tail stays in state — at stream end it is
+    unreported, exactly like a live session that hasn't timed out yet.
+    """
+    import pandas as pd
+
+    ev = pd.concat(list(pdf_iter), ignore_index=True)
+    ev = ev.sort_values(["ts", "event_id"], kind="mergesort")
+    # ts arrives pre-converted to epoch MICROS (unix_micros upstream) so
+    # the kernel never depends on pandas' datetime64 resolution.
+    rows, tail = _fold_sessions(
+        ev["ts"].astype("int64"), state.get if state.exists else None
+    )
+    state.update(tail)
+    yield _sessions_frame(int(key[0]), rows)
 
 
 def stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -263,6 +278,106 @@ WITH flagged AS (
 SELECT user_id, session_start, session_end, n_events
 FROM rolled WHERE session_id < last_session
 """
+
+
+def transform_with_state_available() -> bool:
+    """``transformWithStateInPandas`` runs a protobuf-based state-server
+    protocol between the JVM and the Python worker; without the protobuf
+    package the worker crashes at startup.  Gate rather than crash."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stateful_sessions_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X17+: the SAME gap sessionizer on ``transformWithStateInPandas`` —
+    Spark 4's arbitrary-state successor API: named typed state handles on
+    a StatefulProcessor object, RocksDB-backed, with (unused here) timer
+    and TTL support that ``applyInPandasWithState`` lacks.  Production
+    would pick this API for new operators; keeping both variants green
+    against ONE oracle pins that the two state APIs agree exactly.
+
+    Requires the ``protobuf`` package (the API's Python<->JVM state
+    protocol); registered as a query only where that dependency exists —
+    this container lacks it, so the registered/oracle-checked sessionizer
+    here is the ``applyInPandasWithState`` variant, and the two share the
+    ``_fold_sessions`` kernel verbatim.
+    """
+    if not transform_with_state_available():
+        raise ModuleNotFoundError(
+            "transformWithStateInPandas needs the 'protobuf' package "
+            "(google.protobuf) for its state-server protocol; use "
+            "stateful_sessions (applyInPandasWithState, same kernel) here"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "open_session", _SESSION_STATE_SCHEMA
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            ev = pd.concat(list(rows), ignore_index=True)
+            ev = ev.sort_values(["ts", "event_id"], kind="mergesort")
+            prev = self._state.get() if self._state.exists() else None
+            closed, tail = _fold_sessions(ev["ts"].astype("int64"), prev)
+            self._state.update(tail)
+            yield _sessions_frame(int(key[0]), closed)
+
+        def close(self) -> None:
+            pass
+
+    # transformWithState requires the RocksDB state store — the provider
+    # a real deployment runs anyway (incremental checkpoints, state far
+    # beyond executor heap).
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    stream = read_events_stream(spark, sf_dir).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts")
+    )
+    sessions = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_SessionProcessor(),
+        outputStructType=_SESSION_OUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
+    name = f"stateful_sessions_tws_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+# Register the query + oracle only where the API can actually run (the
+# registry discovers q_-prefixed callables dynamically), so the declared
+# correctness surface never contains an operator the environment cannot
+# execute.  Same batch twin as the applyInPandasWithState variant: the
+# two arbitrary-state APIs must produce identical sessions.
+if transform_with_state_available():
+
+    def q_stateful_sessions_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return stateful_sessions_tws(spark, sf_dir)
+
+    ORACLES["stateful_sessions_tws"] = ORACLES["stateful_sessions"]
 
 
 # --- Streaming DQ monitor ---------------------------------------------------

@@ -159,6 +159,30 @@ def test_stateful_session_kernel_gap_split_within_batch():
     assert state.get[2] == 2  # open tail holds the last two events
 
 
+def test_transform_with_state_variant_gated_or_equivalent(spark, sf_dir):
+    """The transformWithStateInPandas sessionizer shares _fold_sessions
+    with the applyInPandasWithState variant.  Where its protobuf
+    dependency exists the two APIs must emit identical sessions; where it
+    does not, the variant must gate with a clear error and stay OUT of
+    the registered query surface."""
+    from self_healing_data_pipeline_agent_spark.registry import all_queries
+    from self_healing_data_pipeline_agent_spark.streaming.events import (
+        stateful_sessions,
+        stateful_sessions_tws,
+        transform_with_state_available,
+    )
+
+    if transform_with_state_available():
+        assert "stateful_sessions_tws" in all_queries()
+        a = sorted(tuple(r) for r in stateful_sessions_tws(spark, sf_dir).collect())
+        b = sorted(tuple(r) for r in stateful_sessions(spark, sf_dir).collect())
+        assert a == b
+    else:
+        assert "stateful_sessions_tws" not in all_queries()
+        with pytest.raises(ModuleNotFoundError, match="protobuf"):
+            stateful_sessions_tws(spark, sf_dir)
+
+
 def test_multimodal_resize_contract(spark, sf_dir):
     from self_healing_data_pipeline_agent_spark.operators.multimodal import (
         RESIZE_TARGET, q_multimodal_resize, resize_payload,
