@@ -77,6 +77,9 @@ HEADLINE = [
     "multimodal_features",
     "multimodal_resize",
     "multimodal_frame_sample",
+    # r4: the composed curation funnel (dedup -> gates -> decontaminate
+    # in one lazy plan) — the flagship end-to-end pipeline measurement.
+    "curate_corpus",
 ]
 
 

@@ -1719,3 +1719,180 @@ SELECT source,
 FROM chunks JOIN occ USING (chunk_text)
 GROUP BY source
 """
+
+
+# --- end-to-end corpus curation funnel ---------------------------------------
+
+_NORM_EXPR_SQL = (
+    "TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data curation PIPELINE as one lazy plan — the
+    composition a user actually runs, not isolated operators: hold out
+    the benchmark split, exact-dedup on the normalized-text hash
+    (keep-first), apply the Gopher/C4-style quality gates to each
+    surviving representative, then drop survivors sharing any 3-gram
+    with the benchmark.  Output is the 4-row attrition funnel
+    (stage_ord, stage, n_docs) a curation run reports.
+
+    Composition notes (same building blocks as the standalone queries —
+    ``normalize_text``, ``exact_dedup_docs``, ``quality_gates``,
+    ``decontaminate_docs`` — chained without materializing between
+    stages):
+    - dedup representative via ONE map-side-combinable groupBy with
+      ``min_by(text, doc_id)``: no window sort, no join-back to fetch the
+      survivor's raw text;
+    - quality gates stay codegen projections over that aggregate;
+    - decontamination shingles ONLY the survivors (upstream filters
+      shrink the expensive stage - the point of lazy composition), with
+      the benchmark shingle set broadcast;
+    - the funnel assembles from two 1-row aggregates (corpus-level and
+      survivor-level) stacked — no collect, driver sees 4 rows.
+
+    At 100 TB each arrow in the chain is the proven scale shape of its
+    standalone operator; Catalyst pushes the 2-column read down to the
+    scan on both branches.
+    """
+    bench_ids = F.col("doc_id") % BENCH_DOC_MOD == 0
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(~bench_ids)
+        .select("doc_id", "text")
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +", " ",
+        )
+    )
+    hashed = docs.select("doc_id", "text", F.md5(norm).alias("h"))
+
+    # corpus-level counts: raw size + distinct normalized hashes
+    corpus_counts = hashed.agg(
+        F.count(F.lit(1)).alias("n_corpus"),
+        F.countDistinct("h").alias("n_dedup"),
+    )
+
+    # keep-first representative per hash, raw text carried by min_by
+    reps = hashed.groupBy("h").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.expr("min_by(text, doc_id)").alias("text"),
+    )
+
+    toks = _tokens_col()
+    n_tokens = F.size(toks)
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", "")).cast("double")
+        / F.length("text")
+    )
+    has_stop = F.size(
+        F.filter(toks, lambda x: (x == "the") | (x == "a") | (x == "of"))
+    ) > 0
+    keep_q = (
+        (n_tokens >= QG_MIN_TOKENS)
+        & (n_tokens <= QG_MAX_TOKENS)
+        & (alpha_ratio >= QG_MIN_ALPHA)
+        & has_stop
+    )
+    gated = reps.select("doc_id", "text", keep_q.alias("keep_q"))
+
+    # benchmark decontamination over the gated survivors only
+    bench_shingles = (
+        _shingle_df(spark, sf_dir)
+        .filter(F.col("doc_id") % BENCH_DOC_MOD == 0)
+        .select("shingle")
+        .distinct()
+    )
+    surv_toks = (
+        gated.filter("keep_q")
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+        .filter(F.col("tok") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    surv_shingles = (
+        surv_toks.select(
+            "doc_id",
+            F.concat_ws(
+                " ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+            ).alias("shingle"),
+            F.lead("tok", 2).over(w).alias("_t2"),
+        )
+        .filter(F.col("_t2").isNotNull())
+        .select("doc_id", "shingle")
+    )
+    contaminated = (
+        surv_shingles.join(F.broadcast(bench_shingles), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("bad", F.lit(True))
+    )
+    flags = gated.join(contaminated, "doc_id", "left").select(
+        "keep_q", F.coalesce("bad", F.lit(False)).alias("bad")
+    )
+    surv_counts = flags.agg(
+        F.count_if(F.col("keep_q")).alias("n_quality"),
+        F.count_if(F.col("keep_q") & ~F.col("bad")).alias("n_clean"),
+    )
+
+    return corpus_counts.crossJoin(F.broadcast(surv_counts)).select(
+        F.expr(
+            "stack(4,"
+            " CAST(0 AS BIGINT), 'corpus',         n_corpus,"
+            " CAST(1 AS BIGINT), 'exact_dedup',    n_dedup,"
+            " CAST(2 AS BIGINT), 'quality_gates',  n_quality,"
+            " CAST(3 AS BIGINT), 'decontaminated', n_clean"
+            ") AS (stage_ord, stage, n_docs)"
+        )
+    )
+
+
+ORACLES["curate_corpus"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {BENCH_DOC_MOD} <> 0
+),
+hashed AS (
+  SELECT doc_id, text, md5({_NORM_EXPR_SQL}) AS h FROM corpus
+),
+reps AS (
+  SELECT h, MIN(doc_id) AS doc_id, min_by(text, doc_id) AS text
+  FROM hashed GROUP BY h
+),
+gated AS (
+  SELECT doc_id, text,
+         len({_DUCK_TOKENS}) BETWEEN {QG_MIN_TOKENS} AND {QG_MAX_TOKENS}
+         AND CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+             / length(text) >= {QG_MIN_ALPHA}
+         AND len(list_filter(string_split(text, ' '),
+                 x -> x = 'the' OR x = 'a' OR x = 'of')) > 0 AS keep_q
+  FROM reps
+),
+{_DUCK_SHINGLE_CTE},
+bench AS (
+  SELECT DISTINCT shingle FROM shingles WHERE doc_id % {BENCH_DOC_MOD} = 0
+),
+contaminated AS (
+  SELECT DISTINCT s.doc_id
+  FROM shingles s JOIN bench b ON s.shingle = b.shingle
+  WHERE s.doc_id % {BENCH_DOC_MOD} <> 0
+),
+counts AS (
+  SELECT
+    (SELECT COUNT(*) FROM corpus) AS n_corpus,
+    (SELECT COUNT(*) FROM reps) AS n_dedup,
+    (SELECT COUNT(*) FROM gated WHERE keep_q) AS n_quality,
+    (SELECT COUNT(*) FROM gated g
+      WHERE keep_q
+        AND g.doc_id NOT IN (SELECT doc_id FROM contaminated)) AS n_clean
+)
+SELECT CAST(0 AS BIGINT) AS stage_ord, 'corpus' AS stage,
+       CAST(n_corpus AS BIGINT) AS n_docs FROM counts
+UNION ALL
+SELECT 1, 'exact_dedup', CAST(n_dedup AS BIGINT) FROM counts
+UNION ALL
+SELECT 2, 'quality_gates', CAST(n_quality AS BIGINT) FROM counts
+UNION ALL
+SELECT 3, 'decontaminated', CAST(n_clean AS BIGINT) FROM counts
+"""

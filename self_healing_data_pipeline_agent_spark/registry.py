@@ -73,6 +73,8 @@ QUERY_ORDER = [
     # -- flagged by scripts/window_audit.py: implementation edited after
     #    its only official green (r1) --
     "topk_orders_per_priority",
+    # -- new in r4: composed curation funnel --
+    "curate_corpus",
     # every query below position 50 keeps its official green record;
     # scripts/window_audit.py tracks staleness (git log -L over each query
     # function vs its last green round) and local parity re-verifies the
