@@ -122,6 +122,22 @@ def test_decontaminate_broadcasts_benchmark_shingles(spark, sf_dir):
     assert has_broadcast_join(df)
 
 
+def test_curate_corpus_all_joins_broadcast(spark, sf_dir):
+    # the composed curation funnel must contain NO sort-merge join: the
+    # benchmark shingle set and the 1-row survivor aggregate broadcast,
+    # and the contamination semi-join rides the broadcast too.  A stray
+    # SortMergeJoin here means a full shuffle of the corpus shingle
+    # stream at 100 TB.
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        q_curate_corpus,
+    )
+
+    df = q_curate_corpus(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_funnel_stacks_windows_behind_one_exchange(spark, sf_dir):
     # three chained conditional-min windows share one partitioning: the
     # whole funnel costs 2 exchanges (windows + final rollup), no sorts
