@@ -183,6 +183,25 @@ def test_transform_with_state_variant_gated_or_equivalent(spark, sf_dir):
             stateful_sessions_tws(spark, sf_dir)
 
 
+def test_multimodal_codec_registry():
+    """Codec dispatch: built-in test codec round-trips, unknown codecs
+    fail with the available list, custom registrations dispatch."""
+    from self_healing_data_pipeline_agent_spark.operators.multimodal import (
+        decode_image,
+        decode_payload,
+        register_codec,
+    )
+
+    assert decode_payload(b"FAKEIMG:abc") == b"abc"
+    assert decode_image(b"FAKEIMG:abc") == b"abc"
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"JPEG...")
+    with pytest.raises(NotImplementedError, match="fakeimg"):
+        decode_payload(b"x", codec="no_such_codec")
+    register_codec("reverse", lambda p: p[::-1])
+    assert decode_payload(b"abc", codec="reverse") == b"cba"
+
+
 def test_multimodal_resize_contract(spark, sf_dir):
     from self_healing_data_pipeline_agent_spark.operators.multimodal import (
         RESIZE_TARGET, q_multimodal_resize, resize_payload,
