@@ -121,16 +121,20 @@ def _bench_duckdb(names: list[str], sf_dir: str) -> dict[str, float]:
         sql = oracles.get(name)
         if sql is None:
             continue
-        best = float("inf")
-        runs = []
-        while len(runs) < MAX_RUNS:
-            t0 = time.perf_counter()
-            con.sql(sql).fetchall()
-            runs.append(time.perf_counter() - t0)
-            best = min(runs)
-            if len(runs) >= 2 and max(runs[-2:]) <= NOISE_RATIO * best:
-                break
-        timings[name] = round(best, 3)
+        try:
+            best = float("inf")
+            runs = []
+            while len(runs) < MAX_RUNS:
+                t0 = time.perf_counter()
+                con.sql(sql).fetchall()
+                runs.append(time.perf_counter() - t0)
+                best = min(runs)
+                if len(runs) >= 2 and max(runs[-2:]) <= NOISE_RATIO * best:
+                    break
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 - one bad oracle must not
+            # cost the whole comparison column
+            print(f"# duckdb oracle failed for {name}: {exc}", file=sys.stderr)
     con.close()
     return timings
 
@@ -166,18 +170,28 @@ def main() -> None:
     # stalled mid-run, so sample up to MAX_RUNS to find a clean window.
     timings: dict[str, float] = {}
     noisy: list[str] = []
+    errors: list[str] = []
     for name in names:
-        runs: list[float] = []
-        while len(runs) < MAX_RUNS:
-            runs.append(_time_spark(queries, name, spark, sf_dir))
-            if len(runs) >= 2 and max(runs[-2:]) <= NOISE_RATIO * min(runs):
-                break
-        if len(runs) > 2:
-            noisy.append(name)
-        timings[name] = round(min(runs), 3)
+        try:
+            runs: list[float] = []
+            while len(runs) < MAX_RUNS:
+                runs.append(_time_spark(queries, name, spark, sf_dir))
+                if len(runs) >= 2 and max(runs[-2:]) <= NOISE_RATIO * min(runs):
+                    break
+            if len(runs) > 2:
+                noisy.append(name)
+            timings[name] = round(min(runs), 3)
+        except Exception as exc:  # noqa: BLE001 - one broken query must not
+            # cost the round's entire benchmark record
+            errors.append(name)
+            print(f"# spark query failed for {name}: {exc}", file=sys.stderr)
 
     duck_timings = _bench_duckdb(names, sf_dir)
-    duck_total = round(sum(duck_timings.values()), 3)
+    # ratio over the queries BOTH engines completed, so a one-sided
+    # failure skews neither numerator nor denominator
+    common = set(timings) & set(duck_timings)
+    spark_common = round(sum(timings[n] for n in common), 3)
+    duck_total = round(sum(duck_timings[n] for n in common), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -191,10 +205,11 @@ def main() -> None:
                 "n_queries": len(timings),
                 "runs_per_query": f"2-{MAX_RUNS} (best; extra on >2x jitter)",
                 "noisy_queries": noisy,
+                "errored_queries": errors,
                 "duckdb_oracle_total": duck_total,
                 "duckdb_oracle_queries": duck_timings,
                 "spark_vs_duckdb_ratio": (
-                    round(total / duck_total, 3) if duck_total else None
+                    round(spark_common / duck_total, 3) if duck_total else None
                 ),
             }
         )
