@@ -56,8 +56,23 @@ def dsum(expr: Column) -> Column:
 
 def dsum_wide(expr: Column) -> Column:
     """``dsum`` with a 128-bit accumulator for large per-row magnitudes
-    (squared terms in variance).  Same value, wider sum."""
-    return F.sum(_units(expr).cast("decimal(38,0)")).cast("double") / F.lit(SCALE)
+    (squared terms in variance).  Same value, wider sum.
+
+    The final conversion is SPLIT — ``q = S div 1e4`` (exact integer),
+    ``r = S mod 1e4`` — and reassembled as ``double(q) + double(r)/1e4``,
+    because engines disagree on rounding when casting integers ABOVE
+    2^63 to double: at sf0.1 the squared-price unit sum is ~2.2e19 and
+    DuckDB's HUGEINT->DOUBLE rounds differently from Spark's
+    DECIMAL->DOUBLE (2 ulp apart — found by the sf0.1 parity sweep).
+    After the split both engines only convert int64-range integers,
+    where int->double is IEEE round-to-nearest everywhere, and the
+    remaining +,/ are identically-shaped IEEE ops.  (Quantized units of
+    a squared term are non-negative, so div/mod truncation vs floor is
+    moot.)  SQL twin: ``sql_dsum_wide``."""
+    s = F.sum(_units(expr).cast("decimal(38,0)"))
+    r = s % F.lit(10000)
+    q = ((s - r) / F.lit(10000)).cast("long")
+    return q.cast("double") + r.cast("long").cast("double") / F.lit(SCALE)
 
 
 def davg(expr: Column) -> Column:

@@ -75,6 +75,10 @@ QUERY_ORDER = [
     "topk_orders_per_priority",
     # -- new in r4: composed curation funnel --
     "curate_corpus",
+    # -- stddev conversion fixed in r4 (sf0.1 parity sweep found a 2-ulp
+    #    cross-engine divergence casting >2^63 unit sums to double) --
+    "stats_profile",
+    "grouped_drift_profile",
     # every query below position 50 keeps its official green record;
     # scripts/window_audit.py tracks staleness (git log -L over each query
     # function vs its last green round) and local parity re-verifies the
