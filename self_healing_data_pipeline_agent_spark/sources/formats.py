@@ -1,0 +1,74 @@
+"""Multi-format table interchange: the same tables, any Spark-native
+format.
+
+The reference ingests CSV only (``src/etl_pipeline.py:37-50``); a warehouse
+at scale also speaks parquet, ORC and JSON-lines, and correctness must not
+depend on the container format.  ``convert_table`` rewrites a catalog table
+into another format; ``read_table_as`` loads it back with the ORIGINAL
+schema enforced, so lossy containers (JSON has no int32/date physical
+types) round-trip bit-identically instead of silently re-inferring.
+
+Format notes (scale view):
+- **parquet** — the default: columnar, footer zone maps (the engine's
+  statistics source, see ``tables.parquet_column_spans``), predicate
+  pushdown.
+- **orc** — columnar peer with built-in bloom-filter support; Spark-native,
+  zero extra dependencies.  The right choice when the warehouse is
+  Hive/ORC-standardized.
+- **json** (lines) — row-oriented interchange; 5-10x the scan cost of the
+  columnar formats and no pushdown, so it is an EDGE format (landing /
+  export), never the warehouse layout.  Schema must be supplied on read —
+  inference is a full extra pass at 100 TB and can widen types.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .tables import load_table
+
+SUPPORTED_FORMATS = ("parquet", "orc", "json")
+
+
+def convert_table(
+    spark: SparkSession,
+    sf_dir: str | Path,
+    name: str,
+    fmt: str,
+    dest: str | Path,
+) -> str:
+    """Rewrite catalog table ``name`` into ``fmt`` under ``dest``;
+    returns the written path."""
+    if fmt not in SUPPORTED_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; use {SUPPORTED_FORMATS}")
+    out = str(Path(dest) / f"{name}.{fmt}")
+    df = load_table(spark, sf_dir, name)
+    if fmt == "json":
+        # JSON has no native timestamp type: serialize deterministically
+        # (ISO-8601, UTC session zone) so the read side can cast back.
+        df.write.mode("overwrite").option(
+            "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        ).json(out)
+    else:
+        getattr(df.write.mode("overwrite"), fmt)(out)
+    return out
+
+
+def read_table_as(
+    spark: SparkSession,
+    sf_dir: str | Path,
+    name: str,
+    fmt: str,
+    path: str | Path,
+) -> DataFrame:
+    """Read a converted table back with the canonical schema enforced
+    (taken from the original catalog table, not re-inferred)."""
+    schema = load_table(spark, sf_dir, name).schema
+    reader = spark.read.schema(schema)
+    if fmt == "json":
+        return reader.option(
+            "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        ).json(str(path))
+    return getattr(reader, fmt)(str(path))
