@@ -1799,30 +1799,38 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gated = reps.select("doc_id", "text", keep_q.alias("keep_q"))
 
-    # benchmark decontamination over the gated survivors only
-    bench_shingles = (
-        _shingle_df(spark, sf_dir)
-        .filter(F.col("doc_id") % BENCH_DOC_MOD == 0)
-        .select("shingle")
-        .distinct()
-    )
-    surv_toks = (
-        gated.filter("keep_q")
-        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
-        .filter(F.col("tok") != "")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    surv_shingles = (
-        surv_toks.select(
-            "doc_id",
-            F.concat_ws(
-                " ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
-            ).alias("shingle"),
-            F.lead("tok", 2).over(w).alias("_t2"),
+    # benchmark decontamination over the gated survivors only.  Both
+    # shingle streams are built from PRE-FILTERED frames (bench split /
+    # gated survivors) — not by filtering the cached corpus-wide
+    # _shingle_df, which would materialize every document's shingles to
+    # extract a 1/97 slice.  At 100 TB the filters run at the scan.
+    def _shingles_of(frame: DataFrame) -> DataFrame:
+        toks = (
+            frame.select(
+                "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+            )
+            .filter(F.col("tok") != "")
         )
-        .filter(F.col("_t2").isNotNull())
-        .select("doc_id", "shingle")
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        return (
+            toks.select(
+                "doc_id",
+                F.concat_ws(
+                    " ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+                ).alias("shingle"),
+                F.lead("tok", 2).over(w).alias("_t2"),
+            )
+            .filter(F.col("_t2").isNotNull())
+            .select("doc_id", "shingle")
+        )
+
+    bench_docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(bench_ids)
+        .select("doc_id", "text")
     )
+    bench_shingles = _shingles_of(bench_docs).select("shingle").distinct()
+    surv_shingles = _shingles_of(gated.filter("keep_q"))
     contaminated = (
         surv_shingles.join(F.broadcast(bench_shingles), "shingle", "left_semi")
         .select("doc_id")
