@@ -38,6 +38,13 @@ def get_spark(
         # UTC everywhere: keeps timestamp semantics identical across engines
         # and executors regardless of host timezone.
         .config("spark.sql.session.timeZone", "UTC")
+        # Surface INT64 TIMESTAMP(NANOS) parquet columns as long so the
+        # events reader can truncate them to micros itself (the testdata
+        # has shipped nanos in past rounds).  Pinned here — once, at build
+        # time, beside the UTC pin — so no reader mutates session confs as
+        # a side effect; it only affects TIMESTAMP(NANOS) columns, which
+        # appear nowhere else, and the events readers guard on it loudly.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow for pandas UDF / toPandas boundaries.

@@ -31,17 +31,21 @@ TABLE_NAMES = (
 BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
 
 
-def events_ts_unit(sf_dir: str | Path) -> str:
-    """Probe the events parquet FOOTER for the physical unit of ``ts``.
+def events_ts_info(sf_dir: str | Path) -> tuple[str, bool]:
+    """Probe the events parquet FOOTER for the physical type of ``ts``.
 
-    Returns ``"us"`` (TIMESTAMP(MICROS), possibly NTZ) or ``"ns"``
-    (TIMESTAMP(NANOS)).  The testdata has shipped BOTH variants across
+    Returns ``(unit, tz_adjusted)`` where ``unit`` is ``"us"``
+    (TIMESTAMP(MICROS)) or ``"ns"`` (TIMESTAMP(NANOS)) and ``tz_adjusted``
+    says whether the column is UTC-adjusted (``timestamp[us, tz=UTC]``)
+    rather than NTZ.  The testdata has shipped multiple variants across
     driver rounds — reading nanos as micros (or vice versa) compresses or
     stretches event time 1000x, which silently breaks every event-time
-    operator far from the cause.  One metadata-only probe per load keeps
-    batch (`load_table`) and streaming (`streaming/events.py`) readers on
-    the same interpretation; an unrecognized variant fails loudly here
-    rather than downstream.
+    operator far from the cause; a tz-adjusted drop changes the Spark-side
+    schema from TimestampNTZType to TimestampType, which breaks a declared
+    streaming schema.  One metadata-only probe per load keeps batch
+    (`load_table`) and streaming (`streaming/events.py`) readers on the
+    same interpretation; an unrecognized variant fails loudly here rather
+    than downstream.
     """
     import pyarrow.parquet as pq
 
@@ -50,12 +54,18 @@ def events_ts_unit(sf_dir: str | Path) -> str:
     field = pq.ParquetFile(str(fp)).schema_arrow.field("ts")
     unit = getattr(field.type, "unit", None)
     if unit in ("us", "ns"):
-        return unit
+        return unit, getattr(field.type, "tz", None) is not None
     raise ValueError(
         f"events.ts has unrecognized type {field.type!r} (expected a "
         "timestamp of unit us/ns) — testdata format changed; update "
-        "events_ts_unit/load_table and re-verify event-time queries"
+        "events_ts_info/load_table and re-verify event-time queries"
     )
+
+
+def events_ts_unit(sf_dir: str | Path) -> str:
+    """Unit-only view of :func:`events_ts_info` (kept for callers that
+    only branch on micros vs nanos)."""
+    return events_ts_info(sf_dir)[0]
 
 
 def load_table(spark: SparkSession, sf_dir: str | Path, name: str) -> DataFrame:
@@ -63,19 +73,27 @@ def load_table(spark: SparkSession, sf_dir: str | Path, name: str) -> DataFrame:
     if name == "events":
         # Normalize every ts variant to the session TIMESTAMP type.  The
         # NTZ->timestamp cast is bit-identical ONLY under a UTC session
-        # zone (session.py pins it); assert rather than silently shift.
-        assert spark.conf.get("spark.sql.session.timeZone") == "UTC", (
-            "events.ts normalization requires spark.sql.session.timeZone=UTC "
-            "(use session.get_spark)"
-        )
-        unit = events_ts_unit(sf_dir)
+        # zone (session.py pins it); raise rather than silently shift —
+        # not an assert, which `python -O` strips.
+        if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+            raise RuntimeError(
+                "events.ts normalization requires "
+                "spark.sql.session.timeZone=UTC (use session.get_spark)"
+            )
+        unit, _tz_adjusted = events_ts_info(sf_dir)
         if unit == "ns":
             # nanos -> read as long, truncate to micros (the same
             # narrowing DuckDB/Arrow apply).  The legacy flag is required
-            # for Spark to surface INT64-nanos at all; it only affects
-            # TIMESTAMP(NANOS) columns, which appear nowhere else in the
-            # testdata, so leaving it set is benign.
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            # for Spark to surface INT64-nanos at all; session.get_spark
+            # sets it once at build time (beside the UTC pin) so no query
+            # mutates session confs as a side effect.  Fail loudly on a
+            # foreign session rather than flipping the conf mid-flight.
+            if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") != "true":
+                raise RuntimeError(
+                    "events.parquet carries TIMESTAMP(NANOS): reading it "
+                    "requires spark.sql.legacy.parquet.nanosAsLong=true "
+                    "(use session.get_spark, which pins it)"
+                )
             df = spark.read.parquet(path).withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
@@ -123,6 +141,20 @@ def parquet_column_spans(
                 else:
                     spans[col] = (mn, mx)
     return spans if len(spans) == len(cols) else None
+
+
+def parquet_row_count(sf_dir: str | Path, name: str) -> int:
+    """Exact row count from parquet FOOTER metadata — no data scan.
+
+    Used by operators that switch plan shape on input size (e.g.
+    SemDeDup's materialize-vs-replay decision, the exact-percentile
+    aggregate): the decision must not itself cost a pass over the data.
+    """
+    import pyarrow.parquet as pq
+
+    target = Path(sf_dir) / f"{name}.parquet"
+    files = [target] if target.is_file() else sorted(target.glob("**/*.parquet"))
+    return sum(pq.ParquetFile(str(fp)).metadata.num_rows for fp in files)
 
 
 def load_tables(

@@ -24,10 +24,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType, LongType, StringType, StructField, StructType,
-    TimestampNTZType,
+    TimestampNTZType, TimestampType,
 )
 
-from ..sources.tables import events_ts_unit
+from ..sources.tables import events_ts_info
 
 ORACLES: dict[str, str] = {}
 
@@ -64,7 +64,7 @@ def read_events_stream(
     symlinks the file twice — the at-least-once redelivery shape used by
     the streaming-dedup check.
     """
-    unit = events_ts_unit(sf_dir)
+    unit, tz_adjusted = events_ts_info(sf_dir)
     staging = tempfile.mkdtemp(prefix="events_stream_")
     (Path(staging) / "events.parquet").symlink_to(Path(sf_dir) / "events.parquet")
     if replay:
@@ -72,17 +72,30 @@ def read_events_stream(
             Path(sf_dir) / "events.parquet"
         )
     if unit == "ns":
-        # INT64 nanos: surface as long (legacy flag), truncate to micros.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # INT64 nanos: surfaced as long via the nanosAsLong conf that
+        # session.get_spark pins at build time; guard loudly on a foreign
+        # session rather than mutating confs as a side effect.
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") != "true":
+            raise RuntimeError(
+                "events.parquet carries TIMESTAMP(NANOS): streaming it "
+                "requires spark.sql.legacy.parquet.nanosAsLong=true "
+                "(use session.get_spark, which pins it)"
+            )
         return (
             spark.readStream.schema(_events_schema(LongType()))
             .parquet(staging)
             .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         )
-    # MICROS NTZ: read as timestamp_ntz, reinterpret under the UTC session
-    # zone (bit-identical; session.py pins the zone, load_table asserts it).
+    # MICROS: the declared schema must match the file's physical variant —
+    # NTZ files are TimestampNTZType, UTC-adjusted files (timestamp[us,
+    # tz=UTC]) are TimestampType.  Batch load_table absorbs the difference
+    # via schema inference; a declared streaming schema cannot, so pick by
+    # the probe's tz flag (a mismatched drop previously would have made
+    # batch succeed while streaming misread).  The cast to the session
+    # TIMESTAMP type is bit-identical under the pinned UTC zone either way.
+    ts_type = TimestampType() if tz_adjusted else TimestampNTZType()
     return (
-        spark.readStream.schema(_events_schema(TimestampNTZType()))
+        spark.readStream.schema(_events_schema(ts_type))
         .parquet(staging)
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
