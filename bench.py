@@ -107,15 +107,24 @@ def _bench_duckdb(names: list[str], sf_dir: str) -> dict[str, float]:
     The r3 driver bench regressed 3.1x with zero plan changes — pure VM
     noise — and the absolute wall total is the gated number.  A ratio
     taken in the same minute on the same host is immune to that failure
-    mode: noise slows both engines together."""
-    import duckdb
+    mode: noise slows both engines together.
 
-    from self_healing_data_pipeline_agent_spark.registry import all_oracles
+    The WHOLE body is guarded: a missing duckdb module, a missing table
+    file (DuckDB binds the view SELECT at creation), or any other setup
+    failure returns {} so the already-collected Spark timings still print
+    — one failure must not cost the round's record."""
+    try:
+        import duckdb
 
-    oracles = all_oracles()
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        from self_healing_data_pipeline_agent_spark.registry import all_oracles
+
+        oracles = all_oracles()
+        con = duckdb.connect()
+        for t in TABLES:
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    except Exception as exc:  # noqa: BLE001 - comparison column is optional
+        print(f"# duckdb comparison unavailable: {exc}", file=sys.stderr)
+        return {}
     timings: dict[str, float] = {}
     for name in names:
         sql = oracles.get(name)
@@ -194,27 +203,56 @@ def main() -> None:
     duck_total = round(sum(duck_timings[n] for n in common), 3)
 
     total = round(sum(timings.values()), 3)
+    # The driver archives only the LAST 2000 chars of this line
+    # (BENCH_r04.json lost the Spark per-query dict to head truncation).
+    # Field order is therefore load-bearing: summary fields FIRST, the
+    # Spark per-query dict LAST so it always survives the preserved tail.
+    # The DuckDB per-query map is stderr-only (BENCH.md carries the full
+    # table); ~51 ms-rounded Spark entries fit inside 2000 chars.
     print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "n_queries": len(timings),
-                "runs_per_query": f"2-{MAX_RUNS} (best; extra on >2x jitter)",
-                "noisy_queries": noisy,
-                "errored_queries": errors,
-                "duckdb_oracle_total": duck_total,
-                "duckdb_oracle_queries": duck_timings,
-                "spark_vs_duckdb_ratio": (
-                    round(spark_common / duck_total, 3) if duck_total else None
-                ),
-            }
+        f"# duckdb_oracle_queries: {json.dumps(duck_timings)}",
+        file=sys.stderr,
+    )
+    print(
+        _result_line(
+            total=total,
+            sf=float(sf) if sf.replace(".", "").isdigit() else sf,
+            timings=timings,
+            noisy=noisy,
+            errors=errors,
+            duck_total=duck_total,
+            ratio=round(spark_common / duck_total, 3) if duck_total else None,
         )
     )
     spark.stop()
+
+
+def _result_line(
+    *, total, sf, timings, noisy, errors, duck_total, ratio
+) -> str:
+    """One-line JSON result sized to survive the driver's 2000-char TAIL
+    keep whole: the Spark per-query dict is the FINAL key (r4 lost it to
+    head truncation) and the variable-length noisy/errored lists are
+    capped to counts + a sample so the full line stays under 2000 chars
+    even on a worst-case noisy host — otherwise the tail keep would
+    instead truncate ``value`` (the gated headline number) off the head."""
+    return json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "n_queries": len(timings),
+            "runs_per_query": f"2-{MAX_RUNS} (best; extra on >2x jitter)",
+            "n_noisy": len(noisy),
+            "noisy_sample": noisy[:3],
+            "n_errored": len(errors),
+            "errored_sample": errors[:3],
+            "duckdb_oracle_total": duck_total,
+            "spark_vs_duckdb_ratio": ratio,
+            "queries": timings,
+        }
+    )
 
 
 if __name__ == "__main__":

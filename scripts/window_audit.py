@@ -53,10 +53,13 @@ def _git(*args: str) -> subprocess.CompletedProcess:
     )
 
 
-def official_greens() -> dict[str, int]:
-    """query -> latest round number whose CORRECTNESS file records a green
-    (hash_match, or rows_match for rows-only checks)."""
-    greens: dict[str, int] = {}
+def official_green_records() -> dict[str, tuple[int, str]]:
+    """query -> (latest green round, path of that round's CORRECTNESS
+    file).  Green = hash_match, or rows_match for rows-only checks.  The
+    path is carried so the green's commit is derived from the FILE THE
+    GLOB MATCHED — not a re-formatted filename that can disagree on digit
+    padding (the r4 blind spot)."""
+    greens: dict[str, tuple[int, str]] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -70,17 +73,29 @@ def official_greens() -> dict[str, int]:
             ok = rec.get("hash_match")
             if ok is None:
                 ok = rec.get("rows_match")
-            if ok:
-                greens[name] = max(greens.get(name, 0), rnd)
+            if ok and (name not in greens or rnd > greens[name][0]):
+                greens[name] = (rnd, path)
     return greens
 
 
-def round_commit(rnd: int) -> str | None:
-    """Commit that recorded round ``rnd``'s correctness file."""
-    out = _git(
-        "log", "--format=%H", "-1", "--", f"CORRECTNESS_r{rnd:02d}.json"
-    ).stdout.strip()
+def official_greens() -> dict[str, int]:
+    """query -> latest green round (round-only view, kept for callers)."""
+    return {name: rnd for name, (rnd, _) in official_green_records().items()}
+
+
+def round_commit(path: str) -> str | None:
+    """Commit that recorded the correctness file at ``path``; None when
+    the file is untracked (the driver writes CORRECTNESS_r{N}.json AFTER
+    the round's last commit, so for the newest round this is the NORMAL
+    case, not an error — the record then describes the working tree)."""
+    rel = os.path.relpath(path, REPO)
+    out = _git("log", "--format=%H", "-1", "--", rel).stdout.strip()
     return out or None
+
+
+def commit_time(sha: str) -> int | None:
+    out = _git("show", "-s", "--format=%ct", sha).stdout.strip()
+    return int(out.splitlines()[0]) if out else None
 
 
 def fn_span(fn) -> tuple[str, int, int] | None:
@@ -112,32 +127,82 @@ def is_ancestor(maybe_ancestor: str, commit: str) -> bool:
     ).returncode == 0
 
 
+def _worktree_hunks(file: str, cache: dict[str, list[tuple[int, int]]]) -> list[tuple[int, int]]:
+    """New-side line ranges of uncommitted (HEAD->worktree) edits to
+    ``file``; cached per file since many queries share a module."""
+    if file not in cache:
+        out = _git("diff", "-U0", "HEAD", "--", file).stdout
+        ranges: list[tuple[int, int]] = []
+        for m in re.finditer(r"^@@ -\d+(?:,\d+)? \+(\d+)(?:,(\d+))? @@", out, re.M):
+            c = int(m.group(1))
+            d = int(m.group(2)) if m.group(2) is not None else 1
+            ranges.append((c, c + max(d, 1) - 1))
+        cache[file] = ranges
+    return cache[file]
+
+
+def _span_dirty(file: str, start: int, end: int, cache: dict) -> bool:
+    return any(a <= end and start <= b for a, b in _worktree_hunks(file, cache))
+
+
 def audit() -> dict:
     queries = all_queries()
-    greens = official_greens()
-    commits = {rnd: round_commit(rnd) for rnd in set(greens.values())}
+    greens = official_green_records()
+    commits = {path: round_commit(path) for _, path in set(greens.values())}
+    dirty_cache: dict[str, list[tuple[int, int]]] = {}
     report: dict[str, dict] = {}
     for pos, (name, fn) in enumerate(queries.items()):
         entry: dict = {"position": pos, "in_window": pos < WINDOW}
-        last_green = greens.get(name)
-        if last_green is None:
+        if name not in greens:
             entry["status"] = "never-green"
             report[name] = entry
             continue
+        last_green, record_path = greens[name]
         entry["last_green_round"] = last_green
-        green_commit = commits.get(last_green)
+        green_commit = commits.get(record_path)
         span = fn_span(fn)
-        if span is None or green_commit is None:
+        if span is None:
             entry["status"] = "stale?"
-            entry["reason"] = "cannot locate function span or green commit"
+            entry["reason"] = "cannot locate function span"
             report[name] = entry
             continue
         file, start, end = span
         touch = last_touch(file, start, end)
-        if touch and not is_ancestor(touch, green_commit):
+        if touch is None:
+            # fail CLOSED: a tool that cannot date the function must not
+            # report the green as trustworthy (ADVICE r4 — the old
+            # fail-open here was a silent false-green)
+            entry["status"] = "stale?"
+            entry["reason"] = "could not determine last modification " \
+                              f"of {file}:{start}-{end}"
+        elif green_commit is None:
+            # Untracked record: the driver wrote it AFTER the round's last
+            # commit, against the then-current working tree — the normal
+            # state for the newest round (r4's blind spot: this read as
+            # "cannot locate green commit" and flagged all 50 greens).
+            # The record's mtime dates the green; a later commit or a
+            # pending worktree edit over the span invalidates it.
+            record_mtime = os.path.getmtime(record_path)
+            touch_time = commit_time(touch)
+            if touch_time is not None and touch_time > record_mtime:
+                entry["status"] = "stale?"
+                entry["reason"] = f"{file}:{start}-{end} committed in " \
+                                  f"{touch[:10]} after round {last_green}'s " \
+                                  "(untracked) record was written"
+            elif _span_dirty(file, start, end, dirty_cache):
+                entry["status"] = "stale?"
+                entry["reason"] = f"uncommitted edits overlap {file}:" \
+                                  f"{start}-{end} after the untracked record"
+            else:
+                entry["status"] = "fresh"
+                entry["note"] = "record untracked; green dated by file mtime"
+        elif not is_ancestor(touch, green_commit):
             entry["status"] = "stale?"
             entry["reason"] = f"{file}:{start}-{end} modified in {touch[:10]} " \
                               f"after round {last_green}'s record"
+        elif _span_dirty(file, start, end, dirty_cache):
+            entry["status"] = "stale?"
+            entry["reason"] = f"uncommitted edits overlap {file}:{start}-{end}"
         else:
             entry["status"] = "fresh"
         report[name] = entry

@@ -55,6 +55,81 @@ def test_window_audit_report_structure():
     assert outside == [], f"untrustworthy queries outside window: {outside}"
 
 
+def test_window_audit_untracked_record_reads_fresh(monkeypatch):
+    """The newest round's CORRECTNESS file is written by the driver AFTER
+    the round's last commit, so it is untracked when the audit runs.  r4's
+    tool degraded to blanket 'stale?' there — its primary production case.
+    An untracked record must date the green by file mtime and report
+    untouched functions as fresh."""
+    wa = _load_script("window_audit")
+    monkeypatch.setattr(wa, "round_commit", lambda path: None)
+    report = wa.audit()
+    greens = wa.official_green_records()
+    # a query green in r4 whose function predates the r4 record's mtime
+    entry = report["tpch_q7"]
+    assert greens["tpch_q7"][0] >= 3
+    assert entry["status"] == "fresh", entry
+    assert "untracked" in entry.get("note", "")
+
+
+def test_window_audit_fails_closed_when_history_unavailable(monkeypatch):
+    """If git cannot date the function span, the audit must NOT report
+    'fresh' (the r4 fail-open was a silent false-green in the very tool
+    meant to catch silent false-greens)."""
+    wa = _load_script("window_audit")
+    monkeypatch.setattr(wa, "last_touch", lambda *a, **k: None)
+    report = wa.audit()
+    greened = [e for e in report.values() if "last_green_round" in e]
+    assert greened, "expected at least one green entry"
+    for e in greened:
+        assert e["status"] == "stale?"
+        assert "could not determine" in e["reason"]
+
+
+def test_window_audit_span_dirty_intersection():
+    wa = _load_script("window_audit")
+    cache = {"mod.py": [(10, 12), (40, 40)]}
+    assert wa._span_dirty("mod.py", 1, 10, cache)      # touches hunk start
+    assert wa._span_dirty("mod.py", 12, 30, cache)     # touches hunk end
+    assert wa._span_dirty("mod.py", 35, 45, cache)     # spans one-liner
+    assert not wa._span_dirty("mod.py", 13, 39, cache)  # between hunks
+    assert not wa._span_dirty("other.py", 1, 99, {"other.py": []})
+
+
+def test_bench_result_line_queries_survive_tail_truncation():
+    """The driver archives only the LAST 2000 chars of bench.py's JSON
+    line (BENCH_r04.json lost the Spark per-query dict to head
+    truncation).  The Spark per-query map must be the final key and fit —
+    with room to spare — inside that tail at the real headline size."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    # worst case: every query timed AND flagged noisy AND errored lists
+    # populated, max-width values everywhere
+    timings = {n: 9999.999 for n in bench.HEADLINE}
+    line = bench._result_line(
+        total=99999.999, sf=0.1, timings=timings,
+        noisy=list(bench.HEADLINE), errors=list(bench.HEADLINE),
+        duck_total=99999.999, ratio=999.999,
+    )
+    # the ENTIRE line fits in the 2000-char tail: queries (last key) and
+    # value (first) both survive
+    assert len(line) <= 2000, f"bench line {len(line)} chars > 2000 tail"
+    parsed = json.loads(line)
+    assert parsed["queries"] == timings
+    assert list(parsed)[-1] == "queries"
+    assert parsed["value"] == 99999.999
+
+
+def test_bench_duckdb_guard_survives_setup_failure(monkeypatch):
+    """A missing table file / dead connection must cost only the DuckDB
+    comparison column, never the Spark record (ADVICE r4)."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    assert bench._bench_duckdb(["row_count"], "/nonexistent/sf0") == {}
+
+
 def test_bench_duckdb_guard_skips_broken_oracle(monkeypatch):
     """One broken oracle must cost only its own row, not the comparison
     column."""
