@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from ..functions.stable import davg
 from ..functions.oracle_sql import sql_davg
 from ..functions.vectors import cosine_similarity, dot, l2_norm
-from ..sources.tables import load_table
+from ..sources.tables import load_table, parquet_row_count
 
 ORACLES: dict[str, str] = {}
 
@@ -555,6 +555,16 @@ FROM agg
 # so the prune path is actually exercised; real embeddings would use ~0.9+.
 SEMDEDUP_TAU = 0.35
 
+# Above this corpus size the cell-assignment lineage is materialized
+# (localCheckpoint) instead of replayed into the self-join sides and the
+# final left join.  At sf0.1 (2k vectors) replay is A/B-measured CHEAPER
+# (+0.4 s steady for checkpointing); at production scale the ~3x replay of
+# a full scan + codebook scoring pass crosses over and a real deployment
+# writes the cell map to a table between the assign and prune stages —
+# localCheckpoint is the in-session equivalent.  Footer row count decides,
+# so the switch itself costs no data pass.
+SEMDEDUP_MATERIALIZE_ROWS = 1_000_000
+
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-then-prune semantic dedup (the SemDeDup recipe, Abbas et
@@ -585,11 +595,14 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the final left join, so its lineage is replayed up to 3x; measured
     # at sf0.1 that replay is CHEAPER than materializing (localCheckpoint
     # tried: +0.4 s steady, +5 s first run) because it is a narrow map +
-    # partial agg.  At 100 TB a production run would write the cell map
-    # to a table between the assign and prune stages.
+    # partial agg.  Past SEMDEDUP_MATERIALIZE_ROWS the replay crosses
+    # over and the cell map is materialized instead (the production
+    # shape: assign once, prune from the stored map).
     assign = ac.groupBy("vec_id").agg(
         F.expr("max_by(centroid_id, struct(cos, -centroid_id))").alias("cell")
     )
+    if parquet_row_count(sf_dir, "embeddings") > SEMDEDUP_MATERIALIZE_ROWS:
+        assign = assign.localCheckpoint(eager=False)
     members = assign.join(
         emb.select("vec_id", "embedding", l2_norm(F.col("embedding")).alias("norm")),
         "vec_id",

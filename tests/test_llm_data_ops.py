@@ -315,3 +315,31 @@ def test_embedding_near_dup_lsh_subset_and_recall(spark, sf_dir):
     if brute:
         recall = len(lsh) / len(brute)
         assert recall > 0.5, f"recall {recall:.2f} too low"
+
+
+def test_semantic_dedup_materialized_path_agrees(spark, sf_dir, monkeypatch):
+    """Above SEMDEDUP_MATERIALIZE_ROWS the cell-assignment lineage is
+    materialized (localCheckpoint) instead of replayed into the prune
+    joins — the production shape.  Both paths must return identical
+    rows."""
+    from self_healing_data_pipeline_agent_spark.operators import similarity as sim
+
+    replay = sorted(tuple(r) for r in sim.q_semantic_dedup(spark, sf_dir).collect())
+    monkeypatch.setattr(sim, "SEMDEDUP_MATERIALIZE_ROWS", 0)
+    materialized = sorted(
+        tuple(r) for r in sim.q_semantic_dedup(spark, sf_dir).collect()
+    )
+    assert replay == materialized
+
+
+def test_quantile_profile_strategies_agree(spark, sf_dir):
+    """The one-agg `percentile` path (small/medium) and the stacked-rank
+    dataflow (at-scale) are both exact and must agree to the digit."""
+    from self_healing_data_pipeline_agent_spark.operators.relational import (
+        _quantile_profile_agg,
+        _quantile_profile_rank,
+    )
+
+    agg = sorted(tuple(r) for r in _quantile_profile_agg(spark, sf_dir).collect())
+    rank = sorted(tuple(r) for r in _quantile_profile_rank(spark, sf_dir).collect())
+    assert agg == rank
