@@ -23,6 +23,7 @@ Format notes (scale view):
 
 from __future__ import annotations
 
+import tempfile
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,6 +31,10 @@ from pyspark.sql import DataFrame, SparkSession
 from .tables import load_table
 
 SUPPORTED_FORMATS = ("parquet", "orc", "json")
+
+ORACLES: dict[str, str] = {}
+
+_JSON_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
 
 def convert_table(
@@ -68,7 +73,36 @@ def read_table_as(
     schema = load_table(spark, sf_dir, name).schema
     reader = spark.read.schema(schema)
     if fmt == "json":
-        return reader.option(
-            "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
-        ).json(str(path))
+        return reader.option("timestampFormat", _JSON_TS_FMT).json(str(path))
     return getattr(reader, fmt)(str(path))
+
+
+def q_format_interchange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the supplier dimension parquet -> ORC -> JSON-lines and
+    return the final frame; the oracle reads the ORIGINAL parquet, so a
+    hash match proves BOTH container hops are bit-lossless (columnar peer
+    AND row-oriented edge format) under schema-enforced reads — the
+    format-fidelity claim as a driver-checked record instead of
+    pytest-only.  The reference ingests CSV into a single warehouse
+    format (src/etl_pipeline.py:37-50); a 100 TB deployment must move
+    tables across formats without value drift.
+
+    Scale shape: two narrow write+scan passes over a broadcast-sized
+    dimension, no shuffle; the same plan applies to any catalog table.
+    """
+    tmp = tempfile.mkdtemp(prefix="fmt_interchange_")
+    orc_path = convert_table(spark, sf_dir, "supplier", "orc", tmp)
+    orc_df = read_table_as(spark, sf_dir, "supplier", "orc", orc_path)
+    json_path = str(Path(tmp) / "supplier_from_orc.json")
+    orc_df.write.mode("overwrite").option(
+        "timestampFormat", _JSON_TS_FMT
+    ).json(json_path)
+    schema = load_table(spark, sf_dir, "supplier").schema
+    return (
+        spark.read.schema(schema)
+        .option("timestampFormat", _JSON_TS_FMT)
+        .json(json_path)
+    )
+
+
+ORACLES["format_interchange"] = "SELECT * FROM supplier"
