@@ -2063,3 +2063,203 @@ JOIN nation ON n_nationkey = s_nationkey
 WHERE p_name LIKE '%{Q9_PART_LIKE}%'
 GROUP BY n_name, o_year
 """
+
+
+# --- TPC-H Q21: sole-late supplier blame --------------------------------------
+
+Q21_LATE_DAYS = 60
+
+
+def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adapted to this schema (no commit/receipt dates: a line
+    is "late" when it ships more than 60 days after the order date):
+    suppliers who, in a finished multi-supplier order, were the ONLY
+    supplier with a late line.
+
+    The textbook formulation is lineitem EXISTS-self-join plus a
+    NOT-EXISTS-self-join — two extra passes over the fact table.  The
+    Spark-first plan replaces both with aggregation: collapse to one row
+    per (order, supplier) with a has_late flag, then a single
+    per-order window supplies "how many suppliers / how many late
+    suppliers in this order" — the EXISTS (n_supp > 1) and NOT EXISTS
+    (n_late = 1) become column predicates.  The fact table is read ONCE
+    and shuffled twice on the same key family (orderkey, then the
+    window re-uses that partitioning under AQE); supplier names resolve
+    via a broadcast probe at the tiny top.  At 100 TB this is the
+    difference between one shuffle chain and three fact-table joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    late = (
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > Q21_LATE_DAYS
+    ).cast("int")
+    per_supp = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            orders.filter(F.col("o_orderstatus") == "F")
+            .select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("has_late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = (
+        per_supp
+        .withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("has_late").over(w))
+        .filter(
+            (F.col("has_late") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late") == 1)
+        )
+    )
+    return (
+        flagged.join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+                     flagged.l_suppkey == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+ORACLES["sole_late_supplier"] = f"""
+WITH per_supp AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN date_diff('day', o_orderdate, l_shipdate)
+                  > {Q21_LATE_DAYS} THEN 1 ELSE 0 END) AS has_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey, l_suppkey
+), flagged AS (
+  SELECT *,
+         COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+         SUM(has_late) OVER (PARTITION BY l_orderkey) AS n_late
+  FROM per_supp
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM flagged JOIN supplier ON l_suppkey = s_suppkey
+WHERE has_late = 1 AND n_supp > 1 AND n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+# --- TPC-H Q11: concentrated-value parts --------------------------------------
+
+Q11_NATION = "NATION_3"
+Q11_AVG_MULTIPLE = 3
+
+
+def q_concentrated_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adapted (no partsupp table: "inventory value" is shipped
+    revenue per part from one nation's suppliers): parts whose value
+    exceeds 3x the average per-part value — the group-vs-global-scalar
+    shape.
+
+    Scale plan: the nation's supplier keys broadcast into the fact scan
+    (lineitem never shuffles on a dimension key), the per-part aggregate
+    is one partial-first shuffle, and the global threshold comes from a
+    whole-result window over the aggregate's own |parts|-sized output —
+    the fact table is scanned ONCE (a separate totals-agg branch would
+    scan it twice; Catalyst does not reuse the subtree).  The threshold
+    compare runs in exact integer units: value_units * n_parts > 3 *
+    total_units is pure BIGINT arithmetic, so the cut line is
+    bit-identical in any engine at any partitioning (a double threshold
+    could flip parts straddling an ulp)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    nat_supp = supplier.join(
+        F.broadcast(
+            nation.filter(F.col("n_name") == Q11_NATION)
+            .select(F.col("n_nationkey").alias("s_nationkey"))
+        ),
+        "s_nationkey",
+    ).select("s_suppkey")
+    value_units = to_units(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_part = (
+        li.join(F.broadcast(nat_supp),
+                li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(value_units).alias("value_units"))
+    )
+    w = Window.partitionBy()  # over |parts| aggregated rows, not the fact
+    return (
+        per_part
+        .withColumn("total_units", F.sum("value_units").over(w))
+        .withColumn("n_parts", F.count(F.lit(1)).over(w))
+        .filter(
+            F.col("value_units") * F.col("n_parts")
+            > F.lit(Q11_AVG_MULTIPLE) * F.col("total_units")
+        )
+        .select(
+            "l_partkey",
+            (F.col("value_units").cast("double") / F.lit(UNIT_SCALE))
+            .alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+_Q11_UNITS = (
+    "SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5)"
+    " AS BIGINT))"
+)
+
+ORACLES["concentrated_value_parts"] = f"""
+WITH per_part AS (
+  SELECT l_partkey, {_Q11_UNITS} AS value_units
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = '{Q11_NATION}'
+  GROUP BY l_partkey
+), totals AS (
+  SELECT SUM(value_units) AS total_units, COUNT(*) AS n_parts FROM per_part
+)
+SELECT l_partkey,
+       CAST(value_units AS DOUBLE) / 10000.0 AS part_value
+FROM per_part CROSS JOIN totals
+WHERE value_units * n_parts > {Q11_AVG_MULTIPLE} * total_units
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+# --- TPC-H Q16: supplier breadth per part class -------------------------------
+
+def q_supplier_part_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adapted (no partsupp: part<->supplier association comes
+    from shipped lineitem rows): distinct-supplier count per
+    (p_type, p_size), excluding suppliers in bad standing (negative
+    account balance) — Q16's anti-join + grouped COUNT DISTINCT shape.
+
+    Scale plan: the exclusion list is a broadcast ANTI join (never a
+    NOT IN shuffle), part attributes broadcast into the fact scan, and
+    the distinct-count runs as two partial aggregations (dedup on
+    (type, size, suppkey) first, then count) — Catalyst plans exactly
+    that from countDistinct.  The fact table is scanned once with only
+    two columns read."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    bad = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part.select("p_partkey", "p_type", "p_size")),
+              li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+ORACLES["supplier_part_breadth"] = """
+SELECT p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_type, p_size
+"""

@@ -61,6 +61,12 @@ QUERY_ORDER = [
     #    strategy dispatch): their r4/r2 greens describe the old code --
     "semantic_dedup",
     "quantile_profile",
+    # -- new in r5: adapted TPC-H Q21/Q11/Q16 shapes (aggregation-planned
+    #    EXISTS/NOT-EXISTS, group-vs-global-scalar in exact integer
+    #    units, anti-join + grouped COUNT DISTINCT) --
+    "sole_late_supplier",
+    "concentrated_value_parts",
+    "supplier_part_breadth",
     # -- remaining r1-era greens (oldest official records) --
     "grouped_dq_profile",
     "healing_proposals",
@@ -95,16 +101,14 @@ QUERY_ORDER = [
     "source_mix",
     "text_quality",
     "tfidf_top_terms",
-    "token_stats_by_lang",
-    "top_terms",
-    "vocab_growth",
     # Below the 50-entry window: the full r4 window (officially re-greened
-    # in CORRECTNESS_r04 against current testdata) plus 18 r2/r3-era
+    # in CORRECTNESS_r04 against current testdata) plus 21 r2/r3-era
     # greens that did not fit (histogram_profile, idle_rich_customers,
     # knn_cosine, label_centroids, mixture_resample, payload_dedup,
     # payload_stats, pivot_status_priority, stratified_sample,
-    # top_supplier_revenue, train_val_split, and the r3 embedding set) —
-    # rotate those through the r6 window.  scripts/window_audit.py tracks
+    # token_stats_by_lang, top_supplier_revenue, top_terms,
+    # train_val_split, vocab_growth, and the r3 embedding set) — rotate
+    # those through the r6 window.  scripts/window_audit.py tracks
     # staleness; local parity re-verifies the full surface each session.
 ]
 
