@@ -1904,3 +1904,108 @@ SELECT 2, 'quality_gates', CAST(n_quality AS BIGINT) FROM counts
 UNION ALL
 SELECT 3, 'decontaminated', CAST(n_clean AS BIGINT) FROM counts
 """
+
+
+# --- X18+: character-LM perplexity quality scoring ---------------------------
+#
+# CCNet-style quality filtering (Wenzek et al. 2020): score each document
+# by a language model trained on the corpus and gate/bucket on perplexity.
+# The production recipe uses a KenLM n-gram model; the engine-shaped core
+# is identical with any factored model, so this operator trains an add-one
+# smoothed character-BIGRAM model over the corpus and scores every doc in
+# bits-per-character — the model is just a (V^2)-row table, making the
+# whole pipeline two corpus shuffles plus vocabulary-bounded joins.
+
+CHAR_LM_V = 28  # charset after normalization: a-z, space, '#'
+_CHAR_LM_LN2 = "0.6931471805599453"  # ln(2) literal, identical both engines
+
+
+def q_char_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document char-bigram cross-entropy (bits per character).
+
+    Scale shape: ONE explode of the corpus into bigram instances feeds a
+    (doc, bigram) partial-aggregated count [shuffle 1]; the model (bigram
+    counts + prefix-char totals) derives from that same aggregate with
+    vocabulary-bounded (<= V^2 = 784 rows) shuffles, then broadcasts back
+    for the per-doc score [shuffle 2, on doc_id].  The fact-scale data
+    never joins anything bigger than the broadcast model.
+
+    Cross-engine determinism: each bigram TYPE's log-probability is
+    quantized to integer 1e-6 units (libm ln() can differ in the last
+    ulp), so the per-doc sum is an exact BIGINT dot product tf * lp_units
+    — order-independent under any partitioning; the final bits-per-char
+    is one identically-shaped double expression rounded to 6dp."""
+    df = load_table(spark, sf_dir, "documents")
+    norm = df.select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", "#")
+        .alias("nt"),
+    ).filter(F.length("nt") >= 2)
+    inst = norm.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(nt) - 1),"
+                   " i -> substring(nt, i, 2))")
+        ).alias("bg"),
+    )
+    tf = inst.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("tf"))
+    bg_counts = tf.groupBy("bg").agg(F.sum("tf").alias("cnt"))
+    c1_totals = (
+        bg_counts.groupBy(F.substring("bg", 1, 1).alias("c1"))
+        .agg(F.sum("cnt").alias("tot"))
+    )
+    model = bg_counts.join(
+        F.broadcast(c1_totals),
+        F.substring(F.col("bg"), 1, 1) == F.col("c1"),
+    ).select(
+        "bg",
+        F.floor(
+            F.log((F.col("cnt") + F.lit(1.0))
+                  / (F.col("tot") + F.lit(float(CHAR_LM_V))))
+            * F.lit(1e6) + F.lit(0.5)
+        ).alias("lp_units"),
+    )
+    scored = (
+        tf.join(F.broadcast(model), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("lp_units")).alias("lp_sum_units"),
+        )
+    )
+    bits = (
+        -(F.col("lp_sum_units").cast("double") / F.lit(1e6))
+        / F.expr(_CHAR_LM_LN2) / F.col("n_bigrams")
+    )
+    return scored.select(
+        "doc_id", "n_bigrams", F.round(bits, 6).alias("bits_per_char")
+    )
+
+
+ORACLES["char_lm_perplexity"] = f"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z ]', '#', 'g') AS nt
+  FROM documents
+), inst AS (
+  SELECT doc_id,
+         substr(nt, CAST(unnest(range(1, length(nt))) AS INT), 2) AS bg
+  FROM norm WHERE length(nt) >= 2
+), tf AS (
+  SELECT doc_id, bg, COUNT(*) AS tf FROM inst GROUP BY doc_id, bg
+), bg_counts AS (
+  SELECT bg, SUM(tf) AS cnt FROM tf GROUP BY bg
+), c1_totals AS (
+  SELECT substr(bg, 1, 1) AS c1, SUM(cnt) AS tot FROM bg_counts GROUP BY c1
+), model AS (
+  SELECT bg,
+         CAST(FLOOR(LN((cnt + 1.0) / (tot + {float(CHAR_LM_V)}))
+                    * 1000000.0 + 0.5) AS BIGINT) AS lp_units
+  FROM bg_counts JOIN c1_totals ON substr(bg, 1, 1) = c1
+)
+SELECT doc_id,
+       SUM(tf) AS n_bigrams,
+       ROUND(-(CAST(SUM(tf * lp_units) AS DOUBLE) / 1000000.0)
+             / {_CHAR_LM_LN2} / SUM(tf), 6) AS bits_per_char
+FROM tf JOIN model USING (bg)
+GROUP BY doc_id
+"""

@@ -67,6 +67,8 @@ QUERY_ORDER = [
     "sole_late_supplier",
     "concentrated_value_parts",
     "supplier_part_breadth",
+    # -- new in r5: CCNet-style char-bigram LM perplexity scoring --
+    "char_lm_perplexity",
     # -- remaining r1-era greens (oldest official records) --
     "grouped_dq_profile",
     "healing_proposals",
@@ -100,16 +102,16 @@ QUERY_ORDER = [
     "simhash_near_dup",
     "source_mix",
     "text_quality",
-    "tfidf_top_terms",
     # Below the 50-entry window: the full r4 window (officially re-greened
-    # in CORRECTNESS_r04 against current testdata) plus 21 r2/r3-era
+    # in CORRECTNESS_r04 against current testdata) plus 22 r2/r3-era
     # greens that did not fit (histogram_profile, idle_rich_customers,
     # knn_cosine, label_centroids, mixture_resample, payload_dedup,
     # payload_stats, pivot_status_priority, stratified_sample,
-    # token_stats_by_lang, top_supplier_revenue, top_terms,
-    # train_val_split, vocab_growth, and the r3 embedding set) — rotate
-    # those through the r6 window.  scripts/window_audit.py tracks
-    # staleness; local parity re-verifies the full surface each session.
+    # tfidf_top_terms, token_stats_by_lang, top_supplier_revenue,
+    # top_terms, train_val_split, vocab_growth, and the r3 embedding
+    # set) — rotate those through the r6 window.  scripts/window_audit.py
+    # tracks staleness; local parity re-verifies the full surface each
+    # session.
 ]
 
 
