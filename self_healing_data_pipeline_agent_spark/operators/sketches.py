@@ -1,0 +1,341 @@
+"""Mergeable-sketch profiling operators (SURVEY.md §2.B X23).
+
+At 100 TB the profile queries the reference computes eagerly (distinct
+counts, quantiles, overlap audits — ``src/drift_detector.py:16-26`` scale-out)
+cannot afford a full shuffle of raw keys per question.  The production
+pattern is *mergeable sketches*: each partition/day/segment builds a
+fixed-size summary, and summaries union associatively into any rollup
+without touching the raw data again.  Spark 4 ships Apache DataSketches
+natively (``hll_sketch_agg`` / ``theta_sketch_agg`` / ``kll_sketch_agg_*``);
+all sketch aggregates here are algebraic, so map-side partial aggregation
+reduces the shuffle to KBs per partition per group regardless of input size.
+
+Correctness contract per query (driver hash-compares vs DuckDB):
+
+- HLL / Theta: at the gate's sf the per-group cardinalities sit below the
+  sketches' exact regimes (HLL lgK=14 coupon mode; Theta < 4096 nominal
+  entries, sampling never engages), so estimates equal exact counts and the
+  oracle checks them *as values* — the strongest possible cross-check of the
+  sketch set-algebra.  At production scale the same plans degrade gracefully
+  to bounded-error estimates (HLL RSE ~0.4% at lgK=14; Theta ~1.6%).
+- KLL is randomized (compaction sampling), so raw quantile values are not
+  reproducible run-to-run; the query instead emits *exact-rank validation
+  flags* — the sketch's own accuracy contract — which are deterministic for
+  any healthy sketch, plus exact group counts.
+- Heavy hitters: two-pass Misra-Gries (per-partition candidates, exact
+  recount of the candidate set) is exact by construction, so the oracle is
+  a plain GROUP BY ... HAVING.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+ORACLES: dict[str, str] = {}
+
+HLL_LG_K = 14  # 16384 buckets: coupon-exact past the gate SF, RSE ~0.4% at scale
+
+# Heavy hitters: report terms with frequency > total_tokens / K_HH.
+# Misra-Gries per-partition capacity must be >= K_HH for the candidate set
+# to be a superset of the true heavy hitters (if freq(x) > N/K then some
+# partition has freq_p(x) > n_p/K, and MG with capacity >= K retains any
+# item above n_p/(cap+1)); 2x adds margin so near-threshold terms are
+# candidates too (the exact second pass discards false positives for free).
+K_HH = 200
+MG_CAPACITY = 2 * K_HH
+
+# Same whitespace tokenizer as operators/text.py so term semantics match
+# across the text-analysis surface.
+_TOKENS = "filter(split(text, ' '), x -> x <> '')"
+
+KLL_K = 400  # normalized rank error ~0.9% @99%; flag bound 4x that
+KLL_QS = (0.25, 0.5, 0.75)
+KLL_RANK_EPS = 0.04
+
+
+# --- X23a: HLL distinct-count profile with union-merge rollup ---------------
+
+
+def q_hll_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customers per order priority from DAILY HLL sketches merged
+    with ``hll_union_agg`` — the incremental-profile shape: a nightly job
+    sketches each (priority, day) once, and any rollup (month, priority,
+    global) is a union of stored sketches with no second scan.  Both
+    aggregation levels are algebraic -> map-side combine; the shuffle
+    carries one ~16 KB sketch per (priority, day) per partition.
+
+    ``merged_matches_direct`` pins the union-merge associativity property:
+    merging the daily sketches must estimate the same as sketching the
+    whole group directly."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy("o_orderpriority", "o_orderdate").agg(
+        F.hll_sketch_agg("o_custkey", F.lit(HLL_LG_K)).alias("sk")
+    )
+    merged = daily.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("hll_custkeys"),
+    )
+    direct = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("o_custkey", F.lit(HLL_LG_K))
+        ).alias("direct_est")
+    )
+    return (
+        merged.join(direct, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n_days",
+            "hll_custkeys",
+            (F.col("hll_custkeys") == F.col("direct_est")).alias(
+                "merged_matches_direct"
+            ),
+        )
+    )
+
+
+ORACLES["hll_distinct_profile"] = """
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_orderdate) AS n_days,
+       COUNT(DISTINCT o_custkey) AS hll_custkeys,
+       TRUE AS merged_matches_direct
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# --- X23b: Theta-sketch set algebra (audience overlap) ----------------------
+
+
+def q_theta_priority_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-set overlap between every pair of order priorities via
+    Theta sketches: one scan builds 5 sketches (algebraic agg, map-side
+    combined), then intersection/difference/union run on the 5-row sketch
+    frame — relational set questions answered WITHOUT re-shuffling raw
+    keys.  At 100 TB this is the audience-overlap pattern: sketches are
+    ~32 KB each, the pairwise algebra is driver-trivial, and adding a new
+    segment never rescans old data (sketches persist).
+
+    sf-gate cardinalities stay under the 4096 nominal entries, so every
+    estimate is exact and the oracle verifies the sketch algebra against
+    true relational COUNT(DISTINCT) intersections."""
+    o = load_table(spark, sf_dir, "orders")
+    sk = o.groupBy("o_orderpriority").agg(
+        F.theta_sketch_agg("o_custkey").alias("sk")
+    )
+    a = sk.select(
+        F.col("o_orderpriority").alias("priority_a"), F.col("sk").alias("ska")
+    )
+    b = sk.select(
+        F.col("o_orderpriority").alias("priority_b"), F.col("sk").alias("skb")
+    )
+    pairs = F.broadcast(a).join(
+        b, F.col("priority_a") < F.col("priority_b")
+    )
+    return pairs.select(
+        "priority_a",
+        "priority_b",
+        F.theta_sketch_estimate("ska").alias("n_a"),
+        F.theta_sketch_estimate("skb").alias("n_b"),
+        F.theta_sketch_estimate(
+            F.theta_intersection("ska", "skb")
+        ).alias("n_both"),
+        F.theta_sketch_estimate(
+            F.theta_difference("ska", "skb")
+        ).alias("n_only_a"),
+        F.theta_sketch_estimate(F.theta_union("ska", "skb")).alias("n_either"),
+    )
+
+
+ORACLES["theta_priority_overlap"] = """
+WITH d AS (SELECT DISTINCT o_orderpriority AS p, o_custkey AS c FROM orders),
+n AS (SELECT p, COUNT(*) AS cnt FROM d GROUP BY p),
+i AS (SELECT a.p AS pa, b.p AS pb, COUNT(*) AS inter
+      FROM d a JOIN d b ON a.c = b.c AND a.p < b.p GROUP BY a.p, b.p)
+SELECT i.pa AS priority_a, i.pb AS priority_b,
+       na.cnt AS n_a, nb.cnt AS n_b, i.inter AS n_both,
+       na.cnt - i.inter AS n_only_a,
+       na.cnt + nb.cnt - i.inter AS n_either
+FROM i JOIN n na ON na.p = i.pa JOIN n nb ON nb.p = i.pb
+"""
+
+
+# --- X23c: KLL quantile sketches with exact-rank validation -----------------
+
+
+def q_kll_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-price quantiles per priority AND globally from ONE set of KLL
+    sketches: per-group sketches from a single scan, the global row merged
+    from the group sketches via ``reduce(kll_sketch_merge_double)`` — no
+    second pass over the data (the mergeable-quantile pattern; exact
+    per-group percentiles live in ``quantile_profile``).
+
+    KLL compaction is randomized, so the query emits the sketch's accuracy
+    CONTRACT rather than its raw values: ``rank_ok`` holds iff the exact
+    rank of the sketched quantile is within KLL_RANK_EPS of the requested
+    rank (one broadcast of ~18 tiny rows + one validation scan — gate-side
+    auditing, not part of the production plan)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    grouped = o.groupBy("o_orderpriority").agg(
+        F.kll_sketch_agg_double("o_totalprice", F.lit(KLL_K)).alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    glob = grouped.agg(
+        F.collect_list("sk").alias("arr"),
+        F.sum("n_rows").alias("n_rows"),
+    ).select(
+        F.lit("_all").alias("o_orderpriority"),
+        F.reduce(
+            F.slice("arr", 2, 1_000_000),
+            F.element_at("arr", 1),
+            lambda acc, x: F.kll_sketch_merge_double(acc, x),
+        ).alias("sk"),
+        "n_rows",
+    )
+    # the rank argument must be foldable: evaluate each quantile as its
+    # own column, then unpivot to (q, v) rows
+    points = (
+        grouped.unionByName(glob)
+        .select(
+            "o_orderpriority",
+            "n_rows",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(q).alias("q"),
+                            F.kll_sketch_get_quantile_double(
+                                "sk", F.lit(q)
+                            ).alias("v"),
+                        )
+                        for q in KLL_QS
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select("o_orderpriority", "n_rows", F.col("p.q"), F.col("p.v"))
+    )
+    # exact-rank audit: fraction of the group's rows <= sketched value
+    per_group = points.filter(F.col("o_orderpriority") != "_all")
+    grp_ranks = (
+        F.broadcast(per_group)
+        .join(o.withColumnRenamed("o_orderpriority", "p"),
+              F.col("p") == F.col("o_orderpriority"))
+        .groupBy("o_orderpriority", "n_rows", "q", "v")
+        .agg(F.sum((F.col("o_totalprice") <= F.col("v")).cast("long"))
+             .alias("n_le"))
+    )
+    glob_ranks = (
+        o.select("o_totalprice")
+        .crossJoin(
+            F.broadcast(points.filter(F.col("o_orderpriority") == "_all"))
+        )
+        .groupBy("o_orderpriority", "n_rows", "q", "v")
+        .agg(F.sum((F.col("o_totalprice") <= F.col("v")).cast("long"))
+             .alias("n_le"))
+    )
+    ranks = grp_ranks.unionByName(glob_ranks)
+    rank_err = F.abs(
+        F.col("n_le").cast("double") / F.col("n_rows") - F.col("q")
+    )
+    return ranks.select(
+        "o_orderpriority",
+        "q",
+        "n_rows",
+        (rank_err <= F.lit(KLL_RANK_EPS)).alias("rank_ok"),
+    )
+
+
+ORACLES["kll_quantile_bounds"] = """
+WITH g AS (
+  SELECT o_orderpriority, COUNT(*) AS n_rows FROM orders
+  GROUP BY o_orderpriority
+  UNION ALL
+  SELECT '_all', COUNT(*) FROM orders
+)
+SELECT o_orderpriority, q, n_rows, TRUE AS rank_ok
+FROM g CROSS JOIN (
+  SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+                 CAST(0.75 AS DOUBLE)]) AS q)
+"""
+
+
+# --- X23d: exact heavy hitters in two passes (Misra-Gries + recount) --------
+
+
+def _mg_candidates(batches: Iterator) -> Iterator:
+    """Per-partition Misra-Gries summary over token streams: at most
+    MG_CAPACITY counters, decrement-all on overflow.  Guarantees every
+    term with partition frequency > n_p/(MG_CAPACITY+1) survives, which
+    makes the union over partitions a superset of all global terms with
+    frequency > N/K_HH.  Bounded memory, single sequential pass — the
+    canonical streaming-frequency kernel (Misra & Gries 1982)."""
+    import pandas as pd
+
+    counters: dict[str, int] = {}
+    for pdf in batches:
+        for toks in pdf["tokens"]:
+            for t in toks:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < MG_CAPACITY:
+                    counters[t] = 1
+                else:
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+    yield pd.DataFrame({"term": list(counters.keys())})
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters (terms with frequency > N/K_HH) WITHOUT
+    a full-vocabulary shuffle: pass 1 runs Misra-Gries per partition
+    (mapInPandas, bounded memory, emits <= MG_CAPACITY candidates per
+    partition); pass 2 broadcast-semi-joins the tiny candidate set against
+    the token stream and counts exactly.  The MG superset guarantee makes
+    the result identical to the naive GROUP BY, but the shuffle carries
+    only candidate-term rows — at 100 TB that is the difference between
+    shuffling the corpus vocabulary and shuffling a few hundred terms.
+    (``top_terms`` in operators/text.py is the full-shuffle twin.)"""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.expr(_TOKENS).alias("tokens")
+    )
+    candidates = (
+        docs.mapInPandas(_mg_candidates, "term string")
+        .distinct()
+    )
+    tokens = docs.select(F.explode("tokens").alias("term"))
+    total = docs.agg(
+        F.sum(F.size("tokens")).alias("n_total")
+    )
+    counted = (
+        tokens.join(F.broadcast(candidates), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") * K_HH > F.col("n_total"))
+        .select("term", "n_occurrences")
+    )
+
+
+ORACLES["heavy_hitters"] = f"""
+WITH toks AS (
+  SELECT unnest(filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+)
+SELECT term, COUNT(*) AS n_occurrences
+FROM toks
+GROUP BY term
+HAVING COUNT(*) * {K_HH} > (SELECT COUNT(*) FROM toks)
+"""

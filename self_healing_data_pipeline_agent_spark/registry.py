@@ -14,6 +14,7 @@ from .operators import events as _events
 from .operators import multimodal as _multimodal
 from .operators import relational as _relational
 from .operators import similarity as _similarity
+from .operators import sketches as _sketches
 from .operators import text as _text
 from .sources import formats as _formats
 from .streaming import events as _streaming_events
@@ -21,7 +22,7 @@ from .streaming import events as _streaming_events
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _MODULES = [
-    _relational, _events, _text, _similarity, _multimodal,
+    _relational, _events, _text, _similarity, _sketches, _multimodal,
     _streaming_events, _formats,
 ]
 
@@ -69,6 +70,13 @@ QUERY_ORDER = [
     "supplier_part_breadth",
     # -- new in r5: CCNet-style char-bigram LM perplexity scoring --
     "char_lm_perplexity",
+    # -- new in r5: mergeable-sketch profiling ring (X23) — DataSketches
+    #    HLL union-rollup, Theta set algebra, KLL rank-validated
+    #    quantiles, and two-pass exact Misra-Gries heavy hitters --
+    "hll_distinct_profile",
+    "theta_priority_overlap",
+    "kll_quantile_bounds",
+    "heavy_hitters",
     # -- remaining r1-era greens (oldest official records) --
     "grouped_dq_profile",
     "healing_proposals",
@@ -98,13 +106,11 @@ QUERY_ORDER = [
     "repetition_ratio",
     "rolling_fingerprints",
     "salted_hot_key_agg",
-    "simhash_fingerprints",
-    "simhash_near_dup",
-    "source_mix",
-    "text_quality",
-    # Below the 50-entry window: the full r4 window (officially re-greened
-    # in CORRECTNESS_r04 against current testdata) plus 22 r2/r3-era
-    # greens that did not fit (histogram_profile, idle_rich_customers,
+    # Below the 50-entry window: the four r2-era greens displaced by the
+    # X23 sketch ring (simhash_fingerprints, simhash_near_dup, source_mix,
+    # text_quality), the full r4 window (officially re-greened in
+    # CORRECTNESS_r04 against current testdata), and 22 r2/r3-era greens
+    # that did not fit (histogram_profile, idle_rich_customers,
     # knn_cosine, label_centroids, mixture_resample, payload_dedup,
     # payload_stats, pivot_status_priority, stratified_sample,
     # tfidf_top_terms, token_stats_by_lang, top_supplier_revenue,
@@ -112,6 +118,10 @@ QUERY_ORDER = [
     # set) — rotate those through the r6 window.  scripts/window_audit.py
     # tracks staleness; local parity re-verifies the full surface each
     # session.
+    "simhash_fingerprints",
+    "simhash_near_dup",
+    "source_mix",
+    "text_quality",
 ]
 
 

@@ -1,0 +1,153 @@
+"""Unit tests for the mergeable-sketch profiling ring
+(operators/sketches.py, SURVEY.md §2.B X23).
+
+Oracle parity for all four queries is covered by test_oracle_parity.py;
+here we pin the algorithmic guarantees (Misra-Gries superset property,
+sketch set-algebra exactness in the exact regime) and the physical plan
+shapes the 100 TB design depends on (algebraic partial aggregation,
+candidate broadcast in the heavy-hitter recount).
+"""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from self_healing_data_pipeline_agent_spark.operators import sketches as sk
+from self_healing_data_pipeline_agent_spark.plans import formatted_plan
+
+
+# --- Misra-Gries kernel ------------------------------------------------------
+
+
+def _mg_on(token_lists, capacity=None):
+    """Run the MG kernel over one simulated partition."""
+    cap = sk.MG_CAPACITY if capacity is None else capacity
+    old = sk.MG_CAPACITY
+    sk.MG_CAPACITY = cap
+    try:
+        batches = iter([pd.DataFrame({"tokens": token_lists})])
+        (out,) = list(sk._mg_candidates(batches))
+        return set(out["term"])
+    finally:
+        sk.MG_CAPACITY = old
+
+
+def test_mg_small_vocab_keeps_everything():
+    cands = _mg_on([["a", "b", "a"], ["c"]], capacity=10)
+    assert cands == {"a", "b", "c"}
+
+
+def test_mg_superset_of_heavy_hitters_random():
+    """Property: with capacity m, every item of frequency > n/(m+1)
+    survives a single-partition MG pass — on adversarially skewed random
+    streams."""
+    rng = random.Random(42)
+    for trial in range(20):
+        m = rng.choice([5, 10, 25])
+        # skewed stream: a few hot items + a heavy tail of singletons
+        stream = []
+        for hot in range(rng.randint(1, 4)):
+            stream += [f"hot{hot}"] * rng.randint(50, 200)
+        stream += [f"cold{i}" for i in range(rng.randint(100, 500))]
+        rng.shuffle(stream)
+        cands = _mg_on([stream], capacity=m)
+        n = len(stream)
+        freqs = Counter(stream)
+        required = {t for t, c in freqs.items() if c > n / (m + 1)}
+        assert required <= cands, (trial, required - cands)
+
+
+def test_mg_bounded_output():
+    stream = [f"t{i}" for i in range(10_000)]
+    cands = _mg_on([stream], capacity=16)
+    assert len(cands) <= 16
+
+
+# --- heavy hitters: exactness vs the naive full-shuffle twin -----------------
+
+
+def test_heavy_hitters_matches_naive_groupby(spark, sf_dir):
+    hh = {
+        (r.term, r.n_occurrences)
+        for r in sk.q_heavy_hitters(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.explode(F.expr(sk._TOKENS)).alias("term")
+    )
+    total = docs.count()
+    naive = {
+        (r.term, r.n)
+        for r in docs.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") * sk.K_HH > total)
+        .collect()
+    }
+    assert hh == naive and len(hh) > 0
+
+
+def test_heavy_hitters_broadcasts_candidates(spark, sf_dir):
+    plan = formatted_plan(sk.q_heavy_hitters(spark, sf_dir))
+    # the recount join must broadcast the candidate set, not shuffle the
+    # token stream by term
+    assert "BroadcastHashJoin" in plan
+
+
+# --- sketch set algebra ------------------------------------------------------
+
+
+def test_theta_overlap_identities(spark, sf_dir):
+    rows = sk.q_theta_priority_overlap(spark, sf_dir).collect()
+    assert len(rows) == 10  # 5 choose 2 ordered pairs
+    for r in rows:
+        # inclusion-exclusion must hold exactly in the exact regime
+        assert r.n_either == r.n_a + r.n_b - r.n_both
+        assert r.n_only_a == r.n_a - r.n_both
+        assert 0 <= r.n_both <= min(r.n_a, r.n_b)
+
+
+def test_hll_merge_matches_direct(spark, sf_dir):
+    rows = sk.q_hll_distinct_profile(spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert all(r.merged_matches_direct for r in rows)
+
+
+def test_hll_partial_aggregation(spark, sf_dir):
+    # the sketch aggregate must be algebraic: a partial (ObjectHashAggregate
+    # or SortAggregate) below the exchange, so the shuffle moves sketches,
+    # not raw keys
+    plan = formatted_plan(sk.q_hll_distinct_profile(spark, sf_dir))
+    assert "ObjectHashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_kll_rank_flags_all_pass(spark, sf_dir):
+    rows = sk.q_kll_quantile_bounds(spark, sf_dir).collect()
+    assert len(rows) == 18  # (5 priorities + _all) x 3 quantiles
+    assert all(r.rank_ok for r in rows)
+    glob = [r for r in rows if r.o_orderpriority == "_all"]
+    assert len(glob) == 3
+
+
+# --- exact-regime documentation check ---------------------------------------
+
+
+@pytest.mark.parametrize("col,table", [("o_custkey", "orders")])
+def test_gate_cardinality_within_exact_regime(spark, sf_dir, col, table):
+    """The oracle compares HLL/Theta estimates AS VALUES, which relies on
+    gate-SF cardinalities sitting inside the sketches' exact regimes
+    (Theta: < 4096 nominal entries).  If the testdata ever grows past
+    that, this fails loudly and the queries should switch to bound-flag
+    validation (see module docstring)."""
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    per_group = (
+        df.groupBy("o_orderpriority")
+        .agg(F.countDistinct(col).alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .collect()[0]
+        .mx
+    )
+    assert per_group < 4096
