@@ -80,6 +80,14 @@ HEADLINE = [
     # r4: the composed curation funnel (dedup -> gates -> decontaminate
     # in one lazy plan) — the flagship end-to-end pipeline measurement.
     "curate_corpus",
+    # r5: the mergeable-sketch profiling ring (X23).  These are
+    # floor-bound at sf0.1 (multi-stage plans over ~150k-row inputs, each
+    # stage paying scheduler latency); their value is the at-scale shape —
+    # sketches shuffle KBs where the oracle reshuffles raw keys.
+    "hll_distinct_profile",
+    "theta_priority_overlap",
+    "kll_quantile_bounds",
+    "heavy_hitters",
 ]
 
 

@@ -77,6 +77,7 @@ QUERY_ORDER = [
     "theta_priority_overlap",
     "kll_quantile_bounds",
     "heavy_hitters",
+    "streaming_cardinality_profile",
     # -- remaining r1-era greens (oldest official records) --
     "grouped_dq_profile",
     "healing_proposals",
@@ -106,9 +107,10 @@ QUERY_ORDER = [
     "repetition_ratio",
     "rolling_fingerprints",
     "salted_hot_key_agg",
-    # Below the 50-entry window: the four r2-era greens displaced by the
-    # X23 sketch ring (simhash_fingerprints, simhash_near_dup, source_mix,
-    # text_quality), the full r4 window (officially re-greened in
+    # Below the 50-entry window: the five r2-era greens displaced by the
+    # X23 sketch ring + streaming sketch query (salted_hot_key_agg lands
+    # at position 50; simhash_fingerprints, simhash_near_dup, source_mix,
+    # text_quality below), the full r4 window (officially re-greened in
     # CORRECTNESS_r04 against current testdata), and 22 r2/r3-era greens
     # that did not fit (histogram_profile, idle_rich_customers,
     # knn_cosine, label_centroids, mixture_resample, payload_dedup,

@@ -664,3 +664,63 @@ FROM events JOIN customer ON user_id = c_custkey, horizon
 GROUP BY date_trunc('hour', ts), c_mktsegment, wm
 HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm
 """
+
+
+# --- streaming cardinality profile: mergeable sketches in window state ------
+
+
+def streaming_cardinality_profile(
+    spark: SparkSession, sf_dir: str, watermark: str = WATERMARK
+) -> DataFrame:
+    """Distinct users per hourly window computed INSIDE the stream with an
+    HLL sketch aggregate (X23 meets X17): the window's state is a fixed
+    ~16 KB sketch instead of a per-user key set, so state size is constant
+    in the number of users — the only way a distinct-count window survives
+    a 100 TB stream.  The sketch agg is algebraic, so partial merges work
+    across micro-batches exactly like batch map-side combine.
+
+    At gate SF the per-window cardinality (<= 150 users) sits in the
+    lgK=14 exact regime, so the estimate is value-checked against exact
+    COUNT(DISTINCT) — the same contract as q_hll_distinct_profile.
+    """
+    stream = read_events_stream(spark, sf_dir)
+    windowed = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(14))
+            ).alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_users", "n_events")
+    )
+    name = f"card_profile_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            windowed.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+def q_streaming_cardinality_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return streaming_cardinality_profile(spark, sf_dir)
+
+
+ORACLES["streaming_cardinality_profile"] = """
+WITH horizon AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS wm FROM events)
+SELECT date_trunc('hour', ts) AS window_start,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events, horizon
+GROUP BY date_trunc('hour', ts), wm
+HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm
+"""
