@@ -137,11 +137,11 @@ def test_kll_rank_flags_all_pass(spark, sf_dir):
 
 @pytest.mark.parametrize("col,table", [("o_custkey", "orders")])
 def test_gate_cardinality_within_exact_regime(spark, sf_dir, col, table):
-    """The oracle compares HLL/Theta estimates AS VALUES, which relies on
-    gate-SF cardinalities sitting inside the sketches' exact regimes
-    (Theta: < 4096 nominal entries).  If the testdata ever grows past
-    that, this fails loudly and the queries should switch to bound-flag
-    validation (see module docstring)."""
+    """The oracle compares Theta estimates AS VALUES, which relies on
+    test-SF cardinalities sitting inside the sketch's exact regime
+    (< 2^THETA_LG_K nominal entries).  If the testdata ever grows past
+    that, this fails loudly and the query should switch to bound-flag
+    validation like the HLL profile (see module docstring)."""
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     per_group = (
         df.groupBy("o_orderpriority")
@@ -150,4 +150,4 @@ def test_gate_cardinality_within_exact_regime(spark, sf_dir, col, table):
         .collect()[0]
         .mx
     )
-    assert per_group < 4096
+    assert per_group < 2 ** sk.THETA_LG_K
