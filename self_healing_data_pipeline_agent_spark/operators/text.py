@@ -334,6 +334,133 @@ WHERE CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter)
 """
 
 
+# --- X8a': prefix-filtered exact set-similarity join (PPJoin family) --------
+
+# Jaccard threshold for the prefix-filtered join; deliberately different
+# from JACCARD_THRESHOLD so this query's result set is its own contract.
+PREFIX_JACCARD_T = 0.6
+
+
+def q_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard >= t pairs via prefix filtering (the SSJoin/PPJoin
+    family — Chaudhuri et al. 2006, Bayardo et al. 2007): order every
+    doc's shingles by global rarity, keep only the first
+    ``n - ceil(t*n) + 1`` per doc (its *prefix*), and generate candidates
+    only from prefix-token collisions.  Lossless: a pair with J >= t must
+    share its globally-rarest common shingle inside BOTH prefixes (the
+    common shingles cannot all fit in either doc's suffix, which holds
+    fewer than t*n < overlap slots).  Unlike MinHash-LSH this prunes with
+    NO false negatives — the exact answer, candidate-bounded.
+
+    Scale shape: the global order is the (document_frequency, shingle)
+    tuple itself — no vocabulary-wide rank table, no single-partition
+    window.  One vocab-bounded shuffle for df, one doc-partitioned window
+    for prefixes, then the candidate join keys on the RAREST shingles per
+    doc, so per-key fan-in is small by construction (rare-first ordering
+    is what makes prefix filtering work at corpus scale).  Verification
+    recomputes exact Jaccard for candidates only.
+
+    Honest benchmark note: THIS corpus is prefix filtering's worst case —
+    its synthetic shingle document frequencies are uniform (median 9,
+    max 25 at sf0.1), so prefixes contain no truly rare tokens and the
+    candidate set stays large (~65x pair-space pruning, but every doc
+    pairs with someone).  The inverted-index twin (``jaccard_pairs``)
+    wins here.  On Zipfian real-corpus vocabularies the comparison
+    inverts: one high-df shingle makes the all-pairs index quadratic
+    while prefixes stay df~1, which is why PPJoin-family pruning is the
+    exact-threshold production path."""
+    t = PREFIX_JACCARD_T
+    sh = _shingle_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(dfreq, "shingle").join(sizes, "doc_id")
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    prefix = (
+        ranked.withColumn("pos", F.row_number().over(w))
+        .filter(
+            F.col("pos")
+            <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
+        )
+        .select("doc_id", "shingle", "n")
+    )
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), "shingle", F.col("n").alias("n_a")
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), "shingle", F.col("n").alias("n_b")
+    )
+    cand = (
+        a.join(
+            b,
+            (a.shingle == b.shingle)
+            & (F.col("doc_a") < F.col("doc_b"))
+            # length filter: J >= t forces t*|B| <= |A| (for |A| <= |B|)
+            & (F.col("n_a") >= F.col("n_b") * t)
+            & (F.col("n_b") >= F.col("n_a") * t),
+        )
+        .select("doc_a", "doc_b", "n_a", "n_b")
+        .distinct()
+    )
+    # Verification: per-candidate set intersection over the docs'
+    # materialized shingle-HASH arrays (array_intersect on longs,
+    # JVM-side) — two doc_id equi-joins bounded by the candidate count,
+    # NO re-explosion of the inverted index (the explode-join-regroup
+    # verification measured 5x slower: every candidate pair re-shuffled
+    # both docs' full shingle sets).  xxhash64 keeps the join payload at
+    # 8 bytes/shingle; a cross-shingle collision would need ~2^32 distinct
+    # shingles to become likely, far past any corpus vocabulary.
+    arrays = sh.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.xxhash64("shingle"))).alias("sarr")
+    )
+    inter = (
+        cand.join(
+            arrays.select(
+                F.col("doc_id").alias("doc_a"), F.col("sarr").alias("arr_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            arrays.select(
+                F.col("doc_id").alias("doc_b"), F.col("sarr").alias("arr_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_b",
+            F.size(F.array_intersect("arr_a", "arr_b")).alias("n_inter"),
+        )
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return (
+        inter.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= t)
+    )
+
+
+ORACLES["prefix_filter_jaccard"] = f"""
+WITH {_DUCK_SHINGLE_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter)
+      >= {PREFIX_JACCARD_T}
+"""
+
+
 # --- X8b: MinHash + banded LSH (the scale path) -----------------------------
 
 def _sig_chunk(s: int) -> tuple[str, int]:

@@ -78,6 +78,16 @@ QUERY_ORDER = [
     "kll_quantile_bounds",
     "heavy_hitters",
     "streaming_cardinality_profile",
+    # -- new in r5: prefix-filtered EXACT set-similarity join (PPJoin
+    #    family) — the lossless candidate-pruning twin of minhash_lsh --
+    "prefix_filter_jaccard",
+    # -- window_audit flags these four as record-untrustworthy (their
+    #    text.py spans were touched after their last official green);
+    #    local parity is green — re-green the official record --
+    "simhash_fingerprints",
+    "simhash_near_dup",
+    "curate_corpus",
+    "tfidf_top_terms",
     # -- remaining r1-era greens (oldest official records) --
     "grouped_dq_profile",
     "healing_proposals",
@@ -107,10 +117,12 @@ QUERY_ORDER = [
     "repetition_ratio",
     "rolling_fingerprints",
     "salted_hot_key_agg",
-    # Below the 50-entry window: the five r2-era greens displaced by the
-    # X23 sketch ring + streaming sketch query (salted_hot_key_agg lands
-    # at position 50; simhash_fingerprints, simhash_near_dup, source_mix,
-    # text_quality below), the full r4 window (officially re-greened in
+    # Below the 50-entry window: eight r2-era fresh-but-old-record greens
+    # displaced by the r5 additions (pii_scrub, quality_gates,
+    # referential_orphans, repetition_ratio, rolling_fingerprints,
+    # salted_hot_key_agg, source_mix, text_quality — local parity green,
+    # code unchanged since their records; rotate them through r6), the
+    # full r4 window (officially re-greened in
     # CORRECTNESS_r04 against current testdata), and 22 r2/r3-era greens
     # that did not fit (histogram_profile, idle_rich_customers,
     # knn_cosine, label_centroids, mixture_resample, payload_dedup,

@@ -343,3 +343,64 @@ def test_quantile_profile_strategies_agree(spark, sf_dir):
     agg = sorted(tuple(r) for r in _quantile_profile_agg(spark, sf_dir).collect())
     rank = sorted(tuple(r) for r in _quantile_profile_rank(spark, sf_dir).collect())
     assert agg == rank
+
+
+# --- prefix-filtered exact set-similarity join (PPJoin family) --------------
+
+
+def test_prefix_filter_losslessness(spark):
+    """The prefix-filter candidate scheme must find EVERY J >= t pair on a
+    corpus engineered so near-dup pairs share only mid-rarity shingles
+    (the case a buggy prefix length silently drops)."""
+    from pyspark.sql import functions as F
+
+    from self_healing_data_pipeline_agent_spark.operators import text as txt
+
+    import tempfile
+
+    docs = [
+        # a near-dup pair (J >= 0.6 on 3-gram shingles): long shared run
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+        # an identical pair (J = 1.0)
+        (3, "one two three four five six seven"),
+        (4, "one two three four five six seven"),
+        # unrelated chaff sharing common words
+        (5, "alpha beta unrelated words beyond any overlap threshold here"),
+        (6, "totally different content with no shared shingles at all yes"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            docs, "doc_id long, text string"
+        ).withColumn("lang", F.lit("en")).withColumn(
+            "source", F.lit("t")
+        ).withColumn("n_chars", F.length("text")).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/documents.parquet")
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in txt.q_prefix_filter_jaccard(spark, d).collect()
+        }
+        # brute-force truth at the same threshold
+        sh = txt._shingle_df(spark, d)
+        brute = (
+            sh.alias("a")
+            .join(
+                sh.alias("b"),
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+            )
+            .agg(F.count(F.lit(1)).alias("ni"))
+        )
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        truth = set()
+        nmap = {r.doc_id: r.n for r in sizes.collect()}
+        for r in brute.collect():
+            j = r.ni / (nmap[r.da] + nmap[r.db] - r.ni)
+            if j >= txt.PREFIX_JACCARD_T:
+                truth.add((r.da, r.db))
+        assert truth, "fixture must contain at least one qualifying pair"
+        assert got == truth
