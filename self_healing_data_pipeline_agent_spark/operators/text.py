@@ -1257,6 +1257,67 @@ FROM cum
 """
 
 
+# --- RAG-style chunking with overlap ----------------------------------------
+
+RAG_CHUNK_TOKENS = 64  # chunk length in whitespace tokens
+RAG_CHUNK_STRIDE = 48  # start-to-start distance; overlap = CHUNK - STRIDE = 16
+
+
+def q_chunk_with_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunker (the RAG / long-context
+    pretraining shape): each doc becomes overlapping {RAG_CHUNK_TOKENS}-token
+    windows every {RAG_CHUNK_STRIDE} tokens, so no retrieval-relevant span is
+    split without a copy that contains it whole.  Tail chunks that would
+    only repeat the previous chunk's coverage are skipped (emitted iff
+    the previous chunk did not already reach the document end).
+
+    Scale shape: MAP-ONLY — sequence+explode+slice are all JVM
+    higher-order functions, no shuffle anywhere; the chunker runs at scan
+    speed and parallelizes with input splits, which is what you want for
+    a 100 TB corpus-to-chunk-store job."""
+    df = load_table(spark, sf_dir, "documents")
+    base = (
+        df.select("doc_id", _tokens_col().alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") > 0)
+    )
+    starts = base.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(RAG_CHUNK_STRIDE))
+        ).alias("s"),
+    ).filter(
+        (F.col("s") == 0)
+        | (F.col("s") < F.col("n") - RAG_CHUNK_TOKENS + RAG_CHUNK_STRIDE)
+    )
+    return starts.select(
+        "doc_id",
+        (F.col("s") / RAG_CHUNK_STRIDE).cast("bigint").alias("chunk_id"),
+        F.concat_ws(
+            " ", F.expr(f"slice(toks, s + 1, {RAG_CHUNK_TOKENS})")
+        ).alias("chunk_text"),
+        F.least(F.lit(RAG_CHUNK_TOKENS), F.col("n") - F.col("s"))
+        .cast("bigint")
+        .alias("n_chunk_tokens"),
+    )
+
+
+ORACLES["chunk_with_overlap"] = f"""
+WITH base AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS toks, len({_DUCK_TOKENS}) AS n
+  FROM documents WHERE len({_DUCK_TOKENS}) > 0
+)
+SELECT doc_id,
+       CAST(s / {RAG_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       array_to_string(toks[s + 1 : s + {RAG_CHUNK_TOKENS}], ' ') AS chunk_text,
+       CAST(LEAST({RAG_CHUNK_TOKENS}, n - s) AS BIGINT) AS n_chunk_tokens
+FROM base, UNNEST(range(0, n, {RAG_CHUNK_STRIDE})) AS t(s)
+WHERE s = 0 OR s < n - {RAG_CHUNK_TOKENS} + {RAG_CHUNK_STRIDE}
+"""
+
+
 # --- PII scrubbing (regex masking, JVM-side) ---------------------------------
 
 # Dialect-portable patterns: character classes + bounded quantifiers only,
