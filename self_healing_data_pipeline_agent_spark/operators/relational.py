@@ -1156,6 +1156,43 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# --- X5c': TPC-H Q6 — the pure pushdown microbenchmark ----------------------
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 adapted: forecast revenue delta from a single filtered scan —
+    no join, one global agg.  Every predicate (shipdate year, discount
+    band, quantity cap) must reach the parquet scan as a pushed filter
+    (pinned in test_plan_shapes), so at 100 TB this is bounded by I/O on
+    the row groups that survive zone-map pruning, with map-side partial
+    aggregation reducing each partition to one row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue_delta"
+            ),
+        )
+    )
+
+
+ORACLES["tpch_q6"] = f"""
+SELECT COUNT(*) AS n_lines,
+       {sql_dsum('l_extendedprice * l_discount')} AS revenue_delta
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
 # --- X5c: TPC-H Q19-style disjunctive predicate pushdown --------------------
 
 def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:

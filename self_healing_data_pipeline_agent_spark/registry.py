@@ -83,6 +83,8 @@ QUERY_ORDER = [
     "prefix_filter_jaccard",
     # -- new in r5: map-only RAG-style sliding-window chunker --
     "chunk_with_overlap",
+    # -- new in r5: TPC-H Q6 (pure-pushdown single-scan agg) --
+    "tpch_q6",
     # -- window_audit flags these four as record-untrustworthy (their
     #    text.py spans were touched after their last official green);
     #    local parity is green — re-green the official record --
@@ -120,11 +122,11 @@ QUERY_ORDER = [
     "rolling_fingerprints",
     "salted_hot_key_agg",
     # Below the 50-entry window: nine r2-era fresh-but-old-record greens
-    # displaced by the r5 additions (pack_sequences and pii_scrub land at
-    # positions 50-51; quality_gates, referential_orphans,
-    # repetition_ratio, rolling_fingerprints, salted_hot_key_agg,
-    # source_mix, text_quality below — all local-parity green, code
-    # unchanged since their records; rotate them through r6), the
+    # displaced by the r5 additions (pack_sequences lands at position 50;
+    # pii_scrub, quality_gates, referential_orphans, repetition_ratio,
+    # rolling_fingerprints, salted_hot_key_agg, source_mix, text_quality
+    # below — all local-parity green, code unchanged since their
+    # records; rotate them through r6), the
     # full r4 window (officially re-greened in
     # CORRECTNESS_r04 against current testdata), and 22 r2/r3-era greens
     # that did not fit (histogram_profile, idle_rich_customers,

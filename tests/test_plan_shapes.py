@@ -399,3 +399,18 @@ def test_supplier_part_breadth_anti_join_broadcasts(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     scan = plan[plan.index("ReadSchema"):].splitlines()[0]
     assert "l_quantity" not in scan and "l_extendedprice" not in scan
+
+
+def test_q6_all_predicates_pushed_no_join(spark, sf_dir):
+    """Q6 is the pure-pushdown microbenchmark: every filter must reach the
+    parquet scan, and the plan must be a single-exchange scan+agg."""
+    from self_healing_data_pipeline_agent_spark.operators.relational import (
+        q_tpch_q6,
+    )
+
+    df = q_tpch_q6(spark, sf_dir)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert has_pushed_filter(df, col), col
+    assert count_exchanges(df) == 1
+    plan = formatted_plan(df)
+    assert "Join" not in plan
