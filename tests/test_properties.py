@@ -231,3 +231,63 @@ def test_global_rank_is_group_permutation(spark, sf_dir):
     b = a.select((F.col("rn") - 1).alias("rn"), F.col("v").alias("v_next"))
     violations = a.join(b, "rn").filter(F.col("v") > F.col("v_next")).count()
     assert violations == 0
+
+
+# --- chunker coverage properties (pure-Python model + Spark spot check) -----
+
+def _chunk_starts(n: int, chunk: int, stride: int) -> list[int]:
+    """Reference model of q_chunk_with_overlap's start-selection rule."""
+    return [
+        s for s in range(0, n, stride)
+        if s == 0 or s < n - chunk + stride
+    ]
+
+
+@given(n=st.integers(min_value=1, max_value=500))
+def test_chunker_model_covers_every_token(n):
+    """Every token index [0, n) falls inside at least one emitted chunk,
+    and consecutive kept chunks overlap (no gaps) — for the shipped
+    (64, 48) geometry."""
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        RAG_CHUNK_TOKENS as C,
+        RAG_CHUNK_STRIDE as S,
+    )
+
+    starts = _chunk_starts(n, C, S)
+    assert starts and starts[0] == 0
+    covered = set()
+    for s in starts:
+        covered.update(range(s, min(s + C, n)))
+    assert covered == set(range(n))
+    # no redundant tail: each kept chunk past the first must add coverage
+    for prev, cur in zip(starts, starts[1:]):
+        assert prev + C < n or cur == 0, (n, starts)
+
+
+def test_chunker_spark_matches_model(spark, sf_dir):
+    """Spark's per-doc chunk counts equal the reference model's."""
+    from pyspark.sql import functions as F
+
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        RAG_CHUNK_TOKENS as C,
+        RAG_CHUNK_STRIDE as S,
+        _tokens_col,
+        q_chunk_with_overlap,
+    )
+    from self_healing_data_pipeline_agent_spark.sources.tables import load_table
+
+    got = {
+        r.doc_id: r.n
+        for r in q_chunk_with_overlap(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    ns = {
+        r.doc_id: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(_tokens_col()).alias("n"))
+        .collect()
+    }
+    want = {d: len(_chunk_starts(n, C, S)) for d, n in ns.items() if n > 0}
+    assert got == want
