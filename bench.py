@@ -88,6 +88,7 @@ HEADLINE = [
     "theta_priority_overlap",
     "kll_quantile_bounds",
     "heavy_hitters",
+    "one_pass_profile",
 ]
 
 

@@ -36,6 +36,8 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.oracle_sql import sql_davg
+from ..functions.stable import davg
 from ..sources.tables import load_table
 
 ORACLES: dict[str, str] = {}
@@ -287,6 +289,78 @@ SELECT o_orderpriority, q, n_rows, TRUE AS rank_ok
 FROM g CROSS JOIN (
   SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
                  CAST(0.75 AS DOUBLE)]) AS q)
+"""
+
+
+# --- X23e: the composed one-pass profile ------------------------------------
+
+
+def q_one_pass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production profiling-job shape: row count, exact mean, an HLL
+    sketch AND a KLL sketch for every group in ONE ``groupBy`` over ONE
+    scan — every aggregate (including the sketches) is algebraic and
+    map-side combines, so the production profile (drop the audit columns
+    below) is a single shuffle of partial states.  This is the scale-out
+    of the reference's "profile in ONE agg job" rule (SURVEY §4:
+    drift_detector looped per column; we fold columns AND sketches into
+    one pass).
+
+    Audit columns — gate-side only, they are what a production plan
+    drops: the exact ``countDistinct`` (whose two-phase planning adds the
+    extra exchanges seen in `.explain`) feeds ``hll_ok`` (estimate within
+    HLL_REL_TOL), and ``median_rank_ok`` re-scans once to check the KLL
+    median's exact rank within KLL_RANK_EPS."""
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        davg(F.col("o_totalprice")).alias("avg_price"),
+        F.countDistinct("o_custkey").alias("n_custkeys"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("o_custkey", F.lit(HLL_LG_K))
+        ).alias("hll_est"),
+        F.kll_sketch_get_quantile_double(
+            F.kll_sketch_agg_double("o_totalprice", F.lit(KLL_K)), F.lit(0.5)
+        ).alias("kll_med"),
+    )
+    ranks = (
+        o.withColumnRenamed("o_orderpriority", "p")
+        .join(
+            F.broadcast(g.select("o_orderpriority", "kll_med", "n_orders")),
+            F.col("p") == F.col("o_orderpriority"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            (
+                F.abs(
+                    F.sum((F.col("o_totalprice") <= F.col("kll_med")).cast("long"))
+                    / F.first("n_orders")
+                    - F.lit(0.5)
+                )
+                <= F.lit(KLL_RANK_EPS)
+            ).alias("median_rank_ok")
+        )
+    )
+    return g.join(ranks, "o_orderpriority").select(
+        "o_orderpriority",
+        "n_orders",
+        "avg_price",
+        "n_custkeys",
+        (
+            F.abs(F.col("hll_est") - F.col("n_custkeys"))
+            <= F.col("n_custkeys") * F.lit(HLL_REL_TOL)
+        ).alias("hll_ok"),
+        "median_rank_ok",
+    )
+
+
+ORACLES["one_pass_profile"] = f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       {sql_davg('o_totalprice')} AS avg_price,
+       COUNT(DISTINCT o_custkey) AS n_custkeys,
+       TRUE AS hll_ok,
+       TRUE AS median_rank_ok
+FROM orders GROUP BY o_orderpriority
 """
 
 
