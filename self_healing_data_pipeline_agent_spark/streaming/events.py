@@ -48,7 +48,10 @@ def _events_schema(ts_type) -> StructType:
 
 
 def read_events_stream(
-    spark: SparkSession, sf_dir: str, replay: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    replay: bool = False,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-source readStream over the events table with ``ts`` normalized
     to the session TIMESTAMP type — the streaming twin of
@@ -62,7 +65,9 @@ def read_events_stream(
     single-file table is exposed through a symlinked staging dir (a real
     deployment streams a landing directory anyway).  ``replay=True``
     symlinks the file twice — the at-least-once redelivery shape used by
-    the streaming-dedup check.
+    the streaming-dedup check.  ``max_files_per_trigger`` splits the
+    staged files across micro-batches (availableNow honors it), for
+    checks that need MULTIPLE batches rather than one big one.
     """
     unit, tz_adjusted = events_ts_info(sf_dir)
     staging = tempfile.mkdtemp(prefix="events_stream_")
@@ -71,6 +76,12 @@ def read_events_stream(
         (Path(staging) / "events_replay.parquet").symlink_to(
             Path(sf_dir) / "events.parquet"
         )
+    def _reader(schema):
+        r = spark.readStream.schema(schema)
+        if max_files_per_trigger:
+            r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        return r
+
     if unit == "ns":
         # INT64 nanos: surfaced as long via the nanosAsLong conf that
         # session.get_spark pins at build time; guard loudly on a foreign
@@ -82,7 +93,7 @@ def read_events_stream(
                 "(use session.get_spark, which pins it)"
             )
         return (
-            spark.readStream.schema(_events_schema(LongType()))
+            _reader(_events_schema(LongType()))
             .parquet(staging)
             .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         )
@@ -95,7 +106,7 @@ def read_events_stream(
     # TIMESTAMP type is bit-identical under the pinned UTC zone either way.
     ts_type = TimestampType() if tz_adjusted else TimestampNTZType()
     return (
-        spark.readStream.schema(_events_schema(ts_type))
+        _reader(_events_schema(ts_type))
         .parquet(staging)
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
@@ -723,4 +734,100 @@ SELECT date_trunc('hour', ts) AS window_start,
 FROM events, horizon
 GROUP BY date_trunc('hour', ts), wm
 HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm
+"""
+
+
+# --- incremental sketch-profile maintenance (foreachBatch + HLL union) ------
+
+
+def streaming_sketch_rollup(
+    spark: SparkSession, sf_dir: str, store_dir: str | None = None
+) -> DataFrame:
+    """Maintain a DAILY distinct-users profile TABLE from a stream by
+    union-merging HLL sketches in ``foreachBatch`` — the long-horizon
+    streaming-cardinality pattern.  Windowed state (see
+    ``streaming_cardinality_profile``) is bounded by the watermark; a
+    profile TABLE keyed by day accretes forever, survives restarts, and
+    merges new micro-batch sketches into stored ones with
+    ``hll_union`` — no raw keys retained anywhere.
+
+    Delivery semantics: the staged stream REPLAYS every event (two
+    symlinks, one file per micro-batch), and the profile still converges
+    to the exact distinct counts because HLL insertion is idempotent —
+    re-observing an element cannot change the registers.  At-least-once
+    delivery is therefore FREE for sketch profiles, where a COUNT(*)
+    profile would need the dedup machinery of ``streaming_dedup_hourly``.
+
+    The commit per batch is the same versioned-dir + symlink swap used by
+    ``streaming/merge.py`` (a plain-filesystem miniature of a table
+    format's atomic commit)."""
+    import os
+    import shutil
+
+    stream = read_events_stream(
+        spark, sf_dir, replay=True, max_files_per_trigger=1
+    )
+    # store_dir injectable so tests can assert the multi-batch merge path
+    # actually ran (snapshot symlink ends at the batch-1 version)
+    store_dir = store_dir or tempfile.mkdtemp(prefix="sketch_profile_")
+    snapshot = str(Path(store_dir) / "profile")
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        batch_sk = (
+            batch_df.select(F.to_date("ts").alias("day"), "user_id")
+            .groupBy("day")
+            .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+        )
+        if os.path.exists(snapshot):
+            base = spark.read.parquet(snapshot)
+            d = batch_sk.select(
+                F.col("day").alias("_d_day"), F.col("sk").alias("_d_sk")
+            )
+            merged = (
+                base.join(d, base.day == d._d_day, "full_outer")
+                .select(
+                    F.coalesce("day", "_d_day").alias("day"),
+                    F.when(
+                        F.col("sk").isNotNull() & F.col("_d_sk").isNotNull(),
+                        F.hll_union("sk", "_d_sk"),
+                    )
+                    .otherwise(F.coalesce("_d_sk", "sk"))
+                    .alias("sk"),
+                )
+            )
+        else:
+            merged = batch_sk
+        new_version = f"{snapshot}.v{batch_id}-{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(new_version)
+        prev = os.readlink(snapshot) if os.path.islink(snapshot) else None
+        link_tmp = f"{snapshot}.ln-{uuid.uuid4().hex[:8]}"
+        os.symlink(os.path.basename(new_version), link_tmp)
+        os.rename(link_tmp, snapshot)
+        if prev:
+            shutil.rmtree(os.path.join(store_dir, prev), ignore_errors=True)
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.read.parquet(snapshot)
+        .select("day", F.hll_sketch_estimate("sk").alias("n_users"))
+    )
+
+
+def q_streaming_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_sketch_rollup(spark, sf_dir)
+
+
+# Exact oracle: per-day distinct users.  The stream delivered every event
+# TWICE and the merged estimates still equal the exact counts (idempotent
+# sketch insertion; per-day cardinality sits in the lgK=14 exact regime).
+ORACLES["streaming_sketch_rollup"] = """
+SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY CAST(ts AS DATE)
 """

@@ -151,3 +151,37 @@ def test_gate_cardinality_within_exact_regime(spark, sf_dir, col, table):
         .mx
     )
     assert per_group < 2 ** sk.THETA_LG_K
+
+
+# --- streaming sketch rollup: replay-idempotent profile maintenance ---------
+
+
+def test_streaming_sketch_rollup_merges_two_batches(spark, sf_dir, tmp_path):
+    """The staged stream delivers every event twice across TWO
+    micro-batches (maxFilesPerTrigger=1); the profile store must have
+    committed a batch-1 version (proving the hll_union merge path ran,
+    not a single-batch write) and the merged estimates must equal exact
+    per-day distincts despite the duplicate delivery."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from self_healing_data_pipeline_agent_spark.streaming.events import (
+        streaming_sketch_rollup,
+    )
+
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    res = streaming_sketch_rollup(spark, sf_dir, store_dir=store)
+    got = {(str(r.day), r.n_users) for r in res.collect()}
+    target = os.readlink(os.path.join(store, "profile"))
+    assert ".v1-" in target, target  # second micro-batch committed last
+    exact = {
+        (str(r.day), r.n)
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == exact
