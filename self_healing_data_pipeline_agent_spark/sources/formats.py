@@ -19,6 +19,11 @@ Format notes (scale view):
   columnar formats and no pushdown, so it is an EDGE format (landing /
   export), never the warehouse layout.  Schema must be supplied on read —
   inference is a full extra pass at 100 TB and can widen types.
+- **csv** — the reference's native ingest format (src/etl_pipeline.py:37-50)
+  and the least self-describing: no types at all, so schema-enforced read
+  is mandatory.  Doubles survive because Spark writes the shortest
+  round-trippable decimal repr; timestamps get the same pinned ISO format
+  as JSON.  Landing/export only.
 """
 
 from __future__ import annotations
@@ -30,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .tables import load_table
 
-SUPPORTED_FORMATS = ("parquet", "orc", "json")
+SUPPORTED_FORMATS = ("parquet", "orc", "json", "csv")
 
 ORACLES: dict[str, str] = {}
 
@@ -54,8 +59,12 @@ def convert_table(
         # JSON has no native timestamp type: serialize deterministically
         # (ISO-8601, UTC session zone) so the read side can cast back.
         df.write.mode("overwrite").option(
-            "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+            "timestampFormat", _JSON_TS_FMT
         ).json(out)
+    elif fmt == "csv":
+        df.write.mode("overwrite").option("header", "true").option(
+            "timestampFormat", _JSON_TS_FMT
+        ).csv(out)
     else:
         getattr(df.write.mode("overwrite"), fmt)(out)
     return out
@@ -74,34 +83,49 @@ def read_table_as(
     reader = spark.read.schema(schema)
     if fmt == "json":
         return reader.option("timestampFormat", _JSON_TS_FMT).json(str(path))
+    if fmt == "csv":
+        return reader.option("header", "true").option(
+            "timestampFormat", _JSON_TS_FMT
+        ).csv(str(path))
     return getattr(reader, fmt)(str(path))
 
 
 def q_format_interchange(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-trip the supplier dimension parquet -> ORC -> JSON-lines and
-    return the final frame; the oracle reads the ORIGINAL parquet, so a
-    hash match proves BOTH container hops are bit-lossless (columnar peer
-    AND row-oriented edge format) under schema-enforced reads — the
+    """Round-trip the supplier dimension parquet -> ORC -> JSON-lines ->
+    CSV and return the final frame; the oracle reads the ORIGINAL
+    parquet, so a hash match proves ALL THREE container hops are
+    bit-lossless (columnar peer, row-oriented edge format, AND the
+    reference's typeless native CSV) under schema-enforced reads — the
     format-fidelity claim as a driver-checked record instead of
     pytest-only.  The reference ingests CSV into a single warehouse
     format (src/etl_pipeline.py:37-50); a 100 TB deployment must move
     tables across formats without value drift.
 
-    Scale shape: two narrow write+scan passes over a broadcast-sized
+    Scale shape: three narrow write+scan passes over a broadcast-sized
     dimension, no shuffle; the same plan applies to any catalog table.
     """
     tmp = tempfile.mkdtemp(prefix="fmt_interchange_")
+    schema = load_table(spark, sf_dir, "supplier").schema
     orc_path = convert_table(spark, sf_dir, "supplier", "orc", tmp)
     orc_df = read_table_as(spark, sf_dir, "supplier", "orc", orc_path)
     json_path = str(Path(tmp) / "supplier_from_orc.json")
     orc_df.write.mode("overwrite").option(
         "timestampFormat", _JSON_TS_FMT
     ).json(json_path)
-    schema = load_table(spark, sf_dir, "supplier").schema
-    return (
+    json_df = (
         spark.read.schema(schema)
         .option("timestampFormat", _JSON_TS_FMT)
         .json(json_path)
+    )
+    csv_path = str(Path(tmp) / "supplier_from_json.csv")
+    json_df.write.mode("overwrite").option("header", "true").option(
+        "timestampFormat", _JSON_TS_FMT
+    ).csv(csv_path)
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("timestampFormat", _JSON_TS_FMT)
+        .csv(csv_path)
     )
 
 
