@@ -414,3 +414,15 @@ def test_q6_all_predicates_pushed_no_join(spark, sf_dir):
     assert count_exchanges(df) == 1
     plan = formatted_plan(df)
     assert "Join" not in plan
+
+
+def test_one_pass_profile_partial_aggregation(spark, sf_dir):
+    """The composed profile's sketch aggregates must stay algebraic: a
+    partial object-hash/sort aggregate below the exchange so the shuffle
+    moves sketch partial states, not raw rows."""
+    from self_healing_data_pipeline_agent_spark.operators.sketches import (
+        q_one_pass_profile,
+    )
+
+    plan = formatted_plan(q_one_pass_profile(spark, sf_dir))
+    assert "ObjectHashAggregate" in plan or "SortAggregate" in plan
