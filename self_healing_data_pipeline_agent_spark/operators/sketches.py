@@ -190,6 +190,64 @@ FROM i JOIN n na ON na.p = i.pa JOIN n nb ON nb.p = i.pb
 """
 
 
+# --- X23b': customer churn via Theta set algebra over time periods ----------
+
+CHURN_BOUNDARY = "1998-01-01"  # orders span 1995..2001; ~half either side
+
+
+def q_customer_churn_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period customer churn from TWO Theta sketches: one scan
+    sketches the active-customer set of each period, then retained /
+    churned / new counts are pure sketch algebra — the
+    month-over-month retention report every warehouse runs, WITHOUT
+    re-shuffling customer keys per report.  At 100 TB the per-period
+    sketches are maintained incrementally (union-merge per new partition,
+    see streaming_sketch_rollup) and any A-vs-B churn question is
+    answered from stored summaries.
+
+    Exact in the test universe (per-period cardinality < 2^THETA_LG_K),
+    so the oracle checks real COUNT(DISTINCT) churn arithmetic."""
+    o = load_table(spark, sf_dir, "orders")
+    boundary = F.lit(CHURN_BOUNDARY).cast("timestamp")
+    sk = o.agg(
+        F.theta_sketch_agg(
+            F.when(F.col("o_orderdate") < boundary, F.col("o_custkey")),
+            F.lit(THETA_LG_K),
+        ).alias("ska"),
+        F.theta_sketch_agg(
+            F.when(F.col("o_orderdate") >= boundary, F.col("o_custkey")),
+            F.lit(THETA_LG_K),
+        ).alias("skb"),
+    )
+    return sk.select(
+        F.theta_sketch_estimate("ska").alias("n_first_period"),
+        F.theta_sketch_estimate("skb").alias("n_second_period"),
+        F.theta_sketch_estimate(
+            F.theta_intersection("ska", "skb")
+        ).alias("n_retained"),
+        F.theta_sketch_estimate(
+            F.theta_difference("ska", "skb")
+        ).alias("n_churned"),
+        F.theta_sketch_estimate(
+            F.theta_difference("skb", "ska")
+        ).alias("n_new"),
+    )
+
+
+ORACLES["customer_churn_sketch"] = f"""
+WITH a AS (SELECT DISTINCT o_custkey AS c FROM orders
+           WHERE o_orderdate < TIMESTAMP '{CHURN_BOUNDARY}'),
+b AS (SELECT DISTINCT o_custkey AS c FROM orders
+      WHERE o_orderdate >= TIMESTAMP '{CHURN_BOUNDARY}')
+SELECT (SELECT COUNT(*) FROM a) AS n_first_period,
+       (SELECT COUNT(*) FROM b) AS n_second_period,
+       (SELECT COUNT(*) FROM a JOIN b USING (c)) AS n_retained,
+       (SELECT COUNT(*) FROM a WHERE c NOT IN (SELECT c FROM b))
+         AS n_churned,
+       (SELECT COUNT(*) FROM b WHERE c NOT IN (SELECT c FROM a)) AS n_new
+"""
+
+
 # --- X23c: KLL quantile sketches with exact-rank validation -----------------
 
 

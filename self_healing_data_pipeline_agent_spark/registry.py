@@ -91,6 +91,8 @@ QUERY_ORDER = [
     # -- new in r5: foreachBatch HLL-union profile-table maintenance,
     #    exact under at-least-once replay (idempotent sketch insertion) --
     "streaming_sketch_rollup",
+    # -- new in r5: period-over-period churn as Theta set algebra --
+    "customer_churn_sketch",
     # -- window_audit flags these four as record-untrustworthy (their
     #    text.py spans were touched after their last official green);
     #    local parity is green — re-green the official record --
@@ -127,14 +129,14 @@ QUERY_ORDER = [
     "repetition_ratio",
     "rolling_fingerprints",
     "salted_hot_key_agg",
-    # Below the 50-entry window (tpch_q1 is the last in-window entry):
-    # twelve r2-era fresh-but-old-record greens displaced by the r5
-    # additions (lang_guess, minhash_lsh_pairs, ngram_counts,
-    # pack_sequences, pii_scrub, quality_gates, referential_orphans,
-    # repetition_ratio, rolling_fingerprints, salted_hot_key_agg,
-    # source_mix, text_quality — all local-parity green, code unchanged
-    # since their records; rotate them through r6), the
-    # full r4 window (officially re-greened in
+    # Below the 50-entry window (small_qty_revenue is the last in-window
+    # entry): thirteen r1/r2-era fresh-but-old-record greens displaced by
+    # the r5 additions (tpch_q1, lang_guess, minhash_lsh_pairs,
+    # ngram_counts, pack_sequences, pii_scrub, quality_gates,
+    # referential_orphans, repetition_ratio, rolling_fingerprints,
+    # salted_hot_key_agg, source_mix, text_quality — all local-parity
+    # green, code unchanged since their records; rotate them through
+    # r6), the full r4 window (officially re-greened in
     # CORRECTNESS_r04 against current testdata), and 22 r2/r3-era greens
     # that did not fit (histogram_profile, idle_rich_customers,
     # knn_cosine, label_centroids, mixture_resample, payload_dedup,

@@ -291,3 +291,46 @@ def test_chunker_spark_matches_model(spark, sf_dir):
     }
     want = {d: len(_chunk_starts(n, C, S)) for d, n in ns.items() if n > 0}
     assert got == want
+
+
+# --- prefix-filter candidate scheme: lossless on random corpora -------------
+
+@given(data=st.data())
+@settings(max_examples=60, deadline=None)
+def test_prefix_filter_candidates_lossless_model(data):
+    """Pure-Python model of q_prefix_filter_jaccard's candidate scheme:
+    for random corpora, every pair with Jaccard >= t must share a token
+    that lies in BOTH docs' rarity-ordered prefixes (the property the
+    Spark plan relies on for zero false negatives)."""
+    import math
+    from collections import Counter
+
+    t = 0.6
+    vocab = [f"w{i}" for i in range(data.draw(st.integers(4, 30)))]
+    docs = {
+        i: set(
+            data.draw(
+                st.lists(st.sampled_from(vocab), min_size=1, max_size=15)
+            )
+        )
+        for i in range(data.draw(st.integers(2, 10)))
+    }
+    df = Counter(tok for s in docs.values() for tok in s)
+    order = {tok: (df[tok], tok) for tok in vocab}
+
+    def prefix(s):
+        n = len(s)
+        keep = n - math.ceil(t * n) + 1
+        return set(sorted(s, key=lambda x: order[x])[:keep])
+
+    for a in docs:
+        for b in docs:
+            if a >= b:
+                continue
+            inter = docs[a] & docs[b]
+            union = docs[a] | docs[b]
+            if not union or len(inter) / len(union) < t:
+                continue
+            assert prefix(docs[a]) & prefix(docs[b]), (
+                docs[a], docs[b], prefix(docs[a]), prefix(docs[b])
+            )
