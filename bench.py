@@ -89,6 +89,9 @@ HEADLINE = [
     "kll_quantile_bounds",
     "heavy_hitters",
     "one_pass_profile",
+    "customer_churn_sketch",
+    # map-only RAG chunker: the corpus-to-chunk-store job at scan speed
+    "chunk_with_overlap",
 ]
 
 
@@ -258,10 +261,10 @@ def _result_line(
             "unit": "sec",
             "sf": sf,
             "n_queries": len(timings),
-            "runs_per_query": f"2-{MAX_RUNS} best",
+            "runs": f"2-{MAX_RUNS} best",
             "n_noisy": len(noisy),
             "n_errored": len(errors),
-            "duckdb_oracle_total": duck_total,
+            "duck_total": duck_total,
             "spark_vs_duckdb_ratio": ratio,
             "queries": timings,
         }
