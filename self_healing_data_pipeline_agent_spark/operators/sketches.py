@@ -496,3 +496,81 @@ FROM toks
 GROUP BY term
 HAVING COUNT(*) * {K_HH} > (SELECT COUNT(*) FROM toks)
 """
+
+
+def _mg_grouped_candidates(batches: Iterator) -> Iterator:
+    """Per-partition Misra-Gries with an INDEPENDENT counter table per
+    group (language): decrements in one group never evict another
+    group's terms, so the per-group superset guarantee of
+    :func:`_mg_candidates` holds group-wise.  Memory is bounded by
+    (#groups-in-partition x MG_CAPACITY) — fine for low-cardinality
+    grouping keys like language/source; for high-cardinality groups,
+    repartition by group first so each partition holds few groups."""
+    import pandas as pd
+
+    per_group: dict[str, dict[str, int]] = {}
+    for pdf in batches:
+        for lang, toks in zip(pdf["lang"], pdf["tokens"]):
+            counters = per_group.setdefault(lang, {})
+            for t in toks:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < MG_CAPACITY:
+                    counters[t] = 1
+                else:
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+    yield pd.DataFrame(
+        {
+            "lang": [g for g, c in per_group.items() for _ in c],
+            "term": [t for c in per_group.values() for t in c],
+        }
+    )
+
+
+def q_heavy_hitters_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped exact heavy hitters: terms with frequency > N_lang/K_HH
+    WITHIN each language — the realistic per-domain/per-language shape of
+    corpus frequency analysis.  Same two-pass plan as ``heavy_hitters``
+    (per-partition MG candidates, broadcast exact recount) with the MG
+    kernel keeping one counter table per language so the superset
+    guarantee is per-group.  The recount shuffles only candidate
+    (lang, term) rows — vocabulary-scale, not corpus-scale."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", F.expr(_TOKENS).alias("tokens")
+    )
+    candidates = docs.mapInPandas(
+        _mg_grouped_candidates, "lang string, term string"
+    ).distinct()
+    tokens = docs.select("lang", F.explode("tokens").alias("term"))
+    totals = docs.groupBy("lang").agg(
+        F.sum(F.size("tokens")).alias("n_total")
+    )
+    counted = (
+        tokens.join(F.broadcast(candidates), ["lang", "term"])
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return (
+        counted.join(F.broadcast(totals), "lang")
+        .filter(F.col("n_occurrences") * K_HH > F.col("n_total"))
+        .select("lang", "term", "n_occurrences")
+    )
+
+
+ORACLES["heavy_hitters_by_lang"] = f"""
+WITH toks AS (
+  SELECT lang, unnest(filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+tl AS (SELECT lang, COUNT(*) AS n FROM toks GROUP BY lang)
+SELECT t.lang, t.term, t.c AS n_occurrences
+FROM (SELECT lang, term, COUNT(*) AS c FROM toks GROUP BY lang, term) t
+JOIN tl ON tl.lang = t.lang
+WHERE t.c * {K_HH} > tl.n
+"""

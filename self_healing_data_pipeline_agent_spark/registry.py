@@ -93,6 +93,8 @@ QUERY_ORDER = [
     "streaming_sketch_rollup",
     # -- new in r5: period-over-period churn as Theta set algebra --
     "customer_churn_sketch",
+    # -- new in r5: grouped (per-language) two-pass exact heavy hitters --
+    "heavy_hitters_by_lang",
     # -- window_audit flags these four as record-untrustworthy (their
     #    text.py spans were touched after their last official green);
     #    local parity is green — re-green the official record --
@@ -129,9 +131,9 @@ QUERY_ORDER = [
     "repetition_ratio",
     "rolling_fingerprints",
     "salted_hot_key_agg",
-    # Below the 50-entry window (small_qty_revenue is the last in-window
-    # entry): thirteen r1/r2-era fresh-but-old-record greens displaced by
-    # the r5 additions (tpch_q1, lang_guess, minhash_lsh_pairs,
+    # Below the 50-entry window (shipping_priority is the last in-window
+    # entry): fourteen r1/r2-era fresh-but-old-record greens displaced by
+    # the r5 additions (small_qty_revenue, tpch_q1, lang_guess, minhash_lsh_pairs,
     # ngram_counts, pack_sequences, pii_scrub, quality_gates,
     # referential_orphans, repetition_ratio, rolling_fingerprints,
     # salted_hot_key_agg, source_mix, text_quality — all local-parity

@@ -185,3 +185,24 @@ def test_streaming_sketch_rollup_merges_two_batches(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == exact
+
+
+def test_grouped_heavy_hitters_matches_naive(spark, sf_dir):
+    """Per-language two-pass MG result must equal the naive grouped
+    GROUP BY at the same threshold."""
+    got = {
+        (r.lang, r.term, r.n_occurrences)
+        for r in sk.q_heavy_hitters_by_lang(spark, sf_dir).collect()
+    }
+    toks = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "lang", F.explode(F.expr(sk._TOKENS)).alias("term")
+    )
+    totals = {r.lang: r.n for r in toks.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    naive = {
+        (r.lang, r.term, r.n)
+        for r in toks.groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r.n * sk.K_HH > totals[r.lang]
+    }
+    assert got == naive and len(got) > 0
