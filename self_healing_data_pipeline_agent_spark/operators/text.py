@@ -2107,9 +2107,23 @@ SELECT 3, 'decontaminated', CAST(n_clean AS BIGINT) FROM counts
 CHAR_LM_V = 28  # charset after normalization: a-z, space, '#'
 _CHAR_LM_LN2 = "0.6931471805599453"  # ln(2) literal, identical both engines
 
+# The CHECKED score column is an integer deci-bit band: floor(bpc * 10).
+# Round 5 proved that any finely-quantized float derived from ln() is
+# cross-engine fragile in SOME environments (the driver's DuckDB/libm
+# flipped a value our local libm does not), even with 1e-6-unit integer
+# quantization of the model.  A 0.1-bit band is the sketch-ring
+# contract-column pattern (sketches.py:13-29): the measured distance of
+# every doc's unrounded bpc from its nearest band edge is >= 1.7e-4 band
+# units at sf0.001/0.01/0.1 — four orders of magnitude above any plausible
+# libm divergence — and tests/test_llm_data_ops.py's tripwire asserts that
+# margin at every SF so a future data drop landing on a boundary fails
+# loudly locally instead of silently in the driver.
+CHAR_LM_BAND_PER_BIT = 10
+CHAR_LM_BAND_EDGE_EPS = 1e-4  # min allowed |band_value - nearest edge|
+
 
 def q_char_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document char-bigram cross-entropy (bits per character).
+    """Per-document char-bigram cross-entropy, banded to deci-bits/char.
 
     Scale shape: ONE explode of the corpus into bigram instances feeds a
     (doc, bigram) partial-aggregated count [shuffle 1]; the model (bigram
@@ -2119,10 +2133,12 @@ def q_char_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     never joins anything bigger than the broadcast model.
 
     Cross-engine determinism: each bigram TYPE's log-probability is
-    quantized to integer 1e-6 units (libm ln() can differ in the last
-    ulp), so the per-doc sum is an exact BIGINT dot product tf * lp_units
-    — order-independent under any partitioning; the final bits-per-char
-    is one identically-shaped double expression rounded to 6dp."""
+    quantized to integer 1e-6 units, so the per-doc sum is an exact BIGINT
+    dot product tf * lp_units — order-independent under any partitioning.
+    The checked columns are the exact ``doc_id``/``n_bigrams`` and the
+    integer deci-bit band ``bpc_band`` (see CHAR_LM_BAND_PER_BIT above);
+    the unbanded 6-dp float is deliberately NOT part of the hashed
+    contract after the round-5 driver divergence."""
     df = load_table(spark, sf_dir, "documents")
     norm = df.select(
         "doc_id",
@@ -2166,7 +2182,9 @@ def q_char_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.expr(_CHAR_LM_LN2) / F.col("n_bigrams")
     )
     return scored.select(
-        "doc_id", "n_bigrams", F.round(bits, 6).alias("bits_per_char")
+        "doc_id",
+        "n_bigrams",
+        F.floor(bits * F.lit(float(CHAR_LM_BAND_PER_BIT))).alias("bpc_band"),
     )
 
 
@@ -2192,8 +2210,9 @@ WITH norm AS (
 )
 SELECT doc_id,
        SUM(tf) AS n_bigrams,
-       ROUND(-(CAST(SUM(tf * lp_units) AS DOUBLE) / 1000000.0)
-             / {_CHAR_LM_LN2} / SUM(tf), 6) AS bits_per_char
+       CAST(FLOOR(-(CAST(SUM(tf * lp_units) AS DOUBLE) / 1000000.0)
+                  / {_CHAR_LM_LN2} / SUM(tf)
+                  * {float(CHAR_LM_BAND_PER_BIT)}) AS BIGINT) AS bpc_band
 FROM tf JOIN model USING (bg)
 GROUP BY doc_id
 """

@@ -148,8 +148,6 @@ QUERY_ORDER = [
     # set) — rotate those through the r6 window.  scripts/window_audit.py
     # tracks staleness; local parity re-verifies the full surface each
     # session.
-    "simhash_fingerprints",
-    "simhash_near_dup",
     "source_mix",
     "text_quality",
 ]

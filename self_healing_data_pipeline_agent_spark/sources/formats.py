@@ -23,7 +23,14 @@ Format notes (scale view):
   and the least self-describing: no types at all, so schema-enforced read
   is mandatory.  Doubles survive because Spark writes the shortest
   round-trippable decimal repr; timestamps get the same pinned ISO format
-  as JSON.  Landing/export only.
+  as JSON.  NULL and the empty string are distinguished by pinning
+  ``nullValue`` to a sentinel (``\\N``) on BOTH write and read — Spark's
+  default maps every empty field back to null, which silently drifts
+  empty-string cells on any table that has them.  Known residual
+  limitation: embedded newlines inside string cells need ``multiLine``
+  reads (not enabled here — it forbids input splitting, wrong at scale);
+  the CSV hop is lossless for newline-free cells only.  Landing/export
+  only.
 """
 
 from __future__ import annotations
@@ -40,6 +47,32 @@ SUPPORTED_FORMATS = ("parquet", "orc", "json", "csv")
 ORACLES: dict[str, str] = {}
 
 _JSON_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+# CSV null sentinel: lets NULL round-trip distinctly from '' (ADVICE r5).
+_CSV_NULL = "\\N"
+
+
+def _csv_writer(df: DataFrame):
+    # NULL -> the \N sentinel; empty string keeps Spark's default quoted ""
+    # representation, so the two stay distinct on read (the default READER
+    # would fold both to null).  Residual caveat: a string cell whose exact
+    # text equals the sentinel reads back as NULL — pick the sentinel away
+    # from the data domain (the reference's CSVs never contain \N).
+    return (
+        df.write.mode("overwrite")
+        .option("header", "true")
+        .option("timestampFormat", _JSON_TS_FMT)
+        .option("nullValue", _CSV_NULL)
+    )
+
+
+def _csv_reader(spark: SparkSession, schema):
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("timestampFormat", _JSON_TS_FMT)
+        .option("nullValue", _CSV_NULL)
+    )
 
 
 def convert_table(
@@ -62,9 +95,7 @@ def convert_table(
             "timestampFormat", _JSON_TS_FMT
         ).json(out)
     elif fmt == "csv":
-        df.write.mode("overwrite").option("header", "true").option(
-            "timestampFormat", _JSON_TS_FMT
-        ).csv(out)
+        _csv_writer(df).csv(out)
     else:
         getattr(df.write.mode("overwrite"), fmt)(out)
     return out
@@ -84,9 +115,7 @@ def read_table_as(
     if fmt == "json":
         return reader.option("timestampFormat", _JSON_TS_FMT).json(str(path))
     if fmt == "csv":
-        return reader.option("header", "true").option(
-            "timestampFormat", _JSON_TS_FMT
-        ).csv(str(path))
+        return _csv_reader(spark, schema).csv(str(path))
     return getattr(reader, fmt)(str(path))
 
 
@@ -118,15 +147,8 @@ def q_format_interchange(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(json_path)
     )
     csv_path = str(Path(tmp) / "supplier_from_json.csv")
-    json_df.write.mode("overwrite").option("header", "true").option(
-        "timestampFormat", _JSON_TS_FMT
-    ).csv(csv_path)
-    return (
-        spark.read.schema(schema)
-        .option("header", "true")
-        .option("timestampFormat", _JSON_TS_FMT)
-        .csv(csv_path)
-    )
+    _csv_writer(json_df).csv(csv_path)
+    return _csv_reader(spark, schema).csv(csv_path)
 
 
 ORACLES["format_interchange"] = "SELECT * FROM supplier"

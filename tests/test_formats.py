@@ -53,3 +53,29 @@ def test_query_result_format_independent(spark, sf_dir, tmp_path):
 def test_unsupported_format_raises(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="unsupported"):
         convert_table(spark, sf_dir, "nation", "avro", tmp_path)
+
+
+def test_csv_roundtrip_preserves_empty_string_vs_null(spark, tmp_path):
+    """ADVICE r5: Spark's CSV defaults fold '' -> NULL on read.  The pinned
+    nullValue sentinel must keep them distinct through a write+read hop."""
+    from pyspark.sql import Row
+
+    from self_healing_data_pipeline_agent_spark.sources.formats import (
+        _csv_reader,
+        _csv_writer,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(k=1, s="plain"),
+            Row(k=2, s=""),
+            Row(k=3, s=None),
+            Row(k=4, s="has,comma and \"quotes\""),
+        ]
+    )
+    path = str(tmp_path / "t.csv")
+    _csv_writer(df).csv(path)
+    back = _csv_reader(spark, df.schema).csv(path)
+    got = {r.k: r.s for r in back.collect()}
+    want = {r.k: r.s for r in df.collect()}
+    assert got == want

@@ -404,3 +404,66 @@ def test_prefix_filter_losslessness(spark):
                 truth.add((r.da, r.db))
         assert truth, "fixture must contain at least one qualifying pair"
         assert got == truth
+
+
+def test_char_lm_band_edge_tripwire():
+    """The r5 driver divergence: char_lm_perplexity's checked score must be
+    boundary-robust.  Assert every doc's UNBANDED deci-bit value at all
+    three SFs sits >= CHAR_LM_BAND_EDGE_EPS from its nearest band edge, so
+    a future data drop landing near floor(bpc*10)'s boundary fails loudly
+    here instead of silently in the driver's cross-engine hash compare.
+    DuckDB-only (no Spark) — the margin is a property of the data+model."""
+    import duckdb
+
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        CHAR_LM_BAND_EDGE_EPS,
+        CHAR_LM_BAND_PER_BIT,
+        CHAR_LM_V,
+        _CHAR_LM_LN2,
+    )
+
+    unbanded = f"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z ]', '#', 'g') AS nt
+  FROM documents
+), inst AS (
+  SELECT doc_id,
+         substr(nt, CAST(unnest(range(1, length(nt))) AS INT), 2) AS bg
+  FROM norm WHERE length(nt) >= 2
+), tf AS (
+  SELECT doc_id, bg, COUNT(*) AS tf FROM inst GROUP BY doc_id, bg
+), bg_counts AS (
+  SELECT bg, SUM(tf) AS cnt FROM tf GROUP BY bg
+), c1_totals AS (
+  SELECT substr(bg, 1, 1) AS c1, SUM(cnt) AS tot FROM bg_counts GROUP BY c1
+), model AS (
+  SELECT bg,
+         CAST(FLOOR(LN((cnt + 1.0) / (tot + {float(CHAR_LM_V)}))
+                    * 1000000.0 + 0.5) AS BIGINT) AS lp_units
+  FROM bg_counts JOIN c1_totals ON substr(bg, 1, 1) = c1
+)
+SELECT doc_id,
+       -(CAST(SUM(tf * lp_units) AS DOUBLE) / 1000000.0)
+         / {_CHAR_LM_LN2} / SUM(tf) * {float(CHAR_LM_BAND_PER_BIT)} AS v
+FROM tf JOIN model USING (bg)
+GROUP BY doc_id
+"""
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'/root/testdata/{sf}/documents.parquet'"
+        )
+        rows = con.sql(unbanded).fetchall()
+        con.close()
+        assert rows, f"{sf}: no docs scored"
+        bad = []
+        for doc_id, v in rows:
+            margin = abs(v - round(v))
+            if margin < CHAR_LM_BAND_EDGE_EPS:
+                bad.append((doc_id, v, margin))
+        assert not bad, (
+            f"{sf}: {len(bad)} docs within {CHAR_LM_BAND_EDGE_EPS} of a "
+            f"bpc_band edge (first 3: {bad[:3]}) — the banded oracle is no "
+            "longer boundary-robust; widen the band or adjust the model"
+        )

@@ -2,8 +2,12 @@
 entry and its ``oracle_sql()`` twin on the same parquet tables and compare
 row count + schema + order-insensitive values.
 
-This is the primary self-check — if this passes at sf0.001/sf0.01, the
-driver's CORRECTNESS gate should too.
+This is the primary self-check.  By DEFAULT the sweep runs at BOTH
+sf0.001 and sf0.01 — the latter is the driver gate's exact scale factor;
+round 5's one red row was a query whose failure class was invisible at
+the old sf0.001-only default.  The sf0.1 sweep (slow) is opt-in via
+``SPARK_GRAFT_PARITY_SF01=1``; setting ``SPARK_GRAFT_ORACLE_SF_DIR``
+pins a single explicit directory instead.
 """
 
 from __future__ import annotations
@@ -16,7 +20,22 @@ import pytest
 
 import __spark_entry__ as entry_mod
 
-SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.001")
+_ENV_SF = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR")
+if _ENV_SF:
+    SF_PARAMS = [pytest.param(_ENV_SF, id=os.path.basename(_ENV_SF.rstrip("/")))]
+else:
+    SF_PARAMS = [
+        pytest.param("/root/testdata/sf0.001", id="sf0.001"),
+        pytest.param("/root/testdata/sf0.01", id="sf0.01"),
+        pytest.param(
+            "/root/testdata/sf0.1",
+            id="sf0.1",
+            marks=pytest.mark.skipif(
+                not os.environ.get("SPARK_GRAFT_PARITY_SF01"),
+                reason="slow full-scale sweep; set SPARK_GRAFT_PARITY_SF01=1",
+            ),
+        ),
+    ]
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -24,14 +43,15 @@ TABLES = (
 )
 
 
-@pytest.fixture(scope="module")
-def duck():
+@pytest.fixture(scope="module", params=SF_PARAMS)
+def oracle_env(request):
+    sf_dir = request.param
     con = duckdb.connect()
     for t in TABLES:
         con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
-    yield con
+    yield con, sf_dir
     con.close()
 
 
@@ -58,9 +78,10 @@ QUERY_NAMES = sorted(entry_mod.oracle_sql().keys())
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
-def test_query_matches_oracle(spark, duck, name):
+def test_query_matches_oracle(spark, oracle_env, name):
+    duck, sf_dir = oracle_env
     qfn = entry_mod.queries()[name]
-    sdf = qfn(spark, SF_DIR)
+    sdf = qfn(spark, sf_dir)
     spark_rows = [tuple(r) for r in sdf.collect()]
     spark_cols = list(sdf.columns)
 

@@ -151,6 +151,22 @@ def test_gate_cardinality_within_exact_regime(spark, sf_dir, col, table):
         .mx
     )
     assert per_group < 2 ** sk.THETA_LG_K
+    # customer_churn_sketch value-checks GLOBAL and per-PERIOD cardinalities
+    # (not per-priority) — its guarded quantities must be covered too, or a
+    # testdata growth could exit Theta's exact regime without this firing
+    # (ADVICE r5).
+    glob, lo, hi = df.agg(
+        F.countDistinct(col),
+        F.countDistinct(
+            F.when(F.col("o_orderdate")
+                   < F.lit(sk.CHURN_BOUNDARY).cast("timestamp"), F.col(col))
+        ),
+        F.countDistinct(
+            F.when(F.col("o_orderdate")
+                   >= F.lit(sk.CHURN_BOUNDARY).cast("timestamp"), F.col(col))
+        ),
+    ).collect()[0]
+    assert max(glob, lo, hi) < 2 ** sk.THETA_LG_K
 
 
 # --- streaming sketch rollup: replay-idempotent profile maintenance ---------

@@ -147,3 +147,25 @@ def test_bench_duckdb_guard_skips_broken_oracle(monkeypatch):
     )
     assert "row_count" not in timings
     assert "exact_dedup_docs" in timings
+
+
+def test_query_order_has_no_duplicates():
+    """Duplicate QUERY_ORDER entries are harmless at runtime (_collect pops)
+    but silently mislead the 50-entry window bookkeeping — r5 shipped two."""
+    from self_healing_data_pipeline_agent_spark.registry import QUERY_ORDER
+
+    dupes = {n for n in QUERY_ORDER if QUERY_ORDER.count(n) > 1}
+    assert len(QUERY_ORDER) == len(set(QUERY_ORDER)), f"duplicates: {dupes}"
+
+
+def test_query_order_names_all_exist():
+    """Every QUERY_ORDER entry must resolve to a real q_ function — a typo
+    here silently drops a query out of the driver's window."""
+    from self_healing_data_pipeline_agent_spark.registry import (
+        QUERY_ORDER,
+        all_queries,
+    )
+
+    declared = set(all_queries())
+    missing = [n for n in QUERY_ORDER if n not in declared]
+    assert not missing, f"QUERY_ORDER names without implementations: {missing}"
