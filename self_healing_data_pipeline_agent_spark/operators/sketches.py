@@ -574,3 +574,262 @@ FROM (SELECT lang, term, COUNT(*) AS c FROM toks GROUP BY lang, term) t
 JOIN tl ON tl.lang = t.lang
 WHERE t.c * {K_HH} > tl.n
 """
+
+
+# --- X23f: MERGEABLE frequent-items summary (profile-table heavy hitters) ---
+#
+# The two-pass queries above re-scan the corpus to recount candidates; a
+# PROFILE TABLE cannot (new partitions arrive, old ones are archived).  The
+# mergeable Misra-Gries summary (Agarwal et al., "Mergeable Summaries",
+# PODS 2012) closes that: each partition/day/segment reduces to at most
+# MG_CAPACITY (term, count) pairs plus one decrement offset, and any two
+# summaries merge associatively — pointwise-add, then subtract the
+# (capacity+1)-th largest value from all and drop non-positives — while
+# preserving the estimate guarantee  freq - dec <= est <= freq  with
+# dec <= n_total/(capacity+1).  Heavy hitters over ANY rollup of stored
+# summaries then need no second corpus pass: every term with
+# freq > n/K_HH satisfies (est + dec) * K_HH > n, so the summary alone
+# yields a guaranteed superset plus bounded-error counts.
+
+
+def mg_summary_merge(
+    a: tuple[dict, int, int], b: tuple[dict, int, int],
+    capacity: int = MG_CAPACITY,
+) -> tuple[dict, int, int]:
+    """Associatively merge two MG summaries ``(counters, dec, n)``.
+
+    Pointwise-sum the counter tables; if more than ``capacity`` survive,
+    subtract the (capacity+1)-th largest summed count from every counter
+    and drop the non-positive ones, folding that subtraction into ``dec``.
+    Preserves, for every term t:  freq(t) - dec <= est(t) <= freq(t)
+    (est(t) = 0 when absent), with dec <= n / (capacity + 1)."""
+    counters = dict(a[0])
+    for t, c in b[0].items():
+        counters[t] = counters.get(t, 0) + c
+    dec = a[1] + b[1]
+    n = a[2] + b[2]
+    if len(counters) > capacity:
+        cut = sorted(counters.values(), reverse=True)[capacity]
+        counters = {t: c - cut for t, c in counters.items() if c > cut}
+        dec += cut
+    return counters, dec, n
+
+
+def _mg_partial_summaries(batches: Iterator) -> Iterator:
+    """Per-partition MG summary row: the bounded-size state a profile
+    table would store for this slice of the corpus."""
+    import pandas as pd
+
+    counters: dict[str, int] = {}
+    dec = 0
+    n = 0
+    for pdf in batches:
+        for toks in pdf["tokens"]:
+            for t in toks:
+                n += 1
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < MG_CAPACITY:
+                    counters[t] = 1
+                else:
+                    dec += 1
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+    yield pd.DataFrame(
+        {
+            "terms": [list(counters.keys())],
+            "counts": [list(counters.values())],
+            "dec": [dec],
+            "n": [n],
+        }
+    )
+
+
+def _mg_fold(pdf) -> "object":
+    """Fold a frame of partial summaries into one (applyInPandas kernel).
+    Deterministic fold order (sorted by n desc, then lexical terms) — the
+    surviving SET and estimates may differ under other orders, but the
+    guarantee bounds hold for every order (test_sketches pins this)."""
+    import pandas as pd
+
+    rows = sorted(
+        (
+            (dict(zip(r.terms, (int(c) for c in r.counts))),
+             int(r.dec), int(r.n))
+            for r in pdf.itertuples()
+        ),
+        key=lambda s: (-s[2], ",".join(sorted(s[0])[:3])),
+    )
+    acc: tuple[dict, int, int] = ({}, 0, 0)
+    for s in rows:
+        acc = mg_summary_merge(acc, s)
+    counters, dec, n = acc
+    return pd.DataFrame(
+        {
+            "term": list(counters.keys()),
+            "est": list(counters.values()),
+            "dec": [dec] * len(counters),
+            "n_total": [n] * len(counters),
+        }
+    )
+
+
+def q_frequent_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters from a MERGED frequent-items summary — the
+    profile-table shape of ``heavy_hitters``: per-partition MG summaries
+    (the rows a profile table stores; KB-sized, map-only) merge
+    associatively into one corpus summary whose candidate set
+    ``(est + dec) * K_HH > n`` is a guaranteed superset of the true heavy
+    hitters, with per-term error bounded by ``dec`` — NO second corpus
+    pass required at production time.
+
+    Gate-side audit (what production drops): one broadcast-semi-join
+    recount pins the exact ``n_occurrences`` and the theorem flag
+    ``est_ok`` (est <= freq <= est + dec) for every true heavy hitter, so
+    the driver value-checks the summary's guarantee, not just its shape.
+    Cites the reference's eager value_counts profiling
+    (``src/drift_detector.py:16-26``) — this is its bounded-memory,
+    incrementally-maintainable scale-out."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.expr(_TOKENS).alias("tokens")
+    )
+    partials = docs.mapInPandas(
+        _mg_partial_summaries,
+        "terms array<string>, counts array<long>, dec long, n long",
+    )
+    summary = (
+        partials.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            lambda pdf: _mg_fold(pdf),
+            "term string, est long, dec long, n_total long",
+        )
+    )
+    candidates = summary.filter(
+        (F.col("est") + F.col("dec")) * F.lit(K_HH) > F.col("n_total")
+    )
+    tokens = docs.select(F.explode("tokens").alias("term"))
+    exact = (
+        tokens.join(F.broadcast(candidates), "term")
+        .groupBy("term", "est", "dec", "n_total")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return (
+        exact.filter(F.col("n_occurrences") * F.lit(K_HH) > F.col("n_total"))
+        .select(
+            "term",
+            "n_occurrences",
+            (
+                (F.col("est") <= F.col("n_occurrences"))
+                & (F.col("n_occurrences") <= F.col("est") + F.col("dec"))
+            ).alias("est_ok"),
+        )
+    )
+
+
+ORACLES["frequent_items_sketch"] = f"""
+WITH toks AS (
+  SELECT unnest(filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+)
+SELECT term, COUNT(*) AS n_occurrences, TRUE AS est_ok
+FROM toks
+GROUP BY term
+HAVING COUNT(*) * {K_HH} > (SELECT COUNT(*) FROM toks)
+"""
+
+
+# --- X23g: grouped KLL quantile drift between periods -----------------------
+
+# Decision rule: drifted iff period-A's sketched median falls OUTSIDE
+# period-B's sketched quantile window at ranks 0.5 +/- KLL_DRIFT_THRESH.
+# Every sketched quantile at rank q is an actual data value whose exact
+# rank lies within KLL_RANK_EPS of q, so the decision is deterministic
+# whenever the exact quantiles at the widened ranks (0.5 +/- EPS for the
+# probe, window edges +/- EPS) keep a strict value gap — the tripwire
+# test re-derives those gaps from data at every SF.  0.25 (not 0.20)
+# because the smallest SF's per-priority periods hold only ~130 orders
+# each and their natural sampling shift reaches ~0.13 rank units — the
+# threshold must clear natural shift + sketch error with room to spare.
+KLL_DRIFT_THRESH = 0.25
+KLL_DRIFT_PROBE_EPS = 0.06  # widened rank half-width used by the tripwire
+
+
+def q_kll_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority quantile drift between two order periods decided from
+    TWO KLL sketches — the reference's drift loop
+    (``src/drift_detector.py:29-87``) asks "did the distribution move?"
+    by recomputing stats over both periods; with mergeable KLL summaries
+    stored per period/partition the question is answered from sketches
+    alone: probe = period-A sketched median, statistic = period-B sketch's
+    estimated rank of the probe, drift iff |rank - 0.5| > KLL_DRIFT_THRESH.
+
+    probe = period-A sketched median, drifted iff the probe falls outside
+    period-B's sketched quantile window at 0.5 +/- KLL_DRIFT_THRESH.
+
+    ONE scan builds both period sketches per group (conditional algebraic
+    aggs, map-side combined); the drift decision then touches only the
+    10 sketch values.  The statistics are randomized (KLL compaction) but
+    the DECISION is deterministic: probe and window edges are data values
+    whose exact ranks sit within KLL_RANK_EPS of their targets, and the
+    exact quantiles at the widened ranks keep a strict value gap at every
+    test SF (tripwire-asserted), so both engines agree on the flag.
+    ``n_a``/``n_b`` are exact."""
+    o = load_table(spark, sf_dir, "orders")
+    boundary = F.lit(CHURN_BOUNDARY).cast("timestamp")
+    in_a = F.col("o_orderdate") < boundary
+    g = o.groupBy("o_orderpriority").agg(
+        F.kll_sketch_agg_double(
+            F.when(in_a, F.col("o_totalprice")), F.lit(KLL_K)
+        ).alias("ska"),
+        F.kll_sketch_agg_double(
+            F.when(~in_a, F.col("o_totalprice")), F.lit(KLL_K)
+        ).alias("skb"),
+        F.sum(in_a.cast("long")).alias("n_a"),
+        F.sum((~in_a).cast("long")).alias("n_b"),
+    )
+    probe = F.kll_sketch_get_quantile_double("ska", F.lit(0.5))
+    win_lo = F.kll_sketch_get_quantile_double(
+        "skb", F.lit(0.5 - KLL_DRIFT_THRESH)
+    )
+    win_hi = F.kll_sketch_get_quantile_double(
+        "skb", F.lit(0.5 + KLL_DRIFT_THRESH)
+    )
+    return g.select(
+        "o_orderpriority",
+        "n_a",
+        "n_b",
+        ((probe < win_lo) | (probe > win_hi)).alias("median_drifted"),
+    )
+
+
+# The oracle makes the SAME decision from exact quantities (exact period-A
+# median, its exact rank in period B) — the tripwire-asserted margin is
+# what guarantees the randomized sketch statistic and this exact statistic
+# fall on the same side of the threshold.
+ORACLES["kll_quantile_drift"] = f"""
+WITH m AS (
+  SELECT o_orderpriority,
+         quantile_disc(o_totalprice, 0.5)
+           FILTER (WHERE o_orderdate < TIMESTAMP '{CHURN_BOUNDARY}')
+           AS med_a,
+         COUNT(*) FILTER (WHERE o_orderdate < TIMESTAMP '{CHURN_BOUNDARY}')
+           AS n_a,
+         COUNT(*) FILTER (WHERE o_orderdate >= TIMESTAMP '{CHURN_BOUNDARY}')
+           AS n_b
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT m.o_orderpriority, m.n_a, m.n_b,
+       m.med_a < quantile_disc(b.o_totalprice, {0.5 - KLL_DRIFT_THRESH})
+         OR m.med_a > quantile_disc(b.o_totalprice, {0.5 + KLL_DRIFT_THRESH})
+         AS median_drifted
+FROM m JOIN orders b
+  ON b.o_orderpriority = m.o_orderpriority
+ AND b.o_orderdate >= TIMESTAMP '{CHURN_BOUNDARY}'
+GROUP BY m.o_orderpriority, m.n_a, m.n_b, m.med_a
+"""

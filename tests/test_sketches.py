@@ -222,3 +222,141 @@ def test_grouped_heavy_hitters_matches_naive(spark, sf_dir):
         if r.n * sk.K_HH > totals[r.lang]
     }
     assert got == naive and len(got) > 0
+
+
+# --- mergeable frequent-items summary ---------------------------------------
+
+
+def _naive_counts(stream):
+    c = {}
+    for t in stream:
+        c[t] = c.get(t, 0) + 1
+    return c
+
+
+def _mg_build(stream, cap):
+    """Plain MG over a stream -> (counters, dec, n), mirroring the kernel."""
+    counters, dec, n = {}, 0, 0
+    for t in stream:
+        n += 1
+        if t in counters:
+            counters[t] += 1
+        elif len(counters) < cap:
+            counters[t] = 1
+        else:
+            dec += 1
+            dead = [k for k in counters if counters[k] == 1]
+            for k in counters:
+                counters[k] -= 1
+            for k in dead:
+                del counters[k]
+            counters = {k: v for k, v in counters.items() if v > 0}
+    return counters, dec, n
+
+
+def test_mg_summary_merge_guarantee_any_order():
+    """For every merge ORDER over partition summaries, the merged summary
+    must satisfy  freq - dec <= est <= freq  for every term (est=0 when
+    absent) and dec <= n/(cap+1) — the mergeable-summaries theorem the
+    frequent_items_sketch contract flag relies on."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    cap = 8
+    # skewed universe so some terms are genuinely heavy
+    universe = ["hh1"] * 40 + ["hh2"] * 25 + [f"t{i}" for i in range(60)]
+    parts = []
+    for _ in range(4):
+        stream = [rng.choice(universe) for _ in range(300)]
+        parts.append((_mg_build(stream, cap), stream))
+    truth = _naive_counts([t for _, s in parts for t in s])
+    n_total = sum(truth.values())
+    for perm in itertools.permutations(range(4)):
+        acc = ({}, 0, 0)
+        for i in perm:
+            acc = sk.mg_summary_merge(acc, parts[i][0], capacity=cap)
+        counters, dec, n = acc
+        assert n == n_total
+        assert dec <= n // (cap + 1) + 1
+        assert len(counters) <= cap
+        for term, freq in truth.items():
+            est = counters.get(term, 0)
+            assert est <= freq, (term, est, freq)
+            assert freq - est <= dec, (term, est, freq, dec)
+
+
+def test_frequent_items_matches_two_pass(spark, sf_dir):
+    """The mergeable-summary path must return exactly the same heavy-hitter
+    set and counts as the two-pass MG recount, with every contract flag
+    true."""
+    fi = {
+        (r.term, r.n_occurrences): r.est_ok
+        for r in sk.q_frequent_items_sketch(spark, sf_dir).collect()
+    }
+    hh = {
+        (r.term, r.n_occurrences)
+        for r in sk.q_heavy_hitters(spark, sf_dir).collect()
+    }
+    assert set(fi) == hh
+    assert all(fi.values())
+
+
+# --- KLL drift decision -----------------------------------------------------
+
+
+def test_kll_drift_margin_tripwire():
+    """The drift DECISION is only cross-engine deterministic while the
+    exact quantiles at the widened ranks keep a strict value gap (see
+    q_kll_quantile_drift).  Re-derive the gap from data at all three SFs:
+    for the undrifted corpus, A's widened median interval must sit
+    strictly INSIDE B's widened threshold window per priority."""
+    import duckdb
+
+    t = sk.KLL_DRIFT_THRESH
+    e = sk.KLL_DRIFT_PROBE_EPS
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW orders AS SELECT * FROM "
+            f"'/root/testdata/{sf}/orders.parquet'"
+        )
+        rows = con.sql(f"""
+            SELECT o_orderpriority,
+              quantile_disc(o_totalprice, {0.5 - e})
+                FILTER (WHERE o_orderdate < TIMESTAMP '{sk.CHURN_BOUNDARY}')
+                AS probe_lo,
+              quantile_disc(o_totalprice, {0.5 + e})
+                FILTER (WHERE o_orderdate < TIMESTAMP '{sk.CHURN_BOUNDARY}')
+                AS probe_hi,
+              quantile_disc(o_totalprice, {0.5 - t + e})
+                FILTER (WHERE o_orderdate >= TIMESTAMP '{sk.CHURN_BOUNDARY}')
+                AS win_lo_max,
+              quantile_disc(o_totalprice, {0.5 + t - e})
+                FILTER (WHERE o_orderdate >= TIMESTAMP '{sk.CHURN_BOUNDARY}')
+                AS win_hi_min
+            FROM orders GROUP BY o_orderpriority
+        """).fetchall()
+        con.close()
+        assert rows
+        for p, probe_lo, probe_hi, win_lo_max, win_hi_min in rows:
+            assert win_lo_max < probe_lo, (sf, p, "lower gap collapsed")
+            assert probe_hi < win_hi_min, (sf, p, "upper gap collapsed")
+
+
+def test_kll_drift_fires_on_shifted_data(spark, tmp_path):
+    """True-positive check: inject a second period whose prices are
+    shifted far past the threshold window and assert the flag fires."""
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    a = base.withColumn(
+        "o_orderdate", F.lit("1997-06-01").cast("timestamp")
+    )
+    b = base.withColumn(
+        "o_orderdate", F.lit("1999-06-01").cast("timestamp")
+    ).withColumn("o_totalprice", F.col("o_totalprice") * 10 + 1e7)
+    d = str(tmp_path / "drifted")
+    a.unionByName(b).write.parquet(f"{d}/orders.parquet")
+    rows = sk.q_kll_quantile_drift(spark, d).collect()
+    assert rows and all(r.median_drifted for r in rows)
