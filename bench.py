@@ -92,6 +92,11 @@ HEADLINE = [
     "customer_churn_sketch",
     # map-only RAG chunker: the corpus-to-chunk-store job at scan speed
     "chunk_with_overlap",
+    # r6: profile-table heavy hitters from the mergeable MG summary and
+    # the sketch-only quantile-drift decision (streaming_churn_profile is
+    # excluded: a bench row would time stream staging, not the operator).
+    "frequent_items_sketch",
+    "kll_quantile_drift",
 ]
 
 
@@ -254,6 +259,7 @@ def _result_line(
         print(f"# noisy_queries: {json.dumps(noisy)}", file=sys.stderr)
     if errors:
         print(f"# errored_queries: {json.dumps(errors)}", file=sys.stderr)
+    print(f"# runs: 2-{MAX_RUNS} best-of per query", file=sys.stderr)
     return json.dumps(
         {
             "metric": "headline_queries_total_wall",
@@ -261,12 +267,14 @@ def _result_line(
             "unit": "sec",
             "sf": sf,
             "n_queries": len(timings),
-            "runs": f"2-{MAX_RUNS} best",
             "n_noisy": len(noisy),
             "n_errored": len(errors),
             "duck_total": duck_total,
             "spark_vs_duckdb_ratio": ratio,
-            "queries": timings,
+            # centisecond resolution: an order of magnitude below host
+            # jitter, and the 2-char saving per query is what keeps the
+            # 60-query dict inside the archiver's 2000-char tail
+            "queries": {n: round(v, 2) for n, v in timings.items()},
         }
     )
 

@@ -37,119 +37,77 @@ _MODULES = [
 # (tests/test_oracle_parity.py, which runs ALL pairs) — not the official
 # record — decides what needs the window.
 QUERY_ORDER = [
-    # -- r5 rotation: every r4-window query re-greened officially in
-    #    CORRECTNESS_r04, so the window turns over to the ~66 queries
-    #    whose LATEST official green predates round 4 — many recorded
-    #    BEFORE the events.ts nanos->micros testdata migration.  Local
-    #    parity re-verifies all of them today; the window makes the
-    #    OFFICIAL record say so.  Event-time batch queries first (the
-    #    migration-sensitive set VERDICT r4 called out). --
-    "hourly_windows",
-    "sessionization",
-    "order_lag_lead",
-    "rolling_order_totals",
-    "user_rolling_hour",
-    "sliding_windows",
-    "json_extract",
-    "recent_errors",
-    "point_lookup",
-    "merge_upsert_orders",
-    "status_metrics",
-    "late_data_profile",
-    # -- new in r5: format-fidelity as a driver-checked record --
-    "format_interchange",
-    # -- implementation changed in r5 (materialization threshold /
-    #    strategy dispatch): their r4/r2 greens describe the old code --
-    "semantic_dedup",
-    "quantile_profile",
-    # -- new in r5: adapted TPC-H Q21/Q11/Q16 shapes (aggregation-planned
-    #    EXISTS/NOT-EXISTS, group-vs-global-scalar in exact integer
-    #    units, anti-join + grouped COUNT DISTINCT) --
-    "sole_late_supplier",
-    "concentrated_value_parts",
-    "supplier_part_breadth",
-    # -- new in r5: CCNet-style char-bigram LM perplexity scoring --
+    # -- r6 rotation.  Priority 1: the round-5 red row, fixed this round
+    #    (checked score moved to a boundary-robust integer band) --
     "char_lm_perplexity",
-    # -- new in r5: mergeable-sketch profiling ring (X23) — DataSketches
-    #    HLL union-rollup, Theta set algebra, KLL rank-validated
-    #    quantiles, and two-pass exact Misra-Gries heavy hitters --
-    "hll_distinct_profile",
-    "theta_priority_overlap",
-    "kll_quantile_bounds",
-    "heavy_hitters",
-    "streaming_cardinality_profile",
-    # -- new in r5: prefix-filtered EXACT set-similarity join (PPJoin
-    #    family) — the lossless candidate-pruning twin of minhash_lsh --
-    "prefix_filter_jaccard",
-    # -- new in r5: map-only RAG-style sliding-window chunker --
-    "chunk_with_overlap",
-    # -- new in r5: TPC-H Q6 (pure-pushdown single-scan agg) --
-    "tpch_q6",
-    # -- new in r5: composed one-pass profile (exact stats + HLL + KLL in
-    #    a single groupBy — the production profiling-job shape) --
-    "one_pass_profile",
-    # -- new in r5: foreachBatch HLL-union profile-table maintenance,
-    #    exact under at-least-once replay (idempotent sketch insertion) --
+    # -- new in r6: mergeable Misra-Gries frequent-items summary, KLL
+    #    sketch-only quantile-drift decision, and the full streaming
+    #    profile table (HLL+Theta+KLL per day answering churn/drift
+    #    incrementally) --
+    "frequent_items_sketch",
+    "kll_quantile_drift",
+    "streaming_churn_profile",
+    # -- implementation changed in r6: CSV null-sentinel options
+    #    (formats.py) and the refactored snapshot commit (str/ev.py);
+    #    their r5 greens describe the old code --
+    "format_interchange",
     "streaming_sketch_rollup",
-    # -- new in r5: period-over-period churn as Theta set algebra --
-    "customer_churn_sketch",
-    # -- new in r5: grouped (per-language) two-pass exact heavy hitters --
-    "heavy_hitters_by_lang",
-    # -- window_audit flags these four as record-untrustworthy (their
-    #    text.py spans were touched after their last official green);
-    #    local parity is green — re-green the official record --
-    "simhash_fingerprints",
-    "simhash_near_dup",
-    "curate_corpus",
-    "tfidf_top_terms",
-    # -- remaining r1-era greens (oldest official records) --
-    "grouped_dq_profile",
-    "healing_proposals",
-    "jaccard_pairs",
-    "large_volume_customers",
-    "null_fractions",
-    "order_priority_check",
-    "promo_revenue_share",
-    "regional_supplier_volume",
-    "revenue_by_nation",
-    "rollup_summary",
-    "row_count",
-    "semi_join_open_orders",
-    "setop_except",
-    "setop_intersect",
-    "shipping_priority",
+    # -- the complete pre-r4 official-record backlog (2 r1 + 26 r2 + 7 r3
+    #    latest-checks; VERDICT r5 "What's missing" #1).  All local-parity
+    #    green today at sf0.001+sf0.01; this window clears every record
+    #    that predates round 4. --
     "small_qty_revenue",
     "tpch_q1",
-    # -- r2-era greens (pre-migration record; text/dedup ring) --
+    "histogram_profile",
+    "idle_rich_customers",
+    "knn_cosine",
+    "label_centroids",
     "lang_guess",
     "minhash_lsh_pairs",
+    "mixture_resample",
     "ngram_counts",
     "pack_sequences",
+    "payload_dedup",
+    "payload_stats",
     "pii_scrub",
+    "pivot_status_priority",
     "quality_gates",
     "referential_orphans",
     "repetition_ratio",
     "rolling_fingerprints",
     "salted_hot_key_agg",
-    # Below the 50-entry window (shipping_priority is the last in-window
-    # entry): fourteen r1/r2-era fresh-but-old-record greens displaced by
-    # the r5 additions (small_qty_revenue, tpch_q1, lang_guess, minhash_lsh_pairs,
-    # ngram_counts, pack_sequences, pii_scrub, quality_gates,
-    # referential_orphans, repetition_ratio, rolling_fingerprints,
-    # salted_hot_key_agg, source_mix, text_quality — all local-parity
-    # green, code unchanged since their records; rotate them through
-    # r6), the full r4 window (officially re-greened in
-    # CORRECTNESS_r04 against current testdata), and 22 r2/r3-era greens
-    # that did not fit (histogram_profile, idle_rich_customers,
-    # knn_cosine, label_centroids, mixture_resample, payload_dedup,
-    # payload_stats, pivot_status_priority, stratified_sample,
-    # tfidf_top_terms, token_stats_by_lang, top_supplier_revenue,
-    # top_terms, train_val_split, vocab_growth, and the r3 embedding
-    # set) — rotate those through the r6 window.  scripts/window_audit.py
-    # tracks staleness; local parity re-verifies the full surface each
-    # session.
     "source_mix",
+    "stratified_sample",
     "text_quality",
+    "token_stats_by_lang",
+    "top_supplier_revenue",
+    "top_terms",
+    "train_val_split",
+    "vocab_growth",
+    "embedding_near_dup",
+    "embedding_near_dup_lsh",
+    "embedding_norm_stats",
+    "embedding_quant_codebook",
+    "exact_dedup_docs",
+    "fulfillment_lag",
+    "funnel_conversion",
+    # -- spare slots: oldest r4-record queries, keeping rotation cadence
+    #    (dup_ngram_coverage first — its r5 driver-bench number regressed
+    #    and a fresh record pins both correctness and timing) --
+    "dup_ngram_coverage",
+    "stats_profile",
+    "drift_compare",
+    "distinct_event_types",
+    "duplicate_clusters",
+    "incremental_dedup",
+    "streaming_dedup_hourly",
+    "multimodal_features",
+    "anomaly_zscore",
+    # Below the 50-entry window (anomaly_zscore is the last in-window
+    # entry): everything else carries an r4 or r5 official green against
+    # current testdata and unchanged code.  scripts/window_audit.py
+    # tracks staleness; local parity re-verifies the full surface each
+    # session at sf0.001+sf0.01.
 ]
 
 

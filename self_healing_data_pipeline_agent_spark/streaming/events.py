@@ -740,6 +740,24 @@ HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm
 # --- incremental sketch-profile maintenance (foreachBatch + HLL union) ------
 
 
+def _commit_snapshot(
+    store_dir: str, snapshot: str, merged: DataFrame, batch_id: int
+) -> None:
+    """Versioned-dir + symlink-swap atomic commit (the plain-filesystem
+    miniature of a table format's commit, shared with streaming/merge.py)."""
+    import os
+    import shutil
+
+    new_version = f"{snapshot}.v{batch_id}-{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(new_version)
+    prev = os.readlink(snapshot) if os.path.islink(snapshot) else None
+    link_tmp = f"{snapshot}.ln-{uuid.uuid4().hex[:8]}"
+    os.symlink(os.path.basename(new_version), link_tmp)
+    os.rename(link_tmp, snapshot)
+    if prev:
+        shutil.rmtree(os.path.join(store_dir, prev), ignore_errors=True)
+
+
 def streaming_sketch_rollup(
     spark: SparkSession, sf_dir: str, store_dir: str | None = None
 ) -> DataFrame:
@@ -797,14 +815,7 @@ def streaming_sketch_rollup(
             )
         else:
             merged = batch_sk
-        new_version = f"{snapshot}.v{batch_id}-{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(new_version)
-        prev = os.readlink(snapshot) if os.path.islink(snapshot) else None
-        link_tmp = f"{snapshot}.ln-{uuid.uuid4().hex[:8]}"
-        os.symlink(os.path.basename(new_version), link_tmp)
-        os.rename(link_tmp, snapshot)
-        if prev:
-            shutil.rmtree(os.path.join(store_dir, prev), ignore_errors=True)
+        _commit_snapshot(store_dir, snapshot, merged, batch_id)
 
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
@@ -830,4 +841,192 @@ def q_streaming_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["streaming_sketch_rollup"] = """
 SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS n_users
 FROM events GROUP BY CAST(ts AS DATE)
+"""
+
+
+# --- full profile-table maintenance: HLL + Theta + KLL per day ---------------
+
+
+def streaming_profile_table(
+    spark: SparkSession, sf_dir: str, store_dir: str | None = None
+) -> DataFrame:
+    """Maintain the FULL mergeable-sketch profile TABLE from a stream:
+    one row per day carrying an HLL sketch (cheap cardinality), a Theta
+    sketch (set algebra: churn/retention between any two stored rows) and
+    a KLL sketch (quantile drift) of the day's events — the scale-out of
+    the reference's whole drift loop (``src/drift_detector.py:29-87``
+    recomputes profiles from raw data per run; here every profile
+    question is answered from stored KB-sized summaries that union-merge
+    as new partitions land, never re-scanning history).
+
+    Replay semantics (the staged stream delivers every event TWICE):
+    HLL and Theta are insertion-idempotent, so their estimates are exact
+    under at-least-once delivery.  KLL is NOT idempotent — the doubled
+    stream doubles its item count — but uniform duplication preserves
+    every RANK (quantiles of a uniformly-doubled multiset are unchanged),
+    so the profile exposes KLL *quantiles* and their rank contract, never
+    KLL counts.  Exactly-once counts would use the foreachBatch
+    batch-registry pattern of ``streaming/merge.py``.
+    """
+    import os
+
+    from ..operators.sketches import HLL_LG_K, KLL_K, THETA_LG_K
+
+    stream = read_events_stream(
+        spark, sf_dir, replay=True, max_files_per_trigger=1
+    )
+    store_dir = store_dir or tempfile.mkdtemp(prefix="profile_table_")
+    snapshot = str(Path(store_dir) / "profile")
+
+    def _merge_col(name: str, merge) -> "F.Column":
+        a, b = F.col(name), F.col(f"_d_{name}")
+        return (
+            F.when(a.isNotNull() & b.isNotNull(), merge(a, b))
+            .otherwise(F.coalesce(b, a))
+            .alias(name)
+        )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        batch_sk = (
+            batch_df.select(
+                F.to_date("ts").alias("day"), "user_id", "value"
+            )
+            .groupBy("day")
+            .agg(
+                F.hll_sketch_agg("user_id", F.lit(HLL_LG_K)).alias("hll"),
+                F.theta_sketch_agg("user_id", F.lit(THETA_LG_K)).alias("th"),
+                F.kll_sketch_agg_double("value", F.lit(KLL_K)).alias("kll"),
+            )
+        )
+        if os.path.exists(snapshot):
+            base = spark.read.parquet(snapshot)
+            d = batch_sk.select(
+                F.col("day").alias("_d_day"),
+                *[
+                    F.col(c).alias(f"_d_{c}")
+                    for c in ("hll", "th", "kll")
+                ],
+            )
+            merged = base.join(d, base.day == d._d_day, "full_outer").select(
+                F.coalesce("day", "_d_day").alias("day"),
+                _merge_col("hll", F.hll_union),
+                _merge_col(
+                    "th",
+                    lambda a, b: F.theta_union(a, b, F.lit(THETA_LG_K)),
+                ),
+                _merge_col("kll", F.kll_sketch_merge_double),
+            )
+        else:
+            merged = batch_sk
+        _commit_snapshot(store_dir, snapshot, merged, batch_id)
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(snapshot)
+
+
+def q_streaming_churn_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day retention/churn plus quantile health answered PURELY
+    from the incrementally-maintained profile table — the capstone that
+    joins the sketch ring (X23) to the reference's drift loop: after each
+    micro-batch the stored table can report, with NO scan of historical
+    raw data, (a) exact daily active users (Theta, exact regime), (b)
+    retained/churned/new vs the previous day (Theta set algebra on two
+    stored rows), (c) whether the cheap HLL estimate agrees with Theta
+    (accuracy contract) and (d) whether the day's KLL median still ranks
+    at ~0.5 against the day's raw values (rank contract, audit-side scan
+    that production drops).
+
+    The day-ordered window runs on ~one row per day (a 100 TB stream
+    still yields one profile row per day), so the unpartitioned sort is
+    bounded by the calendar, not the data."""
+    from pyspark.sql import Window
+
+    from ..operators.sketches import HLL_REL_TOL, KLL_RANK_EPS
+    from ..sources.tables import load_table
+
+    store = streaming_profile_table(spark, sf_dir)
+    w = Window.orderBy("day")
+    th_est = F.theta_sketch_estimate("th")
+    prof = store.withColumn("prev_th", F.lag("th").over(w)).select(
+        "day",
+        th_est.alias("n_users"),
+        (
+            F.abs(F.hll_sketch_estimate("hll") - th_est)
+            <= th_est * F.lit(HLL_REL_TOL)
+        ).alias("hll_ok"),
+        F.when(
+            F.col("prev_th").isNotNull(),
+            F.theta_sketch_estimate(F.theta_intersection("prev_th", "th")),
+        ).alias("n_retained"),
+        F.when(
+            F.col("prev_th").isNotNull(),
+            F.theta_sketch_estimate(F.theta_difference("prev_th", "th")),
+        ).alias("n_churned"),
+        F.when(
+            F.col("prev_th").isNotNull(),
+            F.theta_sketch_estimate(F.theta_difference("th", "prev_th")),
+        ).alias("n_new"),
+        F.kll_sketch_get_quantile_double("kll", F.lit(0.5)).alias("med"),
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "value"
+    )
+    ranks = (
+        ev.join(F.broadcast(prof.select("day", "med")), "day")
+        .groupBy("day")
+        .agg(
+            (
+                F.abs(
+                    F.avg((F.col("value") <= F.col("med")).cast("double"))
+                    - F.lit(0.5)
+                )
+                <= F.lit(KLL_RANK_EPS)
+            ).alias("med_rank_ok")
+        )
+    )
+    return prof.join(ranks, "day").select(
+        "day", "n_users", "hll_ok", "n_retained", "n_churned", "n_new",
+        "med_rank_ok",
+    )
+
+
+# Exact oracle: per-day distinct users and exact set algebra against the
+# PREVIOUS existing day (LAG over the day sequence).  The stream delivered
+# every event twice; Theta/HLL idempotence and KLL rank-invariance under
+# uniform duplication make the profile's answers exact/contract-true
+# anyway (per-day cardinality sits inside the Theta exact regime —
+# tripwire in tests/test_sketches.py).
+ORACLES["streaming_churn_profile"] = """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS u FROM events
+),
+d AS (SELECT day, COUNT(*) AS n_users FROM du GROUP BY day),
+seq AS (
+  SELECT day, n_users, LAG(day) OVER (ORDER BY day) AS prev_day FROM d
+)
+SELECT s.day,
+       s.n_users,
+       TRUE AS hll_ok,
+       CASE WHEN s.prev_day IS NULL THEN NULL ELSE
+         (SELECT COUNT(*) FROM du a JOIN du b ON a.u = b.u
+          WHERE a.day = s.prev_day AND b.day = s.day) END AS n_retained,
+       CASE WHEN s.prev_day IS NULL THEN NULL ELSE
+         (SELECT COUNT(*) FROM du a
+          WHERE a.day = s.prev_day
+            AND a.u NOT IN (SELECT u FROM du b WHERE b.day = s.day))
+         END AS n_churned,
+       CASE WHEN s.prev_day IS NULL THEN NULL ELSE
+         (SELECT COUNT(*) FROM du b
+          WHERE b.day = s.day
+            AND b.u NOT IN (SELECT u FROM du a WHERE a.day = s.prev_day))
+         END AS n_new,
+       TRUE AS med_rank_ok
+FROM seq s
 """

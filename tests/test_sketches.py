@@ -360,3 +360,43 @@ def test_kll_drift_fires_on_shifted_data(spark, tmp_path):
     a.unionByName(b).write.parquet(f"{d}/orders.parquet")
     rows = sk.q_kll_quantile_drift(spark, d).collect()
     assert rows and all(r.median_drifted for r in rows)
+
+
+def test_streaming_profile_table_merges_and_answers_churn(
+    spark, sf_dir, tmp_path
+):
+    """The full profile table (HLL+Theta+KLL per day) must commit a
+    batch-1 version (the three-column merge path ran), answer churn
+    exactly from Theta algebra despite every event being delivered twice,
+    and keep every day's user cardinality inside the Theta exact regime
+    (the tripwire for its value-checked oracle)."""
+    import os
+
+    from self_healing_data_pipeline_agent_spark.streaming.events import (
+        streaming_profile_table,
+    )
+
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    table = streaming_profile_table(spark, sf_dir, store_dir=store)
+    target = os.readlink(os.path.join(store, "profile"))
+    assert ".v1-" in target, target  # second micro-batch committed last
+    assert set(table.columns) == {"day", "hll", "th", "kll"}
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    exact = {
+        (str(r.day), r.n)
+        for r in ev.groupBy("day")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    got = {
+        (str(r.day), r.n)
+        for r in table.select(
+            "day", F.theta_sketch_estimate("th").alias("n")
+        ).collect()
+    }
+    assert got == exact
+    assert all(n < 2 ** sk.THETA_LG_K for _, n in exact)

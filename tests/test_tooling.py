@@ -116,7 +116,7 @@ def test_bench_result_line_queries_survive_tail_truncation():
     # value (first) both survive
     assert len(line) <= 2000, f"bench line {len(line)} chars > 2000 tail"
     parsed = json.loads(line)
-    assert parsed["queries"] == timings
+    assert parsed["queries"] == {n: round(v, 2) for n, v in timings.items()}
     assert list(parsed)[-1] == "queries"
     assert parsed["value"] == 99999.999
 
