@@ -426,3 +426,36 @@ def test_one_pass_profile_partial_aggregation(spark, sf_dir):
 
     plan = formatted_plan(q_one_pass_profile(spark, sf_dir))
     assert "ObjectHashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_kll_drift_one_scan_one_exchange(spark, sf_dir):
+    """Both period sketches must come from ONE orders scan (conditional
+    algebraic aggs) with a single exchange of partial sketch states — the
+    shape whose shuffle is KB-sized regardless of input."""
+    from self_healing_data_pipeline_agent_spark.operators.sketches import (
+        q_kll_quantile_drift,
+    )
+
+    df = q_kll_quantile_drift(spark, sf_dir)
+    plan = formatted_plan(df)
+    # formatted explain lists each node in the tree AND a detail section —
+    # count the numbered detail entries, one per physical node
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert count_exchanges(df) == 1
+    assert "ObjectHashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_frequent_items_broadcasts_summary_candidates(spark, sf_dir):
+    """The gate-side recount must broadcast the merged-summary candidate
+    set against the token stream — never shuffle the corpus by term — and
+    the summary path itself must be mapInPandas partials folded by a
+    grouped kernel (the only exchange carries one summary row per
+    partition)."""
+    from self_healing_data_pipeline_agent_spark.operators.sketches import (
+        q_frequent_items_sketch,
+    )
+
+    plan = formatted_plan(q_frequent_items_sketch(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" in plan
