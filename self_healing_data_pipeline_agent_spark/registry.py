@@ -47,6 +47,7 @@ QUERY_ORDER = [
     "frequent_items_sketch",
     "kll_quantile_drift",
     "streaming_churn_profile",
+    "streaming_session_windows",
     # -- implementation changed in r6: CSV null-sentinel options
     #    (formats.py) and the refactored snapshot commit (str/ev.py);
     #    their r5 greens describe the old code --
@@ -102,10 +103,9 @@ QUERY_ORDER = [
     "incremental_dedup",
     "streaming_dedup_hourly",
     "multimodal_features",
-    "anomaly_zscore",
-    # Below the 50-entry window (anomaly_zscore is the last in-window
-    # entry): everything else carries an r4 or r5 official green against
-    # current testdata and unchanged code.  scripts/window_audit.py
+    # Below the 50-entry window (multimodal_features is the last
+    # in-window entry): everything else carries an r4 or r5 official
+    # green against current testdata and unchanged code.  scripts/window_audit.py
     # tracks staleness; local parity re-verifies the full surface each
     # session at sf0.001+sf0.01.
 ]

@@ -1030,3 +1030,87 @@ SELECT s.day,
        TRUE AS med_rank_ok
 FROM seq s
 """
+
+
+# --- native session windows (built-in merging-window state) ------------------
+
+
+def streaming_session_windows(
+    spark: SparkSession, sf_dir: str, watermark: str = WATERMARK
+) -> DataFrame:
+    """X17+: Spark's NATIVE session windows — ``F.session_window`` with a
+    watermark in append mode, the built-in counterpart of the
+    custom-state sessionizers (same 30-minute gap as
+    ``stateful_sessions`` and batch X13).  The engine keeps ONE merging
+    window per (user, open session) in the state store and finalizes a
+    session when the watermark passes its window end (last event + gap)
+    — the declarative path that survives a RocksDB-backed 100 TB stream
+    without custom kernels.
+
+    Append-mode cutoff semantics are batch-reproducible exactly like
+    ``streaming_hourly_counts``: a session is emitted iff
+    ``last_event + gap <= max_ts - watermark``, which the oracle applies
+    analytically to batch gap-sessionization.  ``session_end`` is
+    recovered as ``window.end - gap`` (the window end is last event +
+    gap by definition), so the output schema matches the custom-state
+    sessionizers'."""
+    gap_expr = f"INTERVAL {SESSION_GAP_MICROS // 60_000_000} MINUTES"
+    stream = read_events_stream(spark, sf_dir)
+    sessions = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window(
+                "ts", f"{SESSION_GAP_MICROS // 60_000_000} minutes"
+            ).alias("w"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            (F.col("w.end") - F.expr(gap_expr)).alias("session_end"),
+            "n_events",
+        )
+    )
+    name = f"session_windows_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_session_windows(spark, sf_dir)
+
+
+# Batch twin: gap sessionization emitted iff the session's window end
+# (last event + gap) has passed the final watermark (max ts - 2h).
+ORACLES["streaming_session_windows"] = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_MICROS}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), horizon AS (SELECT epoch_us(MAX(ts)) - 7200000000 AS wm_us FROM events)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM numbered, horizon
+GROUP BY user_id, session_id, wm_us
+HAVING epoch_us(MAX(ts)) + {SESSION_GAP_MICROS} <= wm_us
+"""
