@@ -459,3 +459,27 @@ def test_frequent_items_broadcasts_summary_candidates(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "MapInPandas" in plan
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_warehouse(
+    spark, sf_dir, tmp_path
+):
+    """A dim-filtered join against a priority-partitioned fact layout must
+    plan a dynamicpruning partition filter — at 100 TB this is what turns
+    'join the fact to a filtered dim' into 'scan two partitions', and it
+    only happens when the warehouse is laid out partitioned (the S3
+    partitioned-sink path) and the join key is the partition column."""
+    from pyspark.sql import functions as F
+
+    fact_dir = str(tmp_path / "orders_part")
+    spark.read.parquet(f"{sf_dir}/orders.parquet").write.partitionBy(
+        "o_orderpriority"
+    ).mode("overwrite").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.createDataFrame(
+        [("1-URGENT", "hot"), ("5-LOW", "cold")],
+        ["o_orderpriority", "tier"],
+    ).filter(F.col("tier") == "hot")
+    j = fact.join(dim, "o_orderpriority").groupBy("tier").count()
+    plan = formatted_plan(j)
+    assert "dynamicpruning" in plan, "dynamic partition pruning did not plan"
