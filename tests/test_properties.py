@@ -334,3 +334,59 @@ def test_prefix_filter_candidates_lossless_model(data):
             assert prefix(docs[a]) & prefix(docs[b]), (
                 docs[a], docs[b], prefix(docs[a]), prefix(docs[b])
             )
+
+
+@given(
+    data=st.data(),
+    cap=st.integers(min_value=2, max_value=12),
+)
+@settings(max_examples=60, deadline=None)
+def test_mg_summary_merge_guarantee_property(data, cap):
+    """Mergeable-summaries invariant (frequent_items_sketch contract):
+    for ANY token streams split into ANY partitions merged in ANY order,
+    the merged Misra-Gries summary satisfies, for every term,
+    freq - dec <= est <= freq, with dec <= n/(cap+1) and <= cap
+    surviving counters."""
+    from self_healing_data_pipeline_agent_spark.operators.sketches import (
+        mg_summary_merge,
+    )
+
+    n_parts = data.draw(st.integers(min_value=1, max_value=4))
+    vocab = st.sampled_from([f"t{i}" for i in range(15)])
+    parts = [
+        data.draw(st.lists(vocab, max_size=80)) for _ in range(n_parts)
+    ]
+
+    def build(stream):
+        counters, dec, n = {}, 0, 0
+        for t in stream:
+            n += 1
+            if t in counters:
+                counters[t] += 1
+            elif len(counters) < cap:
+                counters[t] = 1
+            else:
+                dec += 1
+                for k in list(counters):
+                    counters[k] -= 1
+                    if counters[k] == 0:
+                        del counters[k]
+        return counters, dec, n
+
+    order = data.draw(st.permutations(range(n_parts)))
+    acc = ({}, 0, 0)
+    for i in order:
+        acc = mg_summary_merge(acc, build(parts[i]), capacity=cap)
+    counters, dec, n = acc
+
+    truth: dict[str, int] = {}
+    for p in parts:
+        for t in p:
+            truth[t] = truth.get(t, 0) + 1
+    assert n == sum(truth.values())
+    assert len(counters) <= cap
+    assert dec <= (n // (cap + 1)) + 1
+    for term, freq in truth.items():
+        est = counters.get(term, 0)
+        assert est <= freq
+        assert freq - est <= dec
