@@ -759,6 +759,14 @@ HAVING COUNT(*) * {K_HH} > (SELECT COUNT(*) FROM toks)
 KLL_DRIFT_THRESH = 0.25
 KLL_DRIFT_PROBE_EPS = 0.06  # widened rank half-width used by the tripwire
 
+# Day-over-day variant used by the streaming profile table: a DAY of
+# events is a much smaller sample than an orders period (~170 at the
+# smallest SF), so consecutive days' natural sampling shift is larger
+# and only a wider window decides deterministically — 0.35 is the
+# smallest round threshold whose margins clear every consecutive-day
+# pair at every SF (tripwire-asserted).
+KLL_DAILY_DRIFT_THRESH = 0.35
+
 
 def q_kll_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-priority quantile drift between two order periods decided from

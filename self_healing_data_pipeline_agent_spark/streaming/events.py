@@ -939,21 +939,34 @@ def q_streaming_churn_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw data, (a) exact daily active users (Theta, exact regime), (b)
     retained/churned/new vs the previous day (Theta set algebra on two
     stored rows), (c) whether the cheap HLL estimate agrees with Theta
-    (accuracy contract) and (d) whether the day's KLL median still ranks
+    (accuracy contract), (d) whether the day's KLL median still ranks
     at ~0.5 against the day's raw values (rank contract, audit-side scan
-    that production drops).
+    that production drops) and (e) whether the day's value distribution
+    DRIFTED from the previous day's — the ``kll_quantile_drift`` decision
+    rule applied to two STORED rows: the previous day's sketched median
+    probed against today's sketched quantile window at
+    0.5 +/- KLL_DAILY_DRIFT_THRESH.  The daily threshold is wider than
+    the batch query's (0.35 vs 0.25) because a DAY of events is a small
+    sample (~170 at the smallest SF) and a finer decision would not be
+    margin-deterministic — the tripwire in tests/test_sketches.py
+    re-derives the margins for every consecutive-day pair at every SF.
 
     The day-ordered window runs on ~one row per day (a 100 TB stream
     still yields one profile row per day), so the unpartitioned sort is
     bounded by the calendar, not the data."""
     from pyspark.sql import Window
 
-    from ..operators.sketches import HLL_REL_TOL, KLL_RANK_EPS
+    from ..operators.sketches import (
+        HLL_REL_TOL,
+        KLL_DAILY_DRIFT_THRESH,
+        KLL_RANK_EPS,
+    )
     from ..sources.tables import load_table
 
     store = streaming_profile_table(spark, sf_dir)
     w = Window.orderBy("day")
     th_est = F.theta_sketch_estimate("th")
+    store = store.withColumn("prev_kll", F.lag("kll").over(w))
     prof = store.withColumn("prev_th", F.lag("th").over(w)).select(
         "day",
         th_est.alias("n_users"),
@@ -974,6 +987,21 @@ def q_streaming_churn_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.theta_sketch_estimate(F.theta_difference("th", "prev_th")),
         ).alias("n_new"),
         F.kll_sketch_get_quantile_double("kll", F.lit(0.5)).alias("med"),
+        F.when(
+            F.col("prev_kll").isNotNull(),
+            (
+                F.kll_sketch_get_quantile_double("prev_kll", F.lit(0.5))
+                < F.kll_sketch_get_quantile_double(
+                    "kll", F.lit(0.5 - KLL_DAILY_DRIFT_THRESH)
+                )
+            )
+            | (
+                F.kll_sketch_get_quantile_double("prev_kll", F.lit(0.5))
+                > F.kll_sketch_get_quantile_double(
+                    "kll", F.lit(0.5 + KLL_DAILY_DRIFT_THRESH)
+                )
+            ),
+        ).alias("median_drifted"),
     )
     ev = load_table(spark, sf_dir, "events").select(
         F.to_date("ts").alias("day"), "value"
@@ -993,7 +1021,7 @@ def q_streaming_churn_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return prof.join(ranks, "day").select(
         "day", "n_users", "hll_ok", "n_retained", "n_churned", "n_new",
-        "med_rank_ok",
+        "med_rank_ok", "median_drifted",
     )
 
 
@@ -1002,14 +1030,27 @@ def q_streaming_churn_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every event twice; Theta/HLL idempotence and KLL rank-invariance under
 # uniform duplication make the profile's answers exact/contract-true
 # anyway (per-day cardinality sits inside the Theta exact regime —
-# tripwire in tests/test_sketches.py).
-ORACLES["streaming_churn_profile"] = """
+# tripwire in tests/test_sketches.py).  median_drifted makes the SAME
+# decision from exact per-day medians/quantile windows that the profile
+# makes from stored sketches (margin-deterministic, tripwire-asserted).
+from ..operators.sketches import (  # noqa: E402 - oracle f-string needs it
+    KLL_DAILY_DRIFT_THRESH as _DAILY_DRIFT_T,
+)
+
+ORACLES["streaming_churn_profile"] = f"""
 WITH du AS (
   SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS u FROM events
 ),
 d AS (SELECT day, COUNT(*) AS n_users FROM du GROUP BY day),
 seq AS (
   SELECT day, n_users, LAG(day) OVER (ORDER BY day) AS prev_day FROM d
+),
+q AS (
+  SELECT CAST(ts AS DATE) AS day,
+         quantile_disc(value, 0.5) AS med,
+         quantile_disc(value, {0.5 - _DAILY_DRIFT_T}) AS win_lo,
+         quantile_disc(value, {0.5 + _DAILY_DRIFT_T}) AS win_hi
+  FROM events GROUP BY CAST(ts AS DATE)
 )
 SELECT s.day,
        s.n_users,
@@ -1027,8 +1068,12 @@ SELECT s.day,
           WHERE b.day = s.day
             AND b.u NOT IN (SELECT u FROM du a WHERE a.day = s.prev_day))
          END AS n_new,
-       TRUE AS med_rank_ok
+       TRUE AS med_rank_ok,
+       CASE WHEN s.prev_day IS NULL THEN NULL ELSE
+         (qa.med < qb.win_lo OR qa.med > qb.win_hi) END AS median_drifted
 FROM seq s
+LEFT JOIN q qa ON qa.day = s.prev_day
+JOIN q qb ON qb.day = s.day
 """
 
 

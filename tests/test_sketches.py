@@ -400,3 +400,41 @@ def test_streaming_profile_table_merges_and_answers_churn(
     }
     assert got == exact
     assert all(n < 2 ** sk.THETA_LG_K for _, n in exact)
+
+
+def test_daily_drift_margin_tripwire():
+    """streaming_churn_profile's median_drifted column is deterministic
+    only while every consecutive-day pair's exact quantiles keep strict
+    value gaps at the widened ranks (probe 0.5 +/- e inside window
+    0.5 +/- (t - e)).  Re-derive from data at all SFs — a data drop that
+    collapses a gap must fail HERE, not in the driver's hash compare."""
+    import duckdb
+
+    t = sk.KLL_DAILY_DRIFT_THRESH
+    e = sk.KLL_DRIFT_PROBE_EPS
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"'/root/testdata/{sf}/events.parquet'"
+        )
+        rows = con.sql(f"""
+WITH d AS (SELECT CAST(ts AS DATE) AS day, value FROM events),
+days AS (SELECT DISTINCT day FROM d),
+seq AS (SELECT day, LAG(day) OVER (ORDER BY day) AS prev FROM days),
+q AS (
+  SELECT day,
+    quantile_disc(value, {0.5 - e}) AS probe_lo,
+    quantile_disc(value, {0.5 + e}) AS probe_hi,
+    quantile_disc(value, {0.5 - t + e}) AS win_lo_max,
+    quantile_disc(value, {0.5 + t - e}) AS win_hi_min
+  FROM d GROUP BY day
+)
+SELECT s.day, qa.probe_lo, qa.probe_hi, qb.win_lo_max, qb.win_hi_min
+FROM seq s JOIN q qa ON qa.day = s.prev JOIN q qb ON qb.day = s.day
+""").fetchall()
+        con.close()
+        assert rows
+        for day, probe_lo, probe_hi, win_lo_max, win_hi_min in rows:
+            assert win_lo_max < probe_lo, (sf, str(day), "lower gap")
+            assert probe_hi < win_hi_min, (sf, str(day), "upper gap")
