@@ -438,3 +438,25 @@ FROM seq s JOIN q qa ON qa.day = s.prev JOIN q qb ON qb.day = s.day
         for day, probe_lo, probe_hi, win_lo_max, win_hi_min in rows:
             assert win_lo_max < probe_lo, (sf, str(day), "lower gap")
             assert probe_hi < win_hi_min, (sf, str(day), "upper gap")
+
+
+def test_frequent_items_partition_invariant(spark, sf_dir, tmp_path):
+    """The MG partials (and their est/dec) legitimately differ with the
+    input partitioning, but the query's OUTPUT (exact heavy-hitter set,
+    exact counts, theorem flag) must not — the property that makes the
+    summary trustworthy on any cluster layout."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d1 = str(tmp_path / "one")
+    d7 = str(tmp_path / "seven")
+    docs.coalesce(1).write.parquet(f"{d1}/documents.parquet")
+    docs.repartition(7).write.parquet(f"{d7}/documents.parquet")
+    r1 = {
+        (r.term, r.n_occurrences, r.est_ok)
+        for r in sk.q_frequent_items_sketch(spark, d1).collect()
+    }
+    r7 = {
+        (r.term, r.n_occurrences, r.est_ok)
+        for r in sk.q_frequent_items_sketch(spark, d7).collect()
+    }
+    assert r1 == r7 and r1
+    assert all(ok for _, _, ok in r1)
