@@ -483,3 +483,41 @@ def test_dynamic_partition_pruning_on_partitioned_warehouse(
     j = fact.join(dim, "o_orderpriority").groupBy("tier").count()
     plan = formatted_plan(j)
     assert "dynamicpruning" in plan, "dynamic partition pruning did not plan"
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join is the engine-native complement of the manual salting
+    path (functions/skew.py): a hot-key sort-merge join must re-plan at
+    runtime with the skewed partition SPLIT (SortMergeJoin(skew=true)),
+    so one straggler partition cannot serialize a 1000-executor stage.
+    Thresholds are lowered to make test-sized data exhibit the behavior;
+    the production defaults engage at 256 MB partitions."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    tuned = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            conf.set(k, v)
+        hot = spark.range(0, 200_000).select(
+            F.lit(0).alias("k"), F.col("id").alias("va")
+        )
+        tail = spark.range(0, 50_000).select(
+            (F.col("id") % 1000 + 1).alias("k"), F.col("id").alias("va")
+        )
+        b = spark.range(0, 50_000).select(
+            (F.col("id") % 1001).alias("k"), F.col("id").alias("vb")
+        )
+        j = hot.union(tail).join(b, "k").groupBy().count()
+        assert j.collect()[0][0] > 0
+        assert "skew=true" in formatted_plan(j)
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v) if v is not None else conf.unset(k)
