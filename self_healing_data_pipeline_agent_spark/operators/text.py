@@ -2216,3 +2216,89 @@ SELECT doc_id,
 FROM tf JOIN model USING (bg)
 GROUP BY doc_id
 """
+
+
+# --- contamination SCORE (soft decontamination) ------------------------------
+
+# Per-doc overlap fractions are quantized to integer 1e-4 units before any
+# cross-doc averaging (the dup_ngram_coverage convention), so the score is
+# partition- and engine-invariant; the doc-level flag threshold (20% of a
+# doc's distinct shingles found in the benchmark) compares exact integers.
+CONTAM_FLAG_UNITS = 2000  # flag docs with > 20% benchmark-shingle overlap
+
+
+def q_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source SOFT decontamination report: instead of the binary
+    any-shared-shingle flag (``decontaminate_docs``), score each training
+    document by the FRACTION of its distinct 3-gram shingles that appear
+    in the held-out benchmark set — the graded signal real curation uses
+    to separate verbatim leaks (near 1.0) from boilerplate collisions
+    (near 0.0), aggregated per source with a thresholded count.
+
+    Scale shape: the benchmark shingle set is distinct + broadcast (same
+    as ``decontaminate_docs``); each corpus shingle is flagged at the
+    scan (left-semi style via a broadcast join + flag), per-doc fractions
+    are one groupBy on ``doc_id``, and the per-source rollup is a second
+    tiny agg.  No corpus-by-corpus join, no shuffle of raw shingles by
+    anything but ``doc_id``."""
+    sh = _shingle_df(spark, sf_dir)
+    bench_ids = F.col("doc_id") % BENCH_DOC_MOD == 0
+    bench_shingles = (
+        sh.filter(bench_ids).select("shingle").distinct()
+        .withColumn("in_bench", F.lit(1))
+    )
+    corpus = sh.filter(~bench_ids)
+    per_doc = (
+        corpus.join(F.broadcast(bench_shingles), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce("in_bench", F.lit(0))).alias("n_overlap"),
+        )
+        .withColumn(
+            "overlap_units", F.expr("n_overlap * 10000 DIV n_shingles")
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").filter(~bench_ids).select(
+        "doc_id", "source"
+    )
+    return (
+        per_doc.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.sum("overlap_units").cast("double")
+                / (F.lit(10000.0) * F.count(F.lit(1)))
+            ).alias("avg_overlap"),
+            F.count_if(
+                F.col("overlap_units") > F.lit(CONTAM_FLAG_UNITS)
+            ).alias("n_flagged"),
+        )
+    )
+
+
+ORACLES["contamination_score"] = f"""
+WITH {_DUCK_SHINGLE_CTE},
+bench AS (
+  SELECT DISTINCT shingle FROM shingles WHERE doc_id % {BENCH_DOC_MOD} = 0
+),
+per_doc AS (
+  SELECT s.doc_id,
+         COUNT(*) AS n_shingles,
+         COUNT(*) FILTER (WHERE b.shingle IS NOT NULL) AS n_overlap,
+         (COUNT(*) FILTER (WHERE b.shingle IS NOT NULL)) * 10000 // COUNT(*)
+           AS overlap_units
+  FROM shingles s LEFT JOIN bench b ON s.shingle = b.shingle
+  WHERE s.doc_id % {BENCH_DOC_MOD} <> 0
+  GROUP BY s.doc_id
+)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(CAST(SUM(overlap_units) AS BIGINT) AS DOUBLE)
+         / (10000.0 * COUNT(*)) AS avg_overlap,
+       COUNT(*) FILTER (WHERE overlap_units > {CONTAM_FLAG_UNITS})
+         AS n_flagged
+FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+GROUP BY d.source
+"""

@@ -48,6 +48,7 @@ QUERY_ORDER = [
     "kll_quantile_drift",
     "streaming_churn_profile",
     "streaming_session_windows",
+    "contamination_score",
     # -- implementation changed in r6: CSV null-sentinel options
     #    (formats.py) and the refactored snapshot commit (str/ev.py);
     #    their r5 greens describe the old code --
@@ -102,8 +103,7 @@ QUERY_ORDER = [
     "duplicate_clusters",
     "incremental_dedup",
     "streaming_dedup_hourly",
-    "multimodal_features",
-    # Below the 50-entry window (multimodal_features is the last
+    # Below the 50-entry window (streaming_dedup_hourly is the last
     # in-window entry): everything else carries an r4 or r5 official
     # green against current testdata and unchanged code.  scripts/window_audit.py
     # tracks staleness; local parity re-verifies the full surface each
