@@ -2302,3 +2302,67 @@ SELECT d.source,
 FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
 GROUP BY d.source
 """
+
+
+# --- deterministic corpus shuffle into shards --------------------------------
+
+N_SHARDS = 8
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle of the corpus into N_SHARDS training
+    shards — the write-the-pretraining-data step: every doc gets a
+    pseudo-random but REPRODUCIBLE position (no RNG state, reruns and
+    backfills place a doc identically), emitted as a per-shard manifest
+    (doc count, char budget, head doc).
+
+    Scale shape: the shuffle key is md5(doc_id) (the engine-portable hash
+    convention of ``train_val_split``); shard assignment is a RANGE over
+    the first key byte via a 256-row broadcast lookup (hex-pair -> shard),
+    so assignment is map-side with no hex-parsing builtins on either
+    engine; within-shard positions are one ``row_number`` per shard
+    partition — the write path sorts each shard independently (N
+    spill-friendly sorts of corpus/N, never a single global order)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    lut = spark.range(256).select(
+        F.format_string("%02x", F.col("id")).alias("hx"),
+        F.expr(f"id * {N_SHARDS} DIV 256").alias("shard_id"),
+    )
+    keyed = docs.withColumn(
+        "key", F.md5(F.col("doc_id").cast("string"))
+    ).withColumn("hx", F.substring("key", 1, 2))
+    sharded = keyed.join(F.broadcast(lut), "hx")
+    w = Window.partitionBy("shard_id").orderBy("key", "doc_id")
+    pos = sharded.withColumn("pos", F.row_number().over(w))
+    return pos.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min(F.when(F.col("pos") == 1, F.col("doc_id"))).alias("head_doc"),
+    )
+
+
+ORACLES["shard_manifest"] = f"""
+WITH lut AS (
+  SELECT printf('%02x', i) AS hx, i * {N_SHARDS} // 256 AS shard_id
+  FROM range(256) t(i)
+),
+keyed AS (
+  SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS key
+  FROM documents
+),
+sharded AS (
+  SELECT k.doc_id, k.n_chars, k.key, l.shard_id
+  FROM keyed k JOIN lut l ON substr(k.key, 1, 2) = l.hx
+),
+pos AS (
+  SELECT shard_id, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY key, doc_id)
+           AS pos
+  FROM sharded
+)
+SELECT shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(CASE WHEN pos = 1 THEN doc_id END) AS head_doc
+FROM pos GROUP BY shard_id
+"""

@@ -49,6 +49,7 @@ QUERY_ORDER = [
     "streaming_churn_profile",
     "streaming_session_windows",
     "contamination_score",
+    "shard_manifest",
     # -- implementation changed in r6: CSV null-sentinel options
     #    (formats.py) and the refactored snapshot commit (str/ev.py);
     #    their r5 greens describe the old code --
@@ -102,10 +103,9 @@ QUERY_ORDER = [
     "distinct_event_types",
     "duplicate_clusters",
     "incremental_dedup",
-    "streaming_dedup_hourly",
-    # Below the 50-entry window (streaming_dedup_hourly is the last
-    # in-window entry): everything else carries an r4 or r5 official
-    # green against current testdata and unchanged code.  scripts/window_audit.py
+    # Below the 50-entry window (incremental_dedup is the last in-window
+    # entry): everything else carries an r4 or r5 official green against
+    # current testdata and unchanged code.  scripts/window_audit.py
     # tracks staleness; local parity re-verifies the full surface each
     # session at sf0.001+sf0.01.
 ]
