@@ -521,3 +521,29 @@ def test_aqe_splits_skewed_join_partitions(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v) if v is not None else conf.unset(k)
+
+
+def test_contamination_score_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark shingle set must broadcast to the corpus shingle
+    stream; a sort-merge join here means reshuffling the corpus by
+    shingle at 100 TB."""
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        q_contamination_score,
+    )
+
+    plan = formatted_plan(q_contamination_score(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_shard_manifest_no_global_sort(spark, sf_dir):
+    """Shard assignment must ride the broadcast lookup and positions must
+    come from per-shard window sorts — the plan may never collapse to a
+    SinglePartition exchange (a single global order does not exist at
+    100 TB)."""
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        q_shard_manifest,
+    )
+
+    plan = formatted_plan(q_shard_manifest(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SinglePartition" not in plan
