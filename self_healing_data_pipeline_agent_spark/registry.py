@@ -50,6 +50,7 @@ QUERY_ORDER = [
     "streaming_session_windows",
     "contamination_score",
     "shard_manifest",
+    "streaming_dedup_jittered",
     # -- implementation changed in r6: CSV null-sentinel options
     #    (formats.py) and the refactored snapshot commit (str/ev.py);
     #    their r5 greens describe the old code --
@@ -102,8 +103,7 @@ QUERY_ORDER = [
     "drift_compare",
     "distinct_event_types",
     "duplicate_clusters",
-    "incremental_dedup",
-    # Below the 50-entry window (incremental_dedup is the last in-window
+    # Below the 50-entry window (duplicate_clusters is the last in-window
     # entry): everything else carries an r4 or r5 official green against
     # current testdata and unchanged code.  scripts/window_audit.py
     # tracks staleness; local parity re-verifies the full surface each

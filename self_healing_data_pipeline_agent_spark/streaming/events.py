@@ -1159,3 +1159,93 @@ FROM numbered, horizon
 GROUP BY user_id, session_id, wm_us
 HAVING epoch_us(MAX(ts)) + {SESSION_GAP_MICROS} <= wm_us
 """
+
+
+# --- key-only dedup under timestamp-skewed redelivery ------------------------
+
+
+def streaming_dedup_jittered(
+    spark: SparkSession, sf_dir: str, watermark: str = WATERMARK
+) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` — key-only streaming dedup for
+    the redelivery shape ``streaming_dedup_hourly`` cannot handle: the
+    redelivered copy carries a DIFFERENT event time (ingest jitter), so
+    exact (event_id, ts) matching sees two distinct rows.  The
+    within-watermark variant dedups on ``event_id`` alone and expires
+    state once the watermark passes first-seen + delay — bounded state,
+    like the exact-match path.
+
+    The staged replay adds +1 s to the second copy's ``ts`` — but only
+    where that stays inside the event's hour (integer epoch-hour check),
+    so whichever copy survives dedup lands in the SAME hourly window and
+    the aggregated counts are deterministic; the oracle reproduces the
+    watermark horizon from the jittered maximum analytically."""
+    import os
+
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    same_hour = (
+        (F.unix_micros("ts") + F.lit(1_000_000))
+        / F.lit(3_600_000_000)
+    ).cast("long") == (
+        F.unix_micros("ts") / F.lit(3_600_000_000)
+    ).cast("long")
+    jittered = ev.withColumn(
+        "ts",
+        F.when(same_hour, F.col("ts") + F.expr("INTERVAL 1 SECOND"))
+        .otherwise(F.col("ts")),
+    )
+    staging = tempfile.mkdtemp(prefix="events_jitter_")
+    ev.write.parquet(os.path.join(staging, "copy1"))
+    jittered.write.parquet(os.path.join(staging, "copy2"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(staging)
+    )
+    deduped = (
+        stream.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    windowed = (
+        deduped.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+    name = f"dedup_jittered_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            windowed.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+def q_streaming_dedup_jittered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_dedup_jittered(spark, sf_dir)
+
+
+# Batch twin: single-copy hourly counts (key-only dedup collapses the
+# jittered redelivery; the jitter never crosses an hour boundary, so the
+# surviving copy's window is the original's).  The watermark horizon is
+# the max over the JITTERED stream, reproduced analytically.
+ORACLES["streaming_dedup_jittered"] = """
+WITH j AS (
+  SELECT ts,
+         CASE WHEN (epoch_us(ts) + 1000000) // 3600000000
+                   = epoch_us(ts) // 3600000000
+              THEN ts + INTERVAL 1 SECOND ELSE ts END AS jts
+  FROM events
+),
+horizon AS (SELECT MAX(jts) - INTERVAL 2 HOUR AS wm FROM j)
+SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS n_events
+FROM j, horizon
+GROUP BY date_trunc('hour', ts), wm
+HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm
+"""
