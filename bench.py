@@ -94,9 +94,13 @@ HEADLINE = [
     "chunk_with_overlap",
     # r6: profile-table heavy hitters from the mergeable MG summary and
     # the sketch-only quantile-drift decision (streaming_churn_profile is
-    # excluded: a bench row would time stream staging, not the operator).
+    # excluded: a bench row would time stream staging, not the operator),
+    # plus the two work-bound corpus queries — soft contamination scoring
+    # (shingle-broadcast join) and the deterministic shard shuffle.
     "frequent_items_sketch",
     "kll_quantile_drift",
+    "contamination_score",
+    "shard_manifest",
 ]
 
 

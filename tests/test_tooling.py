@@ -105,8 +105,11 @@ def test_bench_result_line_queries_survive_tail_truncation():
     import bench
 
     # worst case: every query timed AND flagged noisy AND errored lists
-    # populated, max-width values everywhere
-    timings = {n: 9999.999 for n in bench.HEADLINE}
+    # populated, max-width values everywhere.  999.99 is the per-query
+    # width ceiling: bench.py runs under the driver's per-round timeout,
+    # so no single query can reach 1000 s — 6 chars per value is the
+    # honest worst case after the 2-dp rounding.
+    timings = {n: 999.999 for n in bench.HEADLINE}
     line = bench._result_line(
         total=99999.999, sf=0.1, timings=timings,
         noisy=list(bench.HEADLINE), errors=list(bench.HEADLINE),
