@@ -425,31 +425,42 @@ FROM orders GROUP BY o_orderpriority
 # --- X23d: exact heavy hitters in two passes (Misra-Gries + recount) --------
 
 
+def _mg_ingest(counters: dict[str, int], t: str, cap: int) -> int:
+    """ONE Misra-Gries ingestion step — the shared kernel of every MG
+    variant in this module (flat candidates, per-group candidates, the
+    mergeable summary): insert/increment ``t`` holding at most ``cap``
+    counters; on overflow decrement all and drop zeros (Misra & Gries
+    1982).  Returns 1 iff a decrement-all occurred, which is the
+    caller's underestimate bound ``dec``."""
+    if t in counters:
+        counters[t] += 1
+        return 0
+    if len(counters) < cap:
+        counters[t] = 1
+        return 0
+    dead = []
+    for k in counters:
+        counters[k] -= 1
+        if counters[k] == 0:
+            dead.append(k)
+    for k in dead:
+        del counters[k]
+    return 1
+
+
 def _mg_candidates(batches: Iterator) -> Iterator:
     """Per-partition Misra-Gries summary over token streams: at most
     MG_CAPACITY counters, decrement-all on overflow.  Guarantees every
     term with partition frequency > n_p/(MG_CAPACITY+1) survives, which
     makes the union over partitions a superset of all global terms with
-    frequency > N/K_HH.  Bounded memory, single sequential pass — the
-    canonical streaming-frequency kernel (Misra & Gries 1982)."""
+    frequency > N/K_HH.  Bounded memory, single sequential pass."""
     import pandas as pd
 
     counters: dict[str, int] = {}
     for pdf in batches:
         for toks in pdf["tokens"]:
             for t in toks:
-                if t in counters:
-                    counters[t] += 1
-                elif len(counters) < MG_CAPACITY:
-                    counters[t] = 1
-                else:
-                    dead = []
-                    for k in counters:
-                        counters[k] -= 1
-                        if counters[k] == 0:
-                            dead.append(k)
-                    for k in dead:
-                        del counters[k]
+                _mg_ingest(counters, t, MG_CAPACITY)
     yield pd.DataFrame({"term": list(counters.keys())})
 
 
@@ -513,18 +524,7 @@ def _mg_grouped_candidates(batches: Iterator) -> Iterator:
         for lang, toks in zip(pdf["lang"], pdf["tokens"]):
             counters = per_group.setdefault(lang, {})
             for t in toks:
-                if t in counters:
-                    counters[t] += 1
-                elif len(counters) < MG_CAPACITY:
-                    counters[t] = 1
-                else:
-                    dead = []
-                    for k in counters:
-                        counters[k] -= 1
-                        if counters[k] == 0:
-                            dead.append(k)
-                    for k in dead:
-                        del counters[k]
+                _mg_ingest(counters, t, MG_CAPACITY)
     yield pd.DataFrame(
         {
             "lang": [g for g, c in per_group.items() for _ in c],
@@ -627,19 +627,7 @@ def _mg_partial_summaries(batches: Iterator) -> Iterator:
         for toks in pdf["tokens"]:
             for t in toks:
                 n += 1
-                if t in counters:
-                    counters[t] += 1
-                elif len(counters) < MG_CAPACITY:
-                    counters[t] = 1
-                else:
-                    dec += 1
-                    dead = []
-                    for k in counters:
-                        counters[k] -= 1
-                        if counters[k] == 0:
-                            dead.append(k)
-                    for k in dead:
-                        del counters[k]
+                dec += _mg_ingest(counters, t, MG_CAPACITY)
     yield pd.DataFrame(
         {
             "terms": [list(counters.keys())],
@@ -808,36 +796,48 @@ def q_kll_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     win_hi = F.kll_sketch_get_quantile_double(
         "skb", F.lit(0.5 + KLL_DRIFT_THRESH)
     )
+    # An EMPTY period aggregates to a null sketch, and the quantile
+    # functions THROW on null buffers — the CASE guard keeps them
+    # unevaluated for that group and yields a NULL decision instead (the
+    # oracle mirrors this with the same count guard, so the row is kept,
+    # not dropped).
     return g.select(
         "o_orderpriority",
         "n_a",
         "n_b",
-        ((probe < win_lo) | (probe > win_hi)).alias("median_drifted"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            (probe < win_lo) | (probe > win_hi),
+        ).alias("median_drifted"),
     )
 
 
 # The oracle makes the SAME decision from exact quantities (exact period-A
-# median, its exact rank in period B) — the tripwire-asserted margin is
-# what guarantees the randomized sketch statistic and this exact statistic
-# fall on the same side of the threshold.
+# median, its value against period-B's exact quantile window) — the
+# tripwire-asserted margin is what guarantees the randomized sketch
+# statistic and this exact statistic fall on the same side of the
+# threshold.  Join-free on purpose: a priority with an EMPTY period must
+# keep its row with a NULL decision (as the Spark side's null sketch
+# yields), not silently drop out of the result.
 ORACLES["kll_quantile_drift"] = f"""
-WITH m AS (
-  SELECT o_orderpriority,
-         quantile_disc(o_totalprice, 0.5)
-           FILTER (WHERE o_orderdate < TIMESTAMP '{CHURN_BOUNDARY}')
-           AS med_a,
-         COUNT(*) FILTER (WHERE o_orderdate < TIMESTAMP '{CHURN_BOUNDARY}')
-           AS n_a,
-         COUNT(*) FILTER (WHERE o_orderdate >= TIMESTAMP '{CHURN_BOUNDARY}')
-           AS n_b
-  FROM orders GROUP BY o_orderpriority
-)
-SELECT m.o_orderpriority, m.n_a, m.n_b,
-       m.med_a < quantile_disc(b.o_totalprice, {0.5 - KLL_DRIFT_THRESH})
-         OR m.med_a > quantile_disc(b.o_totalprice, {0.5 + KLL_DRIFT_THRESH})
-         AS median_drifted
-FROM m JOIN orders b
-  ON b.o_orderpriority = m.o_orderpriority
- AND b.o_orderdate >= TIMESTAMP '{CHURN_BOUNDARY}'
-GROUP BY m.o_orderpriority, m.n_a, m.n_b, m.med_a
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderdate < TIMESTAMP '{CHURN_BOUNDARY}')
+         AS n_a,
+       COUNT(*) FILTER (WHERE o_orderdate >= TIMESTAMP '{CHURN_BOUNDARY}')
+         AS n_b,
+       CASE WHEN COUNT(*) FILTER (WHERE o_orderdate
+                                  < TIMESTAMP '{CHURN_BOUNDARY}') = 0
+              OR COUNT(*) FILTER (WHERE o_orderdate
+                                  >= TIMESTAMP '{CHURN_BOUNDARY}') = 0
+            THEN NULL
+            ELSE quantile_disc(o_totalprice, 0.5)
+                   FILTER (WHERE o_orderdate < TIMESTAMP '{CHURN_BOUNDARY}')
+                 < quantile_disc(o_totalprice, {0.5 - KLL_DRIFT_THRESH})
+                   FILTER (WHERE o_orderdate >= TIMESTAMP '{CHURN_BOUNDARY}')
+              OR quantile_disc(o_totalprice, 0.5)
+                   FILTER (WHERE o_orderdate < TIMESTAMP '{CHURN_BOUNDARY}')
+                 > quantile_disc(o_totalprice, {0.5 + KLL_DRIFT_THRESH})
+                   FILTER (WHERE o_orderdate >= TIMESTAMP '{CHURN_BOUNDARY}')
+       END AS median_drifted
+FROM orders GROUP BY o_orderpriority
 """

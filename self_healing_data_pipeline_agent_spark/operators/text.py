@@ -2188,7 +2188,12 @@ def q_char_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLES["char_lm_perplexity"] = f"""
+# Shared model CTEs + unbanded score expression: the committed band-edge
+# tripwire (tests/test_llm_data_ops.py) derives its margins from THESE
+# strings, so a change to the smoothing/charset/quantization here is
+# automatically re-guarded instead of silently diverging from a frozen
+# copy in the test (r6 review finding).
+CHAR_LM_MODEL_CTES = f"""
 WITH norm AS (
   SELECT doc_id, regexp_replace(lower(text), '[^a-z ]', '#', 'g') AS nt
   FROM documents
@@ -2208,11 +2213,18 @@ WITH norm AS (
                     * 1000000.0 + 0.5) AS BIGINT) AS lp_units
   FROM bg_counts JOIN c1_totals ON substr(bg, 1, 1) = c1
 )
+"""
+
+CHAR_LM_UNBANDED_SQL = f"""
+-(CAST(SUM(tf * lp_units) AS DOUBLE) / 1000000.0)
+  / {_CHAR_LM_LN2} / SUM(tf) * {float(CHAR_LM_BAND_PER_BIT)}
+"""
+
+ORACLES["char_lm_perplexity"] = f"""
+{CHAR_LM_MODEL_CTES}
 SELECT doc_id,
        SUM(tf) AS n_bigrams,
-       CAST(FLOOR(-(CAST(SUM(tf * lp_units) AS DOUBLE) / 1000000.0)
-                  / {_CHAR_LM_LN2} / SUM(tf)
-                  * {float(CHAR_LM_BAND_PER_BIT)}) AS BIGINT) AS bpc_band
+       CAST(FLOOR({CHAR_LM_UNBANDED_SQL}) AS BIGINT) AS bpc_band
 FROM tf JOIN model USING (bg)
 GROUP BY doc_id
 """

@@ -56,6 +56,10 @@ QUERY_ORDER = [
     #    their r5 greens describe the old code --
     "format_interchange",
     "streaming_sketch_rollup",
+    # -- implementation refactored in r6 (shared _mg_ingest kernel):
+    #    their r5 greens describe the pre-refactor kernels --
+    "heavy_hitters",
+    "heavy_hitters_by_lang",
     # -- the complete pre-r4 official-record backlog (2 r1 + 26 r2 + 7 r3
     #    latest-checks; VERDICT r5 "What's missing" #1).  All local-parity
     #    green today at sf0.001+sf0.01; this window clears every record
@@ -99,13 +103,13 @@ QUERY_ORDER = [
     #    (dup_ngram_coverage first — its r5 driver-bench number regressed
     #    and a fresh record pins both correctness and timing) --
     "dup_ngram_coverage",
-    "stats_profile",
-    "drift_compare",
-    "distinct_event_types",
-    "duplicate_clusters",
-    # Below the 50-entry window (duplicate_clusters is the last in-window
-    # entry): everything else carries an r4 or r5 official green against
-    # current testdata and unchanged code.  scripts/window_audit.py
+    # -- spans touched by r6 edits to streaming/events.py helpers
+    #    (window_audit flags their records untrustworthy) --
+    "streaming_cardinality_profile",
+    "streaming_enriched_counts",
+    # Below the 50-entry window (streaming_enriched_counts is the last
+    # in-window entry): everything else carries an r4 or r5 official
+    # green against current testdata and unchanged code.  scripts/window_audit.py
     # tracks staleness; local parity re-verifies the full surface each
     # session at sf0.001+sf0.01.
 ]

@@ -33,6 +33,26 @@ ORACLES: dict[str, str] = {}
 
 WATERMARK = "2 hours"
 
+# Temp dirs that must OUTLIVE the creating function (lazy DataFrames read
+# them later) but not the process: profile-table snapshots and staged
+# stream copies.  Registered for interpreter-exit cleanup so repeated
+# parity sessions do not accumulate events-table copies in /tmp
+# (r6 review finding).
+_TMPDIRS: list[str] = []
+
+
+def _session_tmpdir(prefix: str) -> str:
+    import atexit
+    import shutil
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    if not _TMPDIRS:
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _TMPDIRS]
+        )
+    _TMPDIRS.append(d)
+    return d
+
 
 def _events_schema(ts_type) -> StructType:
     return StructType(
@@ -70,7 +90,7 @@ def read_events_stream(
     checks that need MULTIPLE batches rather than one big one.
     """
     unit, tz_adjusted = events_ts_info(sf_dir)
-    staging = tempfile.mkdtemp(prefix="events_stream_")
+    staging = _session_tmpdir("events_stream_")
     (Path(staging) / "events.parquet").symlink_to(Path(sf_dir) / "events.parquet")
     if replay:
         (Path(staging) / "events_replay.parquet").symlink_to(
@@ -744,7 +764,10 @@ def _commit_snapshot(
     store_dir: str, snapshot: str, merged: DataFrame, batch_id: int
 ) -> None:
     """Versioned-dir + symlink-swap atomic commit (the plain-filesystem
-    miniature of a table format's commit, shared with streaming/merge.py)."""
+    miniature of a table format's commit).  Same PATTERN as
+    streaming/merge.py's commit, which keeps its own implementation (it
+    additionally seeds from a plain unversioned dir) — a protocol fix
+    here must be mirrored there."""
     import os
     import shutil
 
@@ -787,7 +810,7 @@ def streaming_sketch_rollup(
     )
     # store_dir injectable so tests can assert the multi-batch merge path
     # actually ran (snapshot symlink ends at the batch-1 version)
-    store_dir = store_dir or tempfile.mkdtemp(prefix="sketch_profile_")
+    store_dir = store_dir or _session_tmpdir("sketch_profile_")
     snapshot = str(Path(store_dir) / "profile")
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -875,7 +898,7 @@ def streaming_profile_table(
     stream = read_events_stream(
         spark, sf_dir, replay=True, max_files_per_trigger=1
     )
-    store_dir = store_dir or tempfile.mkdtemp(prefix="profile_table_")
+    store_dir = store_dir or _session_tmpdir("profile_table_")
     snapshot = str(Path(store_dir) / "profile")
 
     def _merge_col(name: str, merge) -> "F.Column":
@@ -1196,7 +1219,7 @@ def streaming_dedup_jittered(
         F.when(same_hour, F.col("ts") + F.expr("INTERVAL 1 SECOND"))
         .otherwise(F.col("ts")),
     )
-    staging = tempfile.mkdtemp(prefix="events_jitter_")
+    staging = _session_tmpdir("events_jitter_")
     ev.write.parquet(os.path.join(staging, "copy1"))
     jittered.write.parquet(os.path.join(staging, "copy2"))
     stream = (

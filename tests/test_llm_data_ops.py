@@ -417,34 +417,15 @@ def test_char_lm_band_edge_tripwire():
 
     from self_healing_data_pipeline_agent_spark.operators.text import (
         CHAR_LM_BAND_EDGE_EPS,
-        CHAR_LM_BAND_PER_BIT,
-        CHAR_LM_V,
-        _CHAR_LM_LN2,
+        CHAR_LM_MODEL_CTES,
+        CHAR_LM_UNBANDED_SQL,
     )
 
+    # built from the SAME strings the oracle uses, so a model change is
+    # automatically re-guarded here (never a frozen copy)
     unbanded = f"""
-WITH norm AS (
-  SELECT doc_id, regexp_replace(lower(text), '[^a-z ]', '#', 'g') AS nt
-  FROM documents
-), inst AS (
-  SELECT doc_id,
-         substr(nt, CAST(unnest(range(1, length(nt))) AS INT), 2) AS bg
-  FROM norm WHERE length(nt) >= 2
-), tf AS (
-  SELECT doc_id, bg, COUNT(*) AS tf FROM inst GROUP BY doc_id, bg
-), bg_counts AS (
-  SELECT bg, SUM(tf) AS cnt FROM tf GROUP BY bg
-), c1_totals AS (
-  SELECT substr(bg, 1, 1) AS c1, SUM(cnt) AS tot FROM bg_counts GROUP BY c1
-), model AS (
-  SELECT bg,
-         CAST(FLOOR(LN((cnt + 1.0) / (tot + {float(CHAR_LM_V)}))
-                    * 1000000.0 + 0.5) AS BIGINT) AS lp_units
-  FROM bg_counts JOIN c1_totals ON substr(bg, 1, 1) = c1
-)
-SELECT doc_id,
-       -(CAST(SUM(tf * lp_units) AS DOUBLE) / 1000000.0)
-         / {_CHAR_LM_LN2} / SUM(tf) * {float(CHAR_LM_BAND_PER_BIT)} AS v
+{CHAR_LM_MODEL_CTES}
+SELECT doc_id, {CHAR_LM_UNBANDED_SQL} AS v
 FROM tf JOIN model USING (bg)
 GROUP BY doc_id
 """

@@ -460,3 +460,35 @@ def test_frequent_items_partition_invariant(spark, sf_dir, tmp_path):
     }
     assert r1 == r7 and r1
     assert all(ok for _, _, ok in r1)
+
+
+def test_kll_drift_empty_period_yields_null_not_crash(spark, tmp_path):
+    """A priority with an EMPTY period must keep its row with a NULL
+    decision in BOTH engines: the Spark quantile functions THROW on the
+    null sketch an empty period aggregates to (guarded by the count
+    CASE), and a join-based oracle would silently DROP the row (r6
+    review finding — the oracle is join-free on purpose)."""
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+
+    base = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    boundary = F.lit(sk.CHURN_BOUNDARY).cast("timestamp")
+    mod = base.filter(
+        ~((F.col("o_orderpriority") == "5-LOW")
+          & (F.col("o_orderdate") >= boundary))
+    )
+    d = str(tmp_path / "gap")
+    mod.write.parquet(f"{d}/orders.parquet")
+    rows = {r.o_orderpriority: r for r in
+            sk.q_kll_quantile_drift(spark, d).collect()}
+    assert rows["5-LOW"].n_b == 0
+    assert rows["5-LOW"].median_drifted is None
+    assert len(rows) == 5
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM '{d}/orders.parquet/*.parquet'")
+    duck = {r[0]: r for r in
+            con.sql(entry_mod.oracle_sql()["kll_quantile_drift"]).fetchall()}
+    con.close()
+    assert len(duck) == 5
+    assert duck["5-LOW"][2] == 0 and duck["5-LOW"][3] is None

@@ -105,11 +105,12 @@ def test_bench_result_line_queries_survive_tail_truncation():
     import bench
 
     # worst case: every query timed AND flagged noisy AND errored lists
-    # populated, max-width values everywhere.  999.99 is the per-query
-    # width ceiling: bench.py runs under the driver's per-round timeout,
-    # so no single query can reach 1000 s — 6 chars per value is the
-    # honest worst case after the 2-dp rounding.
-    timings = {n: 999.999 for n in bench.HEADLINE}
+    # populated, max-width values everywhere.  _result_line CLAMPS each
+    # per-query value to 999.99 (bench.py has no per-query timeout, so
+    # without the clamp one hung query would widen its value past the
+    # 6-char budget this guarantee is sized for); feed absurd inputs and
+    # assert the clamp holds the line under the tail.
+    timings = {n: 87654.321 for n in bench.HEADLINE}
     line = bench._result_line(
         total=99999.999, sf=0.1, timings=timings,
         noisy=list(bench.HEADLINE), errors=list(bench.HEADLINE),
@@ -119,9 +120,16 @@ def test_bench_result_line_queries_survive_tail_truncation():
     # value (first) both survive
     assert len(line) <= 2000, f"bench line {len(line)} chars > 2000 tail"
     parsed = json.loads(line)
-    assert parsed["queries"] == {n: round(v, 2) for n, v in timings.items()}
+    assert parsed["queries"] == {n: 999.99 for n in timings}
     assert list(parsed)[-1] == "queries"
     assert parsed["value"] == 99999.999
+    # and an ordinary sub-1000s value is NOT altered beyond rounding
+    ordinary = dict(timings, tpch_q1=1.234)
+    line2 = bench._result_line(
+        total=99999.999, sf=0.1, timings=ordinary, noisy=[], errors=[],
+        duck_total=99999.999, ratio=999.999,
+    )
+    assert json.loads(line2)["queries"]["tpch_q1"] == 1.23
 
 
 def test_bench_duckdb_guard_survives_setup_failure(monkeypatch):
