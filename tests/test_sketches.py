@@ -492,3 +492,29 @@ def test_kll_drift_empty_period_yields_null_not_crash(spark, tmp_path):
     con.close()
     assert len(duck) == 5
     assert duck["5-LOW"][2] == 0 and duck["5-LOW"][3] is None
+
+
+def test_session_tmpdir_cleaned_at_interpreter_exit():
+    """The staging/snapshot dirs streaming queries leave behind must be
+    removed when the creating interpreter exits (r6 review finding: a
+    parity session was accumulating events-table copies in /tmp)."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo');"
+        "from self_healing_data_pipeline_agent_spark.streaming.events "
+        "import _session_tmpdir;"
+        "import pathlib;"
+        "d = _session_tmpdir('leakcheck_');"
+        "pathlib.Path(d, 'payload').write_text('x');"
+        "print(d)"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        check=True,
+    )
+    d = out.stdout.strip().splitlines()[-1]
+    assert d.startswith("/tmp")
+    assert not os.path.exists(d), f"{d} survived interpreter exit"
