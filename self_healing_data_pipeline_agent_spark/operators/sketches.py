@@ -640,9 +640,11 @@ def _mg_partial_summaries(batches: Iterator) -> Iterator:
 
 def _mg_fold(pdf) -> "object":
     """Fold a frame of partial summaries into one (applyInPandas kernel).
-    Deterministic fold order (sorted by n desc, then lexical terms) — the
-    surviving SET and estimates may differ under other orders, but the
-    guarantee bounds hold for every order (test_sketches pins this)."""
+    Fold order is pinned by a sort (n desc, then first 3 lexical terms);
+    two distinct partials CAN tie on that key, leaving their relative
+    order to pandas row order — harmless, because the MG guarantee bounds
+    (freq - dec <= est <= freq) hold under EVERY fold order and the
+    checked contract recounts exactly (test_sketches pins both)."""
     import pandas as pd
 
     rows = sorted(
@@ -680,9 +682,10 @@ def q_frequent_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     recount pins the exact ``n_occurrences`` and the theorem flag
     ``est_ok`` (est <= freq <= est + dec) for every true heavy hitter, so
     the driver value-checks the summary's guarantee, not just its shape.
-    Cites the reference's eager value_counts profiling
-    (``src/drift_detector.py:16-26``) — this is its bounded-memory,
-    incrementally-maintainable scale-out."""
+    The reference's profiling is an eager full-scan build
+    (``src/drift_detector.py:16-26``, mean/std via ``_build_profile``) —
+    this is the bounded-memory, incrementally-maintainable scale-out of
+    that profiling pattern for categorical frequency."""
     docs = load_table(spark, sf_dir, "documents").select(
         F.expr(_TOKENS).alias("tokens")
     )

@@ -2107,23 +2107,118 @@ SELECT 3, 'decontaminated', CAST(n_clean AS BIGINT) FROM counts
 CHAR_LM_V = 28  # charset after normalization: a-z, space, '#'
 _CHAR_LM_LN2 = "0.6931471805599453"  # ln(2) literal, identical both engines
 
-# The CHECKED score column is an integer deci-bit band: floor(bpc * 10).
-# Round 5 proved that any finely-quantized float derived from ln() is
-# cross-engine fragile in SOME environments (the driver's DuckDB/libm
-# flipped a value our local libm does not), even with 1e-6-unit integer
-# quantization of the model.  A 0.1-bit band is the sketch-ring
-# contract-column pattern (sketches.py:13-29): the measured distance of
-# every doc's unrounded bpc from its nearest band edge is >= 1.7e-4 band
-# units at sf0.001/0.01/0.1 — four orders of magnitude above any plausible
-# libm divergence — and tests/test_llm_data_ops.py's tripwire asserts that
-# margin at every SF so a future data drop landing on a boundary fails
-# loudly locally instead of silently in the driver.
-CHAR_LM_BAND_PER_BIT = 10
-CHAR_LM_BAND_EDGE_EPS = 1e-4  # min allowed |band_value - nearest edge|
+# The CHECKED score column is an integer WHOLE-BIT band: floor(bpc).
+# History: r5 checked a 6-dp rounded float (driver red), r6 a deci-bit
+# band floor(bpc*10) (driver red AGAIN despite 500/500 local agreement
+# and a 1.7e-4-band-unit edge margin — only ~12x the worst-case model
+# quantization flip).  r7 therefore (a) widens the band to whole bits —
+# measured min edge margin is 0.174 bits across sf0.001/0.01/0.1, five
+# orders of magnitude above any libm-level divergence and robust even to
+# a full model-wide quantization flip (1.4e-6 bits) — and (b) splits the
+# contract into three driver-checked queries so the NEXT red localizes
+# itself: ``char_lm_doc_counts`` (pure integers, no ln anywhere),
+# ``char_lm_model`` (the 1e-6-unit quantized log-probs), and this banded
+# score.  tests/test_llm_data_ops.py asserts both the band-edge margin
+# and the model's quantization-boundary margin at every SF.
+CHAR_LM_BAND_PER_BIT = 1
+CHAR_LM_BAND_EDGE_EPS = 0.1  # min allowed |band_value - nearest edge|
+# min allowed |frac(ln(p)*1e6) - 0.5|: distance of each bigram type's
+# pre-floor quantization input from its rounding boundary.  Measured min
+# is 5.3e-4 across SFs; libm-level ln() divergence is ~1e-9 at this
+# magnitude, so 1e-4 is a >=10^5-margin tripwire, same pattern as the
+# band-edge one.
+CHAR_LM_MODEL_EDGE_EPS = 1e-4
+
+
+def _char_lm_tf_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bg, tf): per-document char-bigram term frequencies.
+
+    The single shared entry point for the char-LM ring — normalization
+    (`lower` + non-[a-z ] -> '#'; the corpus is verified pure-ASCII by
+    tests, so neither operation is ICU/locale-sensitive), bigram-instance
+    explode, and the ONE fact-scale shuffle (partial-aggregated count on
+    (doc_id, bg)).  All three driver-checked char_lm_* queries derive
+    from this frame so a red on one localizes the divergent stage."""
+    df = load_table(spark, sf_dir, "documents")
+    norm = df.select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", "#")
+        .alias("nt"),
+    ).filter(F.length("nt") >= 2)
+    inst = norm.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(nt) - 1),"
+                   " i -> substring(nt, i, 2))")
+        ).alias("bg"),
+    )
+    return inst.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def _char_lm_model_df(tf: DataFrame) -> DataFrame:
+    """(bg, cnt, tot, lp_units): the add-one-smoothed bigram model.
+
+    Vocabulary-bounded (<= V^2 = 784 rows); ``lp_units`` is each bigram
+    type's log-probability quantized to integer 1e-6 units —
+    floor(ln(p)*1e6 + 0.5) — so every downstream per-doc score is an
+    exact BIGINT dot product.  The quantization boundary margin is
+    tripwired (CHAR_LM_MODEL_EDGE_EPS)."""
+    bg_counts = tf.groupBy("bg").agg(F.sum("tf").alias("cnt"))
+    c1_totals = (
+        bg_counts.groupBy(F.substring("bg", 1, 1).alias("c1"))
+        .agg(F.sum("cnt").alias("tot"))
+    )
+    return bg_counts.join(
+        F.broadcast(c1_totals),
+        F.substring(F.col("bg"), 1, 1) == F.col("c1"),
+    ).select(
+        "bg",
+        "cnt",
+        "tot",
+        F.floor(
+            F.log((F.col("cnt") + F.lit(1.0))
+                  / (F.col("tot") + F.lit(float(CHAR_LM_V))))
+            * F.lit(1e6) + F.lit(0.5)
+        ).alias("lp_units"),
+    )
+
+
+def q_char_lm_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bisect twin #1 for ``char_lm_perplexity``: per-doc bigram counts,
+    pure integers, NO ``ln()`` anywhere in the plan.
+
+    Two consecutive driver rounds redded the banded score while every
+    local check (including row-for-row value compares at the driver's own
+    SF) is green; this query puts the COUNTING half of the pipeline —
+    normalization, bigram-instance generation, (doc_id, bg) grouping —
+    under its own driver hash so the next red says which half diverges.
+    Green here + red score => the divergence is in the model/score float
+    path; red here => normalization/instance semantics differ
+    cross-engine."""
+    return (
+        _char_lm_tf_df(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_distinct_bg"),
+        )
+    )
+
+
+def q_char_lm_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bisect twin #2: the corpus-level bigram model itself.
+
+    ``cnt``/``tot`` are exact integers (corpus-granularity counting);
+    ``lp_units`` is the only value that passes through ``ln()``, with a
+    tripwired >= CHAR_LM_MODEL_EDGE_EPS boundary margin.  Green counts +
+    green model + red score would localize the divergence to the final
+    band arithmetic alone (whole-bit bands make that a < 1e-5 likelihood;
+    see CHAR_LM_BAND_EDGE_EPS)."""
+    return _char_lm_model_df(_char_lm_tf_df(spark, sf_dir))
 
 
 def q_char_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document char-bigram cross-entropy, banded to deci-bits/char.
+    """Per-document char-bigram cross-entropy, banded to whole bits/char.
 
     Scale shape: ONE explode of the corpus into bigram instances feeds a
     (doc, bigram) partial-aggregated count [shuffle 1]; the model (bigram
@@ -2139,36 +2234,8 @@ def q_char_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer deci-bit band ``bpc_band`` (see CHAR_LM_BAND_PER_BIT above);
     the unbanded 6-dp float is deliberately NOT part of the hashed
     contract after the round-5 driver divergence."""
-    df = load_table(spark, sf_dir, "documents")
-    norm = df.select(
-        "doc_id",
-        F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", "#")
-        .alias("nt"),
-    ).filter(F.length("nt") >= 2)
-    inst = norm.select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(sequence(1, length(nt) - 1),"
-                   " i -> substring(nt, i, 2))")
-        ).alias("bg"),
-    )
-    tf = inst.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("tf"))
-    bg_counts = tf.groupBy("bg").agg(F.sum("tf").alias("cnt"))
-    c1_totals = (
-        bg_counts.groupBy(F.substring("bg", 1, 1).alias("c1"))
-        .agg(F.sum("cnt").alias("tot"))
-    )
-    model = bg_counts.join(
-        F.broadcast(c1_totals),
-        F.substring(F.col("bg"), 1, 1) == F.col("c1"),
-    ).select(
-        "bg",
-        F.floor(
-            F.log((F.col("cnt") + F.lit(1.0))
-                  / (F.col("tot") + F.lit(float(CHAR_LM_V))))
-            * F.lit(1e6) + F.lit(0.5)
-        ).alias("lp_units"),
-    )
+    tf = _char_lm_tf_df(spark, sf_dir)
+    model = _char_lm_model_df(tf).select("bg", "lp_units")
     scored = (
         tf.join(F.broadcast(model), "bg")
         .groupBy("doc_id")
@@ -2208,7 +2275,7 @@ WITH norm AS (
 ), c1_totals AS (
   SELECT substr(bg, 1, 1) AS c1, SUM(cnt) AS tot FROM bg_counts GROUP BY c1
 ), model AS (
-  SELECT bg,
+  SELECT bg, cnt, tot,
          CAST(FLOOR(LN((cnt + 1.0) / (tot + {float(CHAR_LM_V)}))
                     * 1000000.0 + 0.5) AS BIGINT) AS lp_units
   FROM bg_counts JOIN c1_totals ON substr(bg, 1, 1) = c1
@@ -2227,6 +2294,21 @@ SELECT doc_id,
        CAST(FLOOR({CHAR_LM_UNBANDED_SQL}) AS BIGINT) AS bpc_band
 FROM tf JOIN model USING (bg)
 GROUP BY doc_id
+"""
+
+ORACLES["char_lm_doc_counts"] = f"""
+{CHAR_LM_MODEL_CTES}
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_bg
+FROM tf
+GROUP BY doc_id
+"""
+
+ORACLES["char_lm_model"] = f"""
+{CHAR_LM_MODEL_CTES}
+SELECT bg, CAST(cnt AS BIGINT) AS cnt, CAST(tot AS BIGINT) AS tot, lp_units
+FROM model
 """
 
 
@@ -2377,4 +2459,269 @@ SELECT shard_id,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        MIN(CASE WHEN pos = 1 THEN doc_id END) AS head_doc
 FROM pos GROUP BY shard_id
+"""
+
+
+# --- X8e: exact cross-document duplicated-substring spans --------------------
+#
+# Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+# Better", ExactSubstr) remove long substrings duplicated ACROSS documents
+# — a different family from whole/near-doc dedup (X8a-d) and fixed-width
+# chunk dedup (chunk_dedup).  The reference recipe is a single-node suffix
+# array; the dataflow-shaped equivalent is an inverted index of token
+# k-grams with maximal-shared-run detection per doc pair: a run of R
+# consecutive shared k-grams IS a shared substring of R+K-1 tokens, and
+# runs are exactly the gaps-and-islands of the gram-match set along the
+# pos_a - pos_b diagonal.
+
+SUBSTR_K = 4            # token-gram width for the inverted index
+SUBSTR_MIN_SPAN = 8     # report shared substrings of >= 8 tokens
+SUBSTR_MIN_RUN = SUBSTR_MIN_SPAN - SUBSTR_K + 1  # = 5 consecutive grams
+
+
+def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-doc duplicated substrings of >= SUBSTR_MIN_SPAN tokens.
+
+    Two stages, both shuffle-bounded:
+
+    1. CANDIDATE PAIRS from the winnowed fingerprint sets
+       (``q_rolling_fingerprints``): the winnowing guarantee (Schleimer et
+       al. 2003) is that any shared substring spanning >= t + w - 1 = 6
+       tokens (t=3-token hash windows, w=4 winnow) selects at least one
+       common fingerprint in BOTH documents, so for spans >= 8 tokens the
+       prefilter is LOSSLESS.  Fingerprint postings are ~1/w of the token
+       count — the pair-generation join runs on a 4x-sparser index than
+       the raw grams, and at 100 TB this is the stage that keeps the
+       candidate set corpus-linear instead of hot-gram-quadratic.
+    2. RUN DETECTION only for candidate pairs: join the md5'd 4-gram
+       postings of candidate docs on gram hash, then gaps-and-islands per
+       (doc_a, doc_b, pos_a - pos_b) diagonal — one window + one groupBy,
+       both keyed on the pair, so the heavy stage is co-partitioned and
+       skew is bounded by the longest true duplicate, not the corpus.
+
+    Positions are 0-based ordinals over non-empty tokens (ties to the
+    DuckDB oracle's 1-based list index minus one).  All output columns are
+    exact integers — no floats anywhere in the contract."""
+    df = load_table(spark, sf_dir, "documents")
+    toks = (
+        df.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("rawpos", "tok")
+        )
+        .filter(F.col("tok") != "")
+    )
+    wp = Window.partitionBy("doc_id").orderBy("rawpos")
+    seq = toks.select(
+        "doc_id", "tok", (F.row_number().over(wp) - 1).alias("p")
+    )
+    wo = Window.partitionBy("doc_id").orderBy("p")
+    gram = F.concat_ws(
+        " ", "tok",
+        F.lead("tok", 1).over(wo),
+        F.lead("tok", 2).over(wo),
+        F.lead("tok", 3).over(wo),
+    )
+    grams = (
+        seq.select(
+            "doc_id", "p", gram.alias("g"),
+            F.lead("tok", SUBSTR_K - 1).over(wo).alias("_tail"),
+        )
+        .filter(F.col("_tail").isNotNull())
+        .select("doc_id", "p", F.md5("g").alias("gh"))
+    )
+
+    fps = q_rolling_fingerprints(spark, sf_dir)
+    cand = (
+        fps.select(F.col("doc_id").alias("doc_a"), "fp")
+        .join(fps.select(F.col("doc_id").alias("doc_b"), "fp"), "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"), "gh")
+    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"), "gh")
+    matches = (
+        ga.join(gb, "gh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .join(cand, ["doc_a", "doc_b"], "left_semi")
+        .select("doc_a", "doc_b", "pa", "pb")
+    )
+
+    diag = (F.col("pa") - F.col("pb")).alias("diag")
+    wr = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = (
+        matches.select("doc_a", "doc_b", "pa", "pb", diag)
+        .withColumn("isl", F.col("pa") - F.row_number().over(wr))
+        .groupBy("doc_a", "doc_b", "diag", "isl")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            F.count(F.lit(1)).alias("run_len"),
+        )
+        .filter(F.col("run_len") >= SUBSTR_MIN_RUN)
+    )
+    return runs.select(
+        "doc_a", "doc_b", "start_a", "start_b",
+        (F.col("run_len") + F.lit(SUBSTR_K - 1)).alias("span_tokens"),
+    )
+
+
+ORACLES["substring_dup_spans"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
+),
+grams AS (
+  SELECT doc_id, i - 1 AS p,
+         md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]) AS gh
+  FROM toks, UNNEST(range(1, len(ts) - {SUBSTR_K - 2})) AS t(i)
+),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS pa, b.p AS pb
+  FROM grams a JOIN grams b USING (gh)
+  WHERE a.doc_id < b.doc_id
+),
+isl AS (
+  SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+         pa - ROW_NUMBER() OVER (
+           PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS isl
+  FROM m
+)
+SELECT doc_a, doc_b,
+       CAST(MIN(pa) AS BIGINT) AS start_a,
+       CAST(MIN(pb) AS BIGINT) AS start_b,
+       CAST(COUNT(*) + {SUBSTR_K - 1} AS BIGINT) AS span_tokens
+FROM isl
+GROUP BY doc_a, doc_b, diag, isl
+HAVING COUNT(*) >= {SUBSTR_MIN_RUN}
+"""
+
+
+# --- per-source curation scorecard -------------------------------------------
+
+def q_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality scorecard: the one-table artifact a curation run
+    ships, composing the already-green per-doc signals — quality gates
+    (Gopher rules), repetition units, benchmark-contamination flags, and
+    the char-LM perplexity band — over the TRAINING side of the corpus
+    (benchmark holdout docs, doc_id % BENCH_DOC_MOD == 0, excluded; the
+    char-LM model itself is trained on the full corpus, same as
+    ``char_lm_perplexity``).
+
+    Every output column is an exact integer (counts and 1e-4-unit /
+    whole-bit sums) — no floats anywhere in the hashed contract; consumers
+    derive means as sum/n.
+
+    Scale shape: each component is map-only or one bounded shuffle on
+    ``doc_id`` (shingle groupBy, broadcast bench-shingle join, the
+    char-LM broadcast-model dot product); the composition is a 4-way
+    co-keyed join on ``doc_id`` followed by ONE tiny agg on ``source`` —
+    nothing shuffles on anything wider than doc_id, and the scorecard
+    itself is sources-sized."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(_tokens_col()).cast("bigint").alias("n_tokens")
+    )
+    bench_ids = F.col("doc_id") % BENCH_DOC_MOD == 0
+
+    gates = q_quality_gates(spark, sf_dir).select("doc_id", "keep")
+    rep = q_repetition_ratio(spark, sf_dir).select(
+        "doc_id",
+        F.expr("(n_shingles - n_distinct) * 10000 DIV n_shingles")
+        .alias("rep_units"),
+    )
+    lm = q_char_lm_perplexity(spark, sf_dir).select("doc_id", "bpc_band")
+
+    sh = _shingle_df(spark, sf_dir)
+    bench_shingles = (
+        sh.filter(bench_ids).select("shingle").distinct()
+        .withColumn("in_bench", F.lit(1))
+    )
+    contam = (
+        sh.filter(~bench_ids)
+        .join(F.broadcast(bench_shingles), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce("in_bench", F.lit(0))).alias("n_overlap"),
+        )
+        .select(
+            "doc_id",
+            F.expr("n_overlap * 10000 DIV n_shingles").alias("overlap_units"),
+        )
+    )
+
+    base = (
+        docs.filter(~bench_ids)
+        .join(gates, "doc_id")
+        .join(rep, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .join(lm, "doc_id", "left")
+    )
+    return base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count_if(F.col("keep")).alias("n_kept"),
+        F.count_if(
+            F.coalesce("overlap_units", F.lit(0)) > F.lit(CONTAM_FLAG_UNITS)
+        ).alias("n_flagged_contam"),
+        F.sum(F.coalesce("rep_units", F.lit(0))).alias("sum_rep_units"),
+        F.count("rep_units").alias("n_with_shingles"),
+        F.sum(F.coalesce("bpc_band", F.lit(0))).alias("sum_bpc_band"),
+        F.count("bpc_band").alias("n_scored"),
+    )
+
+
+ORACLES["source_scorecard"] = f"""
+{CHAR_LM_MODEL_CTES},
+lm AS (
+  SELECT doc_id, CAST(FLOOR({CHAR_LM_UNBANDED_SQL}) AS BIGINT) AS bpc_band
+  FROM tf JOIN model USING (bg)
+  GROUP BY doc_id
+),
+{_DUCK_SHINGLE_CTE.strip()},
+bench AS (
+  SELECT DISTINCT shingle FROM shingles WHERE doc_id % {BENCH_DOC_MOD} = 0
+),
+contam AS (
+  SELECT s.doc_id,
+         (COUNT(*) FILTER (WHERE b.shingle IS NOT NULL)) * 10000 // COUNT(*)
+           AS overlap_units
+  FROM shingles s LEFT JOIN bench b ON s.shingle = b.shingle
+  WHERE s.doc_id % {BENCH_DOC_MOD} <> 0
+  GROUP BY s.doc_id
+),
+rep AS (
+  SELECT doc_id,
+         (COUNT(*) - COUNT(DISTINCT shingle)) * 10000 // COUNT(*)
+           AS rep_units
+  FROM (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM documents)
+  GROUP BY doc_id
+),
+gates AS (
+  SELECT doc_id,
+         CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens,
+         len({_DUCK_TOKENS}) >= {QG_MIN_TOKENS}
+           AND len({_DUCK_TOKENS}) <= {QG_MAX_TOKENS}
+           AND CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                    AS DOUBLE) / length(text) >= {QG_MIN_ALPHA}
+           AND len(list_filter(string_split(text, ' '),
+                   x -> x = 'the' OR x = 'a' OR x = 'of')) > 0 AS keep
+  FROM documents
+)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(g.n_tokens) AS BIGINT) AS total_tokens,
+       COUNT(*) FILTER (WHERE g.keep) AS n_kept,
+       COUNT(*) FILTER (WHERE COALESCE(c.overlap_units, 0)
+                              > {CONTAM_FLAG_UNITS}) AS n_flagged_contam,
+       CAST(SUM(COALESCE(r.rep_units, 0)) AS BIGINT) AS sum_rep_units,
+       COUNT(r.rep_units) AS n_with_shingles,
+       CAST(SUM(COALESCE(l.bpc_band, 0)) AS BIGINT) AS sum_bpc_band,
+       COUNT(l.bpc_band) AS n_scored
+FROM documents d
+JOIN gates g ON d.doc_id = g.doc_id
+LEFT JOIN rep r ON d.doc_id = r.doc_id
+LEFT JOIN contam c ON d.doc_id = c.doc_id
+LEFT JOIN lm l ON d.doc_id = l.doc_id
+WHERE d.doc_id % {BENCH_DOC_MOD} <> 0
+GROUP BY d.source
 """

@@ -37,82 +37,73 @@ _MODULES = [
 # (tests/test_oracle_parity.py, which runs ALL pairs) — not the official
 # record — decides what needs the window.
 QUERY_ORDER = [
-    # -- r6 rotation.  Priority 1: the round-5 red row, fixed this round
-    #    (checked score moved to a boundary-robust integer band) --
+    # -- r7 rotation.  Priority 1: the char-LM bisect trio (VERDICT r6
+    #    next-round #1) — the twice-red banded score, now whole-bit
+    #    banded, plus its two new divergence-localizing twins --
     "char_lm_perplexity",
-    # -- new in r6: mergeable Misra-Gries frequent-items summary, KLL
-    #    sketch-only quantile-drift decision, and the full streaming
-    #    profile table (HLL+Theta+KLL per day answering churn/drift
-    #    incrementally) --
-    "frequent_items_sketch",
-    "kll_quantile_drift",
-    "streaming_churn_profile",
-    "streaming_session_windows",
-    "contamination_score",
-    "shard_manifest",
-    "streaming_dedup_jittered",
-    # -- implementation changed in r6: CSV null-sentinel options
-    #    (formats.py) and the refactored snapshot commit (str/ev.py);
-    #    their r5 greens describe the old code --
-    "format_interchange",
-    "streaming_sketch_rollup",
-    # -- implementation refactored in r6 (shared _mg_ingest kernel):
-    #    their r5 greens describe the pre-refactor kernels --
-    "heavy_hitters",
-    "heavy_hitters_by_lang",
-    # -- the complete pre-r4 official-record backlog (2 r1 + 26 r2 + 7 r3
-    #    latest-checks; VERDICT r5 "What's missing" #1).  All local-parity
-    #    green today at sf0.001+sf0.01; this window clears every record
-    #    that predates round 4. --
-    "small_qty_revenue",
-    "tpch_q1",
-    "histogram_profile",
-    "idle_rich_customers",
-    "knn_cosine",
-    "label_centroids",
-    "lang_guess",
-    "minhash_lsh_pairs",
-    "mixture_resample",
-    "ngram_counts",
-    "pack_sequences",
-    "payload_dedup",
-    "payload_stats",
-    "pii_scrub",
-    "pivot_status_priority",
-    "quality_gates",
-    "referential_orphans",
-    "repetition_ratio",
-    "rolling_fingerprints",
-    "salted_hot_key_agg",
-    "source_mix",
-    "stratified_sample",
-    "text_quality",
-    "token_stats_by_lang",
-    "top_supplier_revenue",
-    "top_terms",
-    "train_val_split",
-    "vocab_growth",
-    "embedding_near_dup",
-    "embedding_near_dup_lsh",
-    "embedding_norm_stats",
-    "embedding_quant_codebook",
-    "exact_dedup_docs",
-    "fulfillment_lag",
-    "funnel_conversion",
-    # -- spare slots: oldest r4-record queries, keeping rotation cadence
-    #    (dup_ngram_coverage first — its r5 driver-bench number regressed
-    #    and a fresh record pins both correctness and timing) --
-    "dup_ngram_coverage",
-    # -- spans touched by r6 edits to streaming/events.py helpers
-    #    (window_audit flags their records untrustworthy) --
-    "streaming_cardinality_profile",
-    "streaming_enriched_counts",
-    # Below the 50-entry window (streaming_enriched_counts is the last
-    # in-window entry): everything else carries an r4 or r5 official
-    # green against current testdata and unchanged code.  scripts/window_audit.py
-    # tracks staleness; local parity re-verifies the full surface each
-    # session at sf0.001+sf0.01.
+    "char_lm_doc_counts",
+    "char_lm_model",
+    # -- new operators in r7: cross-doc duplicated-substring spans
+    #    (Lee et al. 2022-style), the per-source curation scorecard,
+    #    and the streaming profile-table retention compaction --
+    "substring_dup_spans",
+    "source_scorecard",
+    "streaming_profile_compaction",
+    # -- 44 of the 46 r4-aged official records (VERDICT r6 next-round
+    #    #2: no record should age past ~3 rounds).  All local-parity
+    #    green today; the remaining 2 r4 records (distinct_counts,
+    #    distinct_event_types — untouched single-shuffle distincts)
+    #    plus the 44 r5 records rotate in the r8 window. --
+    "activity_streaks",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "anomaly_zscore",
+    "anti_join_no_f_orders",
+    "approx_distinct_counts",
+    "approx_quantile_profile",
+    "attribution_asof",
+    "chunk_dedup",
+    "cohort_retention",
+    "corr_profile",
+    "cube_summary",
+    "customer_order_distribution",
+    "decontaminate_docs",
+    "dedup_first_lineitem",
+    "dedup_keep_best",
+    "disjunctive_revenue",
+    "doc_fingerprints",
+    "drift_compare",
+    "duplicate_clusters",
+    "error_context_join",
+    "grouped_drift_profile",
+    "incremental_dedup",
+    "key_skew_profile",
+    "mad_outlier_profile",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "normalize_text",
+    "profit_by_nation_year",
+    "psi_drift",
+    "scd2_priority_history",
+    "session_concurrency",
+    "simhash_near_dup_blocked",
+    "stateful_sessions",
+    "stats_profile",
+    "streaming_dedup_hourly",
+    "streaming_dq_profile",
+    "streaming_error_context",
+    "streaming_hourly_counts",
+    "topk_orders_per_priority",
+    "tpch_q10",
+    "tpch_q7",
+    "tpch_q8",
+    # Below the 50-entry window: everything else carries an r5 or r6
+    # official green against current testdata and unchanged code.
+    # scripts/window_audit.py tracks staleness; local parity re-verifies
+    # the full surface each session at sf0.001+sf0.01.
 ]
+
 
 
 def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:

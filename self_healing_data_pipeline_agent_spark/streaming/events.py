@@ -1272,3 +1272,133 @@ FROM j, horizon
 GROUP BY date_trunc('hour', ts), wm
 HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm
 """
+
+
+# --- profile-table retention compaction --------------------------------------
+
+# Day rows newer than this (relative to the table's max day) stay daily;
+# everything older merges into ISO-week rows.  7 keeps ~a week of daily
+# resolution over the ~30-day test stream — several multi-day weeks plus a
+# daily tail, so both branches of the compaction are exercised at every SF.
+PROFILE_RETAIN_DAYS = 7
+
+
+def streaming_profile_compaction(
+    spark: SparkSession, sf_dir: str, store_dir: str | None = None
+) -> DataFrame:
+    """Retention compaction for the streaming profile table — the
+    operation mergeable sketches exist to make possible (VERDICT r6 #7:
+    ``streaming_profile_table`` grows one row per day forever).
+
+    Day rows older than PROFILE_RETAIN_DAYS (relative to the table's own
+    max day — derived from the committed snapshot, no wall clock) are
+    union-merged into Monday-start week rows with the sketch-native
+    aggregates (``hll_union_agg`` / ``theta_union_agg`` /
+    ``kll_merge_agg_double``); newer rows pass through unchanged.  The
+    merge never touches raw history: a 100 TB stream's compaction reads
+    and writes only KB-sized sketch rows, one tiny groupBy on
+    (period_start, granularity).
+
+    Checked contract (exact or decision columns only, the X23 ring
+    convention): per period — days merged, Theta-exact distinct users
+    (weekly unions stay far inside the lgK=16 exact regime;
+    tripwire-asserted in tests/test_sketches.py), an HLL-vs-Theta
+    accuracy flag, and a KLL median rank audit against the day's raw
+    values (the sketch VALUE is never hashed — KLL past its exact regime
+    is randomized; rank contracts survive both the merge and the
+    at-least-once replay's uniform duplication)."""
+    from ..operators.sketches import (
+        HLL_REL_TOL,
+        KLL_RANK_EPS,
+        THETA_LG_K,
+    )
+    from ..sources.tables import load_table
+
+    store = streaming_profile_table(spark, sf_dir, store_dir)
+    maxd = store.agg(F.max("day").alias("maxd"))
+    old = F.col("day") <= F.date_sub(F.col("maxd"), PROFILE_RETAIN_DAYS)
+    keyed = store.crossJoin(F.broadcast(maxd)).select(
+        F.when(old, F.trunc("day", "week")).otherwise(F.col("day"))
+        .alias("period_start"),
+        F.when(old, F.lit("week")).otherwise(F.lit("day"))
+        .alias("granularity"),
+        "hll", "th", "kll",
+    )
+    compacted = keyed.groupBy("period_start", "granularity").agg(
+        F.count(F.lit(1)).alias("n_days_merged"),
+        F.hll_union_agg("hll").alias("hll"),
+        F.theta_union_agg("th", F.lit(THETA_LG_K)).alias("th"),
+        F.kll_merge_agg_double("kll").alias("kll"),
+    )
+    th_est = F.theta_sketch_estimate("th")
+    prof = compacted.select(
+        "period_start", "granularity", "n_days_merged",
+        th_est.cast("bigint").alias("n_users"),
+        (
+            F.abs(F.hll_sketch_estimate("hll") - th_est)
+            <= th_est * F.lit(HLL_REL_TOL)
+        ).alias("hll_ok"),
+        F.kll_sketch_get_quantile_double("kll", F.lit(0.5)).alias("_med"),
+    )
+    # audit-side rank check of the merged KLL median against raw values
+    # (production drops this scan; it is the correctness teeth here)
+    ev = load_table(spark, sf_dir, "events").crossJoin(F.broadcast(maxd))
+    ev_keyed = ev.select(
+        F.when(
+            F.to_date("ts") <= F.date_sub(F.col("maxd"), PROFILE_RETAIN_DAYS),
+            F.trunc(F.to_date("ts"), "week"),
+        ).otherwise(F.to_date("ts")).alias("period_start"),
+        "value",
+    )
+    ranks = (
+        ev_keyed.join(
+            F.broadcast(prof.select("period_start", "_med")), "period_start"
+        )
+        .groupBy("period_start")
+        .agg(
+            (
+                F.abs(
+                    F.avg((F.col("value") <= F.col("_med")).cast("double"))
+                    - F.lit(0.5)
+                )
+                <= F.lit(KLL_RANK_EPS)
+            ).alias("med_rank_ok")
+        )
+    )
+    return prof.join(ranks, "period_start").select(
+        "period_start", "granularity", "n_days_merged", "n_users",
+        "hll_ok", "med_rank_ok",
+    )
+
+
+def q_streaming_profile_compaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return streaming_profile_compaction(spark, sf_dir)
+
+
+# Exact oracle from raw events: the compaction keying applied analytically
+# (max day from the data), exact distinct users per period, and the two
+# decision columns at their oracle-exact values (TRUE — the accuracy /
+# rank contracts hold by construction; margins tripwired in
+# tests/test_sketches.py).  The stream replayed every event twice: Theta /
+# HLL idempotence and KLL rank-invariance under uniform duplication make
+# the compacted answers exact anyway.
+ORACLES["streaming_profile_compaction"] = f"""
+WITH maxd AS (SELECT MAX(CAST(ts AS DATE)) AS m FROM events),
+keyed AS (
+  SELECT CASE WHEN CAST(ts AS DATE) <= m - {PROFILE_RETAIN_DAYS}
+              THEN date_trunc('week', CAST(ts AS DATE))
+              ELSE CAST(ts AS DATE) END AS period_start,
+         CASE WHEN CAST(ts AS DATE) <= m - {PROFILE_RETAIN_DAYS}
+              THEN 'week' ELSE 'day' END AS granularity,
+         CAST(ts AS DATE) AS day, user_id
+  FROM events, maxd
+)
+SELECT period_start, granularity,
+       COUNT(DISTINCT day) AS n_days_merged,
+       COUNT(DISTINCT user_id) AS n_users,
+       TRUE AS hll_ok,
+       TRUE AS med_rank_ok
+FROM keyed GROUP BY period_start, granularity
+"""

@@ -448,3 +448,101 @@ GROUP BY doc_id
             f"bpc_band edge (first 3: {bad[:3]}) — the banded oracle is no "
             "longer boundary-robust; widen the band or adjust the model"
         )
+
+
+def test_char_lm_model_quantization_tripwire():
+    """One level below the band tripwire (VERDICT r6 next-round #1b): each
+    bigram TYPE's pre-floor quantization input ln(p)*1e6 must sit >=
+    CHAR_LM_MODEL_EDGE_EPS from its floor(y+0.5) rounding boundary (i.e.
+    |frac(y) - 0.5| >= eps) at all three SFs, so a driver-side libm whose
+    ln() differs by a few ulps can never flip an lp_units value.  Built
+    from the same shared CTE strings as the oracle."""
+    import math
+
+    import duckdb
+
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        CHAR_LM_MODEL_CTES,
+        CHAR_LM_MODEL_EDGE_EPS,
+        CHAR_LM_V,
+    )
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'/root/testdata/{sf}/documents.parquet'"
+        )
+        rows = con.sql(
+            f"{CHAR_LM_MODEL_CTES} "
+            f"SELECT bg, LN((cnt + 1.0) / (tot + {float(CHAR_LM_V)}))"
+            " * 1000000.0 AS y FROM bg_counts"
+            " JOIN c1_totals ON substr(bg, 1, 1) = c1"
+        ).fetchall()
+        con.close()
+        assert rows, f"{sf}: empty model"
+        bad = [
+            (bg, y)
+            for bg, y in rows
+            if abs((y - math.floor(y)) - 0.5) < CHAR_LM_MODEL_EDGE_EPS
+        ]
+        assert not bad, (
+            f"{sf}: {len(bad)} bigram types within {CHAR_LM_MODEL_EDGE_EPS} "
+            f"of the lp_units rounding boundary (first 3: {bad[:3]})"
+        )
+
+
+def test_char_lm_corpus_is_pure_ascii():
+    """The char-LM normalization (`lower` + regex class) is only
+    engine/ICU-version-proof on ASCII input; _char_lm_tf_df's docstring
+    relies on this holding for the test corpus.  Fail loudly if a future
+    testdata drop introduces non-ASCII, uppercase-beyond-ASCII, or NULL
+    text so the normalization gets hardened BEFORE the driver hash can
+    silently diverge."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        con = duckdb.connect()
+        n_bad, n_null = con.sql(
+            "SELECT sum(CASE WHEN regexp_matches(text, '[^\\x20-\\x7E]')"
+            " THEN 1 ELSE 0 END),"
+            " sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)"
+            f" FROM '/root/testdata/{sf}/documents.parquet'"
+        ).fetchone()
+        con.close()
+        assert not n_bad and not n_null, (
+            f"{sf}: {n_bad} docs with non-printable-ASCII text, {n_null} "
+            "NULL — harden the char-LM normalization before trusting the "
+            "cross-engine hash"
+        )
+
+
+def test_substring_dup_spans_fixture(spark, tmp_path):
+    """Hand-built corpus pinning the exact-substring-run semantics AND the
+    winnowed-candidate prefilter's losslessness at its boundary: an
+    exactly-SUBSTR_MIN_SPAN-token shared prefix must be reported with
+    exact 0-based starts; a 7-token overlap (>= the 6-token winnowing
+    guarantee, so the pair IS a candidate) must be dropped by the run
+    filter, not the prefilter."""
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        SUBSTR_MIN_SPAN,
+        q_substring_dup_spans,
+    )
+
+    assert SUBSTR_MIN_SPAN == 8  # fixture texts encode this boundary
+    shared8 = "w1 w2 w3 w4 w5 w6 w7 w8"
+    shared7 = "p1 p2 p3 p4 p5 p6 p7"
+    docs = [
+        (1, shared8 + " x1 x2 x3 x4"),
+        (2, shared8 + " y1 y2 y3 y4"),
+        (3, shared7 + " q1 q2 q3 q4 q5"),
+        (4, shared7 + " r1 r2 r3 r4 r5"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = q_substring_dup_spans(spark, str(tmp_path)).collect()
+    got = {
+        (r.doc_a, r.doc_b, r.start_a, r.start_b, r.span_tokens) for r in rows
+    }
+    assert got == {(1, 2, 0, 0, 8)}

@@ -518,3 +518,104 @@ def test_session_tmpdir_cleaned_at_interpreter_exit():
     d = out.stdout.strip().splitlines()[-1]
     assert d.startswith("/tmp")
     assert not os.path.exists(d), f"{d} survived interpreter exit"
+
+
+def test_session_window_watermark_margin_tripwire():
+    """ADVICE r6: streaming_session_windows' append-mode oracle emits
+    sessions with last_event + gap <= max_ts - watermark; a session end
+    landing EXACTLY on the watermark would make Spark's eviction boundary
+    the tie-breaker.  Assert no session's (last_event + gap) coincides
+    with the watermark at any test SF — same pattern as the KLL margin
+    tripwires: the tie stays a latent impossibility, verified per data
+    drop rather than assumed."""
+    import duckdb
+
+    from self_healing_data_pipeline_agent_spark.streaming.events import (
+        SESSION_GAP_MICROS,
+    )
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"'/root/testdata/{sf}/events.parquet'"
+        )
+        (n_exact,) = con.sql(f"""
+            WITH flagged AS (
+              SELECT user_id, ts,
+                     CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                            OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                               > {SESSION_GAP_MICROS}
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), numbered AS (
+              SELECT user_id, ts,
+                     SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM flagged
+            ), horizon AS (
+              SELECT epoch_us(MAX(ts)) - 7200000000 AS wm_us FROM events
+            )
+            SELECT COUNT(*) FROM (
+              SELECT MAX(epoch_us(ts)) + {SESSION_GAP_MICROS} AS end_us
+              FROM numbered GROUP BY user_id, session_id
+            ), horizon WHERE end_us = wm_us
+        """).fetchone()
+        con.close()
+        assert n_exact == 0, (
+            f"{sf}: {n_exact} sessions end exactly on the watermark — the "
+            "append-mode emission boundary is now a cross-engine tie"
+        )
+
+
+def test_profile_compaction_structure_and_exact_regime():
+    """streaming_profile_compaction: (a) the compaction actually merges —
+    week rows exist and at least one merges multiple days; (b) the daily
+    tail is intact (max PROFILE_RETAIN_DAYS day rows, none older than the
+    cutoff); (c) every compacted period's exact distinct-user cardinality
+    sits far inside the Theta lgK=16 exact regime, so the hashed
+    ``n_users`` can never drift into estimation.  DuckDB-side on raw
+    events — the cardinality bound is a property of the data, not the
+    engine."""
+    import duckdb
+
+    from self_healing_data_pipeline_agent_spark.operators.sketches import (
+        THETA_LG_K,
+    )
+    from self_healing_data_pipeline_agent_spark.streaming.events import (
+        PROFILE_RETAIN_DAYS,
+    )
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"'/root/testdata/{sf}/events.parquet'"
+        )
+        rows = con.sql(f"""
+            WITH maxd AS (SELECT MAX(CAST(ts AS DATE)) AS m FROM events)
+            SELECT CASE WHEN CAST(ts AS DATE) <= m - {PROFILE_RETAIN_DAYS}
+                        THEN date_trunc('week', CAST(ts AS DATE))
+                        ELSE CAST(ts AS DATE) END AS period_start,
+                   CASE WHEN CAST(ts AS DATE) <= m - {PROFILE_RETAIN_DAYS}
+                        THEN 'week' ELSE 'day' END AS granularity,
+                   COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events, maxd
+            GROUP BY 1, 2
+        """).fetchall()
+        con.close()
+        weeks = [r for r in rows if r[1] == "week"]
+        days = [r for r in rows if r[1] == "day"]
+        assert weeks, f"{sf}: no week rows — compaction untested"
+        assert any(r[2] > 1 for r in weeks), f"{sf}: no multi-day week"
+        assert len(days) <= PROFILE_RETAIN_DAYS, f"{sf}: daily tail too long"
+        cap = 2 ** THETA_LG_K // 2  # half-nominal: sampling nowhere near
+        for r in rows:
+            assert r[3] < cap, (
+                f"{sf}: period {r[0]} has {r[3]} users — approaching the "
+                "Theta exact regime bound; the hashed n_users contract "
+                "needs re-examination"
+            )

@@ -117,19 +117,32 @@ def test_bench_result_line_queries_survive_tail_truncation():
         duck_total=99999.999, ratio=999.999,
     )
     # the ENTIRE line fits in the 2000-char tail: queries (last key) and
-    # value (first) both survive
-    assert len(line) <= 2000, f"bench line {len(line)} chars > 2000 tail"
+    # value (first) both survive.  All values tie here, so the TOP_K
+    # tie-break selects names deterministically (asc) — but the length
+    # guarantee must hold for ANY name subset, so demand real headroom
+    # (>= ~5 more 30-char worst-case entries).
+    assert len(line) <= 2000 - 150, f"bench line {len(line)} chars"
     parsed = json.loads(line)
-    assert parsed["queries"] == {n: 999.99 for n in timings}
     assert list(parsed)[-1] == "queries"
     assert parsed["value"] == 99999.999
-    # and an ordinary sub-1000s value is NOT altered beyond rounding
-    ordinary = dict(timings, tpch_q1=1.234)
+    assert len(parsed["queries"]) == min(bench.TOP_K, len(timings))
+    assert all(v == 999.99 for v in parsed["queries"].values())
+    # the fold-away remainder is fully accounted for
+    assert parsed["oq_n"] == len(timings) - len(parsed["queries"])
+    assert parsed["n_queries"] == len(timings)
+    # and an ordinary sub-1000s value is NOT altered beyond rounding;
+    # expensive queries always make the TOP_K cut
+    ordinary = {n: 0.1 for n in bench.HEADLINE}
+    ordinary["tpch_q1"] = 1.234
     line2 = bench._result_line(
         total=99999.999, sf=0.1, timings=ordinary, noisy=[], errors=[],
         duck_total=99999.999, ratio=999.999,
     )
-    assert json.loads(line2)["queries"]["tpch_q1"] == 1.23
+    parsed2 = json.loads(line2)
+    assert parsed2["queries"]["tpch_q1"] == 1.23
+    assert abs(
+        parsed2["oq_sum"] - 0.1 * parsed2["oq_n"]
+    ) < 0.01 * parsed2["oq_n"] + 1e-6
 
 
 def test_bench_duckdb_guard_survives_setup_failure(monkeypatch):
