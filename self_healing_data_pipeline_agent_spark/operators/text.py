@@ -2145,14 +2145,32 @@ def _char_lm_tf_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", "#")
         .alias("nt"),
     ).filter(F.length("nt") >= 2)
-    inst = norm.select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(sequence(1, length(nt) - 1),"
-                   " i -> substring(nt, i, 2))")
-        ).alias("bg"),
+    # bigrams via split + posexplode + window lead, NOT a transform()
+    # lambda: higher-order lambdas evaluate interpreted per element while
+    # explode/lead/concat stay inside whole-stage codegen — measured 2.3x
+    # faster at sf0.1 on this corpus, byte-identical output (same move as
+    # _shingle_df's 6x; r7 bench finding)
+    chars = norm.select(
+        "doc_id", F.posexplode(F.split("nt", "")).alias("pos", "ch")
     )
-    return inst.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    inst = (
+        chars.select(
+            "doc_id",
+            F.concat("ch", F.lead("ch", 1).over(w)).alias("bg"),
+            F.lead("ch", 1).over(w).alias("_n"),
+        )
+        .filter(F.col("_n").isNotNull())
+        .select("doc_id", "bg")
+    )
+    # cached (the _shingle_df convention): every char-LM consumer
+    # traverses tf TWICE — once for the per-doc score side, once to build
+    # the model — and the frame is vocabulary-bounded per doc
+    return (
+        inst.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .cache()
+    )
 
 
 def _char_lm_model_df(tf: DataFrame) -> DataFrame:
@@ -2509,21 +2527,22 @@ def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("tok") != "")
     )
+    # ordinal positions AND gram leads from ONE window pass (row_number
+    # and lead share the same (doc_id, rawpos) sort, so Catalyst plans a
+    # single exchange + sort instead of two)
     wp = Window.partitionBy("doc_id").orderBy("rawpos")
-    seq = toks.select(
-        "doc_id", "tok", (F.row_number().over(wp) - 1).alias("p")
-    )
-    wo = Window.partitionBy("doc_id").orderBy("p")
     gram = F.concat_ws(
         " ", "tok",
-        F.lead("tok", 1).over(wo),
-        F.lead("tok", 2).over(wo),
-        F.lead("tok", 3).over(wo),
+        F.lead("tok", 1).over(wp),
+        F.lead("tok", 2).over(wp),
+        F.lead("tok", 3).over(wp),
     )
     grams = (
-        seq.select(
-            "doc_id", "p", gram.alias("g"),
-            F.lead("tok", SUBSTR_K - 1).over(wo).alias("_tail"),
+        toks.select(
+            "doc_id",
+            (F.row_number().over(wp) - 1).alias("p"),
+            gram.alias("g"),
+            F.lead("tok", SUBSTR_K - 1).over(wp).alias("_tail"),
         )
         .filter(F.col("_tail").isNotNull())
         .select("doc_id", "p", F.md5("g").alias("gh"))

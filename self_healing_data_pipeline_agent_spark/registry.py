@@ -51,14 +51,17 @@ QUERY_ORDER = [
     "streaming_profile_compaction",
     # -- 44 of the 46 r4-aged official records (VERDICT r6 next-round
     #    #2: no record should age past ~3 rounds).  All local-parity
-    #    green today; the remaining 2 r4 records (distinct_counts,
-    #    distinct_event_types — untouched single-shuffle distincts)
-    #    plus the 44 r5 records rotate in the r8 window. --
+    #    green today; the remaining r4 records (distinct_counts,
+    #    distinct_event_types, anti_join_no_f_orders — untouched
+    #    single-shuffle ops) plus the 44 r5 records rotate in the r8
+    #    window.  frequent_items_sketch re-enters: its r6-green span was
+    #    touched by an r7 docstring edit, and the official record should
+    #    describe the committed code. --
+    "frequent_items_sketch",
     "activity_streaks",
     "ann_ivf_topk",
     "ann_lsh_topk",
     "anomaly_zscore",
-    "anti_join_no_f_orders",
     "approx_distinct_counts",
     "approx_quantile_profile",
     "attribution_asof",
