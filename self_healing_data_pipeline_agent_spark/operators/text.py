@@ -2744,3 +2744,103 @@ LEFT JOIN lm l ON d.doc_id = l.doc_id
 WHERE d.doc_id % {BENCH_DOC_MOD} <> 0
 GROUP BY d.source
 """
+
+
+def q_substring_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-token coverage — the REMOVAL artifact of
+    the ExactSubstr ring: for each doc, how many of its tokens sit inside
+    at least one cross-doc duplicated span (``q_substring_dup_spans``,
+    either side), as exact token counts plus a 1e-4-unit integer fraction
+    (the dup_ngram_coverage convention).  Lee et al. 2022 cut exactly
+    these ranges out of the training corpus; this is the decision table
+    that drives the cut.
+
+    Scale shape: spans are pair-count-sized (far below corpus scale);
+    the interval union per doc is one window (running max-end over spans
+    sorted by start — islands) plus two doc-keyed aggs, then a left join
+    back to the docs table.  Nothing here re-touches raw text except the
+    final per-doc token count, which is a map-side projection."""
+    spans = q_substring_dup_spans(spark, sf_dir)
+    sides = (
+        spans.select(
+            F.col("doc_a").alias("doc_id"),
+            F.col("start_a").alias("s"),
+            (F.col("start_a") + F.col("span_tokens")).alias("e"),
+        )
+        .unionByName(
+            spans.select(
+                F.col("doc_b").alias("doc_id"),
+                F.col("start_b").alias("s"),
+                (F.col("start_b") + F.col("span_tokens")).alias("e"),
+            )
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = sides.select(
+        "doc_id", "s", "e",
+        F.when(
+            prev_max_e.isNull() | (F.col("s") > prev_max_e), F.lit(1)
+        ).otherwise(F.lit(0)).alias("ni"),
+    )
+    numbered = marked.select(
+        "doc_id", "s", "e",
+        F.sum("ni").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("isl"),
+    )
+    cov = (
+        numbered.groupBy("doc_id", "isl")
+        .agg((F.max("e") - F.min("s")).alias("ext"))
+        .groupBy("doc_id")
+        .agg(F.sum("ext").alias("dup_tokens"))
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(_tokens_col()).cast("bigint").alias("n_tokens")
+    ).filter(F.col("n_tokens") >= 1)
+    return docs.join(cov, "doc_id", "left").select(
+        "doc_id", "n_tokens",
+        F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+        F.expr("coalesce(dup_tokens, 0) * 10000 DIV n_tokens")
+        .alias("cov_units"),
+    )
+
+
+ORACLES["substring_dup_coverage"] = f"""
+WITH spans AS ({ORACLES["substring_dup_spans"]}),
+sides AS (
+  SELECT doc_a AS doc_id, start_a AS s, start_a + span_tokens AS e FROM spans
+  UNION
+  SELECT doc_b, start_b, start_b + span_tokens FROM spans
+),
+marked AS (
+  SELECT doc_id, s, e,
+         CASE WHEN MAX(e) OVER (
+                PARTITION BY doc_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR s > MAX(e) OVER (
+                PARTITION BY doc_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS ni
+  FROM sides
+),
+numbered AS (
+  SELECT doc_id, s, e,
+         SUM(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+                       ROWS UNBOUNDED PRECEDING) AS isl
+  FROM marked
+),
+cov AS (
+  SELECT doc_id, CAST(SUM(ext) AS BIGINT) AS dup_tokens
+  FROM (SELECT doc_id, isl, MAX(e) - MIN(s) AS ext
+        FROM numbered GROUP BY doc_id, isl)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, d.n_tokens,
+       COALESCE(c.dup_tokens, 0) AS dup_tokens,
+       COALESCE(c.dup_tokens, 0) * 10000 // d.n_tokens AS cov_units
+FROM (SELECT doc_id, CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens
+      FROM documents) d
+LEFT JOIN cov c ON d.doc_id = c.doc_id
+WHERE d.n_tokens >= 1
+"""

@@ -47,12 +47,14 @@ QUERY_ORDER = [
     #    (Lee et al. 2022-style), the per-source curation scorecard,
     #    and the streaming profile-table retention compaction --
     "substring_dup_spans",
+    "substring_dup_coverage",
     "source_scorecard",
     "streaming_profile_compaction",
     # -- 44 of the 46 r4-aged official records (VERDICT r6 next-round
     #    #2: no record should age past ~3 rounds).  All local-parity
     #    green today; the remaining r4 records (distinct_counts,
-    #    distinct_event_types, anti_join_no_f_orders — untouched
+    #    distinct_event_types, anti_join_no_f_orders,
+    #    approx_distinct_counts — untouched
     #    single-shuffle ops) plus the 44 r5 records rotate in the r8
     #    window.  frequent_items_sketch re-enters: its r6-green span was
     #    touched by an r7 docstring edit, and the official record should
@@ -62,7 +64,6 @@ QUERY_ORDER = [
     "ann_ivf_topk",
     "ann_lsh_topk",
     "anomaly_zscore",
-    "approx_distinct_counts",
     "approx_quantile_profile",
     "attribution_asof",
     "chunk_dedup",
