@@ -108,8 +108,10 @@ HEADLINE = [
     # streaming_profile_compaction is excluded like the other streaming
     # rows: a bench row would time stream staging, not the operator.
     "substring_dup_spans",
+    "substring_dup_coverage",
     "source_scorecard",
     "char_lm_perplexity",
+    "ann_int8_rerank",
 ]
 
 

@@ -658,3 +658,162 @@ SELECT s.vec_id, s.cell,
        dup_of
 FROM assign s LEFT JOIN dups ON s.vec_id = vid
 """
+
+
+# --- SQ8 asymmetric-distance ANN (quantized score + exact rerank) ------------
+
+# Candidate pool per query scored against RECONSTRUCTED (int8-quantized)
+# vectors before the exact rerank.  4x TOP_K: generous enough that the
+# quantization error (<= scale/2 per dim) cannot push a true top-k
+# neighbor out of the pool on this corpus — asserted by the recall test.
+SQ8_CANDIDATES = 20
+
+
+def q_ann_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 scale path #3: serve ANN from INT8-quantized vectors (the
+    ``embedding_quant_codebook`` parameters) with full-precision queries —
+    FAISS's SQ8 + asymmetric-distance recipe.  The memory story at 100 TB:
+    the scan side holds 1-byte codes (4x smaller, 4x more of the corpus in
+    page cache); only the SQ8_CANDIDATES-per-query pool is reranked
+    against full-precision vectors.
+
+    Determinism: quantize/reconstruct is per-element arithmetic
+    (code = clamp(floor((v - mn)/scale + 0.5), 0, 255), recon = mn +
+    code*scale) and every dot product is a sequential left-fold
+    (``zip_with``/``aggregate`` = DuckDB ``list_dot_product`` — the
+    knn_cosine bit-compatibility contract), so approximate scores, the
+    candidate cut (score desc, id asc) and the exact reranked ``cosine``
+    are all engine-identical bits.
+
+    Plan shape: the 64-row codebook aggregates into ONE row of
+    (mns, scales) arrays — broadcast, never collected; queries broadcast;
+    the corpus is scanned once to score codes; the rerank joins only
+    Q x SQ8_CANDIDATES rows back to full vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(F.posexplode("embedding").alias("dim", "v"))
+    agg = exploded.groupBy("dim").agg(
+        F.min(F.col("v").cast("double")).alias("mn"),
+        F.max(F.col("v").cast("double")).alias("mx"),
+    )
+    cb = agg.agg(
+        F.array_sort(F.collect_list(F.struct("dim", "mn", "mx"))).alias("cb")
+    ).select(
+        F.transform("cb", lambda s: s.mn).alias("mns"),
+        F.transform("cb", lambda s: (s.mx - s.mn) / F.lit(255.0))
+        .alias("scales"),
+    )
+
+    def _recon(v, i):
+        mn = F.element_at("mns", i + F.lit(1))
+        sc = F.element_at("scales", i + F.lit(1))
+        code = F.least(
+            F.greatest(
+                F.floor((v.cast("double") - mn) / sc + F.lit(0.5)), F.lit(0.0)
+            ),
+            F.lit(255.0),
+        )
+        return F.when(sc > 0, mn + code * sc).otherwise(mn)
+
+    recon = emb.crossJoin(F.broadcast(cb)).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.transform("embedding", _recon).alias("r"),
+    ).select(
+        "neighbor_id", "r", l2_norm(F.col("r")).alias("r_norm")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_norm"),
+    )
+    ascore = dot(F.col("q_emb"), F.col("r")) / (
+        F.col("q_norm") * F.col("r_norm")
+    )
+    cand = (
+        F.broadcast(q)
+        .join(recon, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", ascore.alias("ascore"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("ascore"), F.asc("neighbor_id")
+    )
+    pool = (
+        cand.withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") <= SQ8_CANDIDATES)
+        .select("query_id", "neighbor_id")
+    )
+    qa = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    ca = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
+    exact = (
+        pool.join(F.broadcast(qa), "query_id")
+        .join(ca, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            (dot(F.col("qe"), F.col("ce"))
+             / (l2_norm(F.col("qe")) * l2_norm(F.col("ce")))).alias("cosine"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id", F.col("rn").cast("bigint").alias("rn"),
+            "neighbor_id", "cosine",
+        )
+    )
+
+
+ORACLES["ann_int8_rerank"] = f"""
+WITH exploded AS (
+  SELECT g.pos AS dim, CAST(embedding[g.pos + 1] AS DOUBLE) AS v
+  FROM embeddings, generate_series(0, 63) AS g(pos)
+),
+agg AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM exploded GROUP BY dim),
+cb AS (
+  SELECT list(mn ORDER BY dim) AS mns,
+         list((mx - mn) / 255.0 ORDER BY dim) AS scales
+  FROM agg
+),
+recon AS (
+  SELECT vec_id AS neighbor_id,
+         list_transform(CAST(embedding AS DOUBLE[]), (v, i) ->
+           CASE WHEN scales[i] > 0
+                THEN mns[i] + LEAST(GREATEST(FLOOR((v - mns[i]) / scales[i]
+                                                  + 0.5), 0.0), 255.0)
+                     * scales[i]
+                ELSE mns[i] END) AS r
+  FROM embeddings, cb
+),
+cand AS (
+  SELECT a.vec_id AS query_id, b.neighbor_id,
+         list_dot_product(CAST(a.embedding AS DOUBLE[]), b.r)
+         / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(a.embedding AS DOUBLE[])))
+            * SQRT(list_dot_product(b.r, b.r))) AS ascore
+  FROM embeddings a JOIN recon b ON a.vec_id <> b.neighbor_id
+  WHERE a.vec_id < {N_QUERY_VECS}
+),
+pool AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY ascore DESC, neighbor_id ASC) AS crn
+    FROM cand
+  ) WHERE crn <= {SQ8_CANDIDATES}
+)
+SELECT query_id, rn, neighbor_id, cosine FROM (
+  SELECT p.query_id, p.neighbor_id, {_DUCK_COS} AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY p.query_id
+                            ORDER BY {_DUCK_COS} DESC, p.neighbor_id ASC)
+           AS rn
+  FROM pool p
+  JOIN embeddings a ON a.vec_id = p.query_id
+  JOIN embeddings b ON b.vec_id = p.neighbor_id
+) WHERE rn <= {TOP_K}
+"""

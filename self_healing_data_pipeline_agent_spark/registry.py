@@ -50,18 +50,18 @@ QUERY_ORDER = [
     "substring_dup_coverage",
     "source_scorecard",
     "streaming_profile_compaction",
+    "ann_int8_rerank",
     # -- 44 of the 46 r4-aged official records (VERDICT r6 next-round
     #    #2: no record should age past ~3 rounds).  All local-parity
     #    green today; the remaining r4 records (distinct_counts,
     #    distinct_event_types, anti_join_no_f_orders,
-    #    approx_distinct_counts — untouched
+    #    approx_distinct_counts, ann_ivf_topk — untouched
     #    single-shuffle ops) plus the 44 r5 records rotate in the r8
     #    window.  frequent_items_sketch re-enters: its r6-green span was
     #    touched by an r7 docstring edit, and the official record should
     #    describe the committed code. --
     "frequent_items_sketch",
     "activity_streaks",
-    "ann_ivf_topk",
     "ann_lsh_topk",
     "anomaly_zscore",
     "approx_quantile_profile",

@@ -546,3 +546,28 @@ def test_substring_dup_spans_fixture(spark, tmp_path):
         (r.doc_a, r.doc_b, r.start_a, r.start_b, r.span_tokens) for r in rows
     }
     assert got == {(1, 2, 0, 0, 8)}
+
+
+def test_sq8_rerank_recall_vs_exact(spark, sf_dir):
+    """SQ8 + asymmetric distance with a 4x-top-k rerank pool must recover
+    (essentially) the exact top-k on this corpus — int8 reconstruction
+    error is <= scale/2 per dim, far below the cosine gaps between true
+    neighbors here.  Shared pairs must carry identical cosine bits
+    (the rerank is exact)."""
+    from self_healing_data_pipeline_agent_spark.operators.similarity import (
+        q_ann_int8_rerank,
+    )
+
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in q_knn_cosine(spark, sf_dir).collect()
+    }
+    sq8 = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in q_ann_int8_rerank(spark, sf_dir).collect()
+    }
+    assert sq8, "SQ8 rerank returned nothing"
+    recall = len(set(exact) & set(sq8)) / len(exact)
+    assert recall > 0.9, f"recall {recall:.2f} — quantization pool too lossy"
+    for pair in set(exact) & set(sq8):
+        assert sq8[pair] == exact[pair]
