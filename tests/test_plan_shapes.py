@@ -547,3 +547,48 @@ def test_shard_manifest_no_global_sort(spark, sf_dir):
     plan = formatted_plan(q_shard_manifest(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SinglePartition" not in plan
+
+
+def test_substring_dup_spans_semi_join_and_equi_grams(spark, sf_dir):
+    """The candidate prefilter must plan as a LEFT SEMI join (the
+    pair-generation prune) and the gram-posting join must be an
+    equi-hash-join on the gram hash — a nested-loop/cartesian here is the
+    all-pairs blowup the winnowed prefilter exists to prevent."""
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        q_substring_dup_spans,
+    )
+
+    plan = formatted_plan(q_substring_dup_spans(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_source_scorecard_broadcasts_small_sides(spark, sf_dir):
+    """The scorecard's composition must broadcast the bench-shingle set
+    and the char-LM model; the doc_id-keyed signal joins may shuffle (all
+    co-keyed), but nothing may nested-loop."""
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        q_source_scorecard,
+    )
+
+    plan = formatted_plan(q_source_scorecard(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_int8_rerank_broadcasts_queries_and_codebook(spark, sf_dir):
+    """The SQ8 scan must stream the corpus once against BROADCAST queries
+    and a BROADCAST one-row codebook; the only wide exchange allowed is
+    the per-query top-k window."""
+    from self_healing_data_pipeline_agent_spark.operators.similarity import (
+        q_ann_int8_rerank,
+    )
+
+    df = q_ann_int8_rerank(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # codebook + query broadcasts: at least two broadcast exchanges
+    assert plan.count("BroadcastExchange") >= 2
