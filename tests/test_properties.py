@@ -390,3 +390,66 @@ def test_mg_summary_merge_guarantee_property(data, cap):
         est = counters.get(term, 0)
         assert est <= freq
         assert freq - est <= dec
+
+
+def _brute_dup_spans(docs: dict[int, list[str]], k: int, min_run: int):
+    """Reference implementation of substring_dup_spans: every maximal run
+    of consecutive equal k-grams per doc pair, O(pairs * positions^2) —
+    correct by inspection, usable only on toy corpora."""
+    grams = {
+        d: [tuple(t[i:i + k]) for i in range(len(t) - k + 1)]
+        for d, t in docs.items()
+    }
+    out = set()
+    ids = sorted(grams)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            ga, gb = grams[a], grams[b]
+            matched = {
+                (i, j)
+                for i in range(len(ga))
+                for j in range(len(gb))
+                if ga[i] == gb[j]
+            }
+            for (i, j) in matched:
+                if (i - 1, j - 1) in matched:
+                    continue  # not a run start
+                run = 0
+                while (i + run, j + run) in matched:
+                    run += 1
+                if run >= min_run:
+                    out.add((a, b, i, j, run + k - 1))
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.data())
+def test_substring_dup_spans_matches_bruteforce(spark, tmp_path_factory, data):
+    """Engine-independent teeth for the ExactSubstr query: on random toy
+    corpora (tiny vocabulary forces collisions, shared runs, multiple
+    diagonals and within-doc repeats), the Spark pipeline — INCLUDING the
+    winnowed-fingerprint candidate prefilter — must emit exactly the
+    brute-force maximal-run set."""
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        SUBSTR_K,
+        SUBSTR_MIN_RUN,
+        q_substring_dup_spans,
+    )
+
+    tok = st.sampled_from(["a", "b", "c"])
+    docs = {
+        d: data.draw(st.lists(tok, min_size=6, max_size=28))
+        for d in range(1, data.draw(st.integers(3, 5)) + 1)
+    }
+    expected = _brute_dup_spans(docs, SUBSTR_K, SUBSTR_MIN_RUN)
+    d = tmp_path_factory.mktemp("substr")
+    spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs.items()],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    got = {
+        (r.doc_a, r.doc_b, r.start_a, r.start_b, r.span_tokens)
+        for r in q_substring_dup_spans(spark, str(d)).collect()
+    }
+    assert got == expected
