@@ -741,7 +741,7 @@ def q_ann_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("crn") <= SQ8_CANDIDATES)
         .select("query_id", "neighbor_id")
     )
-    qa = emb.select(
+    qa = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     ca = emb.select(

@@ -2249,7 +2249,7 @@ def q_char_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized to integer 1e-6 units, so the per-doc sum is an exact BIGINT
     dot product tf * lp_units — order-independent under any partitioning.
     The checked columns are the exact ``doc_id``/``n_bigrams`` and the
-    integer deci-bit band ``bpc_band`` (see CHAR_LM_BAND_PER_BIT above);
+    integer whole-bit band ``bpc_band`` (see CHAR_LM_BAND_PER_BIT above);
     the unbanded 6-dp float is deliberately NOT part of the hashed
     contract after the round-5 driver divergence."""
     tf = _char_lm_tf_df(spark, sf_dir)
@@ -2390,12 +2390,16 @@ def q_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLES["contamination_score"] = f"""
-WITH {_DUCK_SHINGLE_CTE},
+# Shared contamination CTE block (r7 review: ONE definition of the
+# bench-shingle set, the per-doc 1e-4-unit overlap quantization and the
+# per-source rollup, consumed by BOTH the contamination_score and
+# source_scorecard oracles so the BENCH_DOC_MOD / quantization semantics
+# cannot silently diverge between frozen copies).
+DUCK_CONTAM_CTES = f"""{_DUCK_SHINGLE_CTE},
 bench AS (
   SELECT DISTINCT shingle FROM shingles WHERE doc_id % {BENCH_DOC_MOD} = 0
 ),
-per_doc AS (
+contam_per_doc AS (
   SELECT s.doc_id,
          COUNT(*) AS n_shingles,
          COUNT(*) FILTER (WHERE b.shingle IS NOT NULL) AS n_overlap,
@@ -2404,17 +2408,22 @@ per_doc AS (
   FROM shingles s LEFT JOIN bench b ON s.shingle = b.shingle
   WHERE s.doc_id % {BENCH_DOC_MOD} <> 0
   GROUP BY s.doc_id
-)
-SELECT d.source,
-       COUNT(*) AS n_docs,
-       CAST(CAST(SUM(overlap_units) AS BIGINT) AS DOUBLE)
-         / (10000.0 * COUNT(*)) AS avg_overlap,
-       COUNT(*) FILTER (WHERE overlap_units > {CONTAM_FLAG_UNITS})
-         AS n_flagged
-FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
-GROUP BY d.source
-"""
+),
+contam_by_source AS (
+  SELECT d.source,
+         COUNT(*) AS n_docs,
+         CAST(CAST(SUM(overlap_units) AS BIGINT) AS DOUBLE)
+           / (10000.0 * COUNT(*)) AS avg_overlap,
+         COUNT(*) FILTER (WHERE overlap_units > {CONTAM_FLAG_UNITS})
+           AS n_flagged
+  FROM contam_per_doc p JOIN documents d ON p.doc_id = d.doc_id
+  GROUP BY d.source
+)"""
 
+ORACLES["contamination_score"] = f"""
+WITH {DUCK_CONTAM_CTES}
+SELECT source, n_docs, avg_overlap, n_flagged FROM contam_by_source
+"""
 
 # --- deterministic corpus shuffle into shards --------------------------------
 
@@ -2557,8 +2566,27 @@ def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"), "gh")
-    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"), "gh")
+    # doc-level semi prune BEFORE the gram join (r7 review finding): the
+    # pair-level semi join spans both sides of the gh join, so Catalyst
+    # cannot push it below — without these, one hot gram across N
+    # non-candidate docs still materializes O(N^2) match rows.  Filtering
+    # each posting side to docs that appear in ANY candidate pair keeps
+    # the inverted-index join on the winnowed candidate universe; the
+    # pair-level semi after it remains the exact filter.
+    ga = (
+        grams.join(
+            cand.select(F.col("doc_a").alias("doc_id")).distinct(),
+            "doc_id", "left_semi",
+        )
+        .select(F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"), "gh")
+    )
+    gb = (
+        grams.join(
+            cand.select(F.col("doc_b").alias("doc_id")).distinct(),
+            "doc_id", "left_semi",
+        )
+        .select(F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"), "gh")
+    )
     matches = (
         ga.join(gb, "gh")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -2649,43 +2677,34 @@ def q_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lm = q_char_lm_perplexity(spark, sf_dir).select("doc_id", "bpc_band")
 
-    sh = _shingle_df(spark, sf_dir)
-    bench_shingles = (
-        sh.filter(bench_ids).select("shingle").distinct()
-        .withColumn("in_bench", F.lit(1))
-    )
-    contam = (
-        sh.filter(~bench_ids)
-        .join(F.broadcast(bench_shingles), "shingle", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(F.coalesce("in_bench", F.lit(0))).alias("n_overlap"),
-        )
-        .select(
-            "doc_id",
-            F.expr("n_overlap * 10000 DIV n_shingles").alias("overlap_units"),
-        )
-    )
-
     base = (
         docs.filter(~bench_ids)
         .join(gates, "doc_id")
         .join(rep, "doc_id", "left")
-        .join(contam, "doc_id", "left")
         .join(lm, "doc_id", "left")
     )
-    return base.groupBy("source").agg(
+    agg = base.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
         F.count_if(F.col("keep")).alias("n_kept"),
-        F.count_if(
-            F.coalesce("overlap_units", F.lit(0)) > F.lit(CONTAM_FLAG_UNITS)
-        ).alias("n_flagged_contam"),
         F.sum(F.coalesce("rep_units", F.lit(0))).alias("sum_rep_units"),
         F.count("rep_units").alias("n_with_shingles"),
         F.sum(F.coalesce("bpc_band", F.lit(0))).alias("sum_bpc_band"),
         F.count("bpc_band").alias("n_scored"),
+    )
+    # contamination flags come from q_contamination_score's per-source
+    # report rather than a re-derived per-doc pipeline (r7 review: the
+    # bench-shingle join + 1e-4 quantization previously lived in two
+    # Spark functions and two oracle strings — the frozen-copy class).
+    # Docs without shingles can never be flagged (coalesce(0) on their
+    # overlap), so the per-source counts are identical by construction.
+    contam = q_contamination_score(spark, sf_dir).select(
+        "source", "n_flagged"
+    )
+    return agg.join(F.broadcast(contam), "source", "left").select(
+        "source", "n_docs", "total_tokens", "n_kept",
+        F.coalesce("n_flagged", F.lit(0)).alias("n_flagged_contam"),
+        "sum_rep_units", "n_with_shingles", "sum_bpc_band", "n_scored",
     )
 
 
@@ -2696,18 +2715,7 @@ lm AS (
   FROM tf JOIN model USING (bg)
   GROUP BY doc_id
 ),
-{_DUCK_SHINGLE_CTE.strip()},
-bench AS (
-  SELECT DISTINCT shingle FROM shingles WHERE doc_id % {BENCH_DOC_MOD} = 0
-),
-contam AS (
-  SELECT s.doc_id,
-         (COUNT(*) FILTER (WHERE b.shingle IS NOT NULL)) * 10000 // COUNT(*)
-           AS overlap_units
-  FROM shingles s LEFT JOIN bench b ON s.shingle = b.shingle
-  WHERE s.doc_id % {BENCH_DOC_MOD} <> 0
-  GROUP BY s.doc_id
-),
+{DUCK_CONTAM_CTES.strip()},
 rep AS (
   SELECT doc_id,
          (COUNT(*) - COUNT(DISTINCT shingle)) * 10000 // COUNT(*)
@@ -2725,26 +2733,28 @@ gates AS (
            AND len(list_filter(string_split(text, ' '),
                    x -> x = 'the' OR x = 'a' OR x = 'of')) > 0 AS keep
   FROM documents
+),
+agg AS (
+  SELECT d.source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(g.n_tokens) AS BIGINT) AS total_tokens,
+         COUNT(*) FILTER (WHERE g.keep) AS n_kept,
+         CAST(SUM(COALESCE(r.rep_units, 0)) AS BIGINT) AS sum_rep_units,
+         COUNT(r.rep_units) AS n_with_shingles,
+         CAST(SUM(COALESCE(l.bpc_band, 0)) AS BIGINT) AS sum_bpc_band,
+         COUNT(l.bpc_band) AS n_scored
+  FROM documents d
+  JOIN gates g ON d.doc_id = g.doc_id
+  LEFT JOIN rep r ON d.doc_id = r.doc_id
+  LEFT JOIN lm l ON d.doc_id = l.doc_id
+  WHERE d.doc_id % {BENCH_DOC_MOD} <> 0
+  GROUP BY d.source
 )
-SELECT d.source,
-       COUNT(*) AS n_docs,
-       CAST(SUM(g.n_tokens) AS BIGINT) AS total_tokens,
-       COUNT(*) FILTER (WHERE g.keep) AS n_kept,
-       COUNT(*) FILTER (WHERE COALESCE(c.overlap_units, 0)
-                              > {CONTAM_FLAG_UNITS}) AS n_flagged_contam,
-       CAST(SUM(COALESCE(r.rep_units, 0)) AS BIGINT) AS sum_rep_units,
-       COUNT(r.rep_units) AS n_with_shingles,
-       CAST(SUM(COALESCE(l.bpc_band, 0)) AS BIGINT) AS sum_bpc_band,
-       COUNT(l.bpc_band) AS n_scored
-FROM documents d
-JOIN gates g ON d.doc_id = g.doc_id
-LEFT JOIN rep r ON d.doc_id = r.doc_id
-LEFT JOIN contam c ON d.doc_id = c.doc_id
-LEFT JOIN lm l ON d.doc_id = l.doc_id
-WHERE d.doc_id % {BENCH_DOC_MOD} <> 0
-GROUP BY d.source
+SELECT a.source, a.n_docs, a.total_tokens, a.n_kept,
+       COALESCE(cs.n_flagged, 0) AS n_flagged_contam,
+       a.sum_rep_units, a.n_with_shingles, a.sum_bpc_band, a.n_scored
+FROM agg a LEFT JOIN contam_by_source cs ON a.source = cs.source
 """
-
 
 def q_substring_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicated-token coverage — the REMOVAL artifact of

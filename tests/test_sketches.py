@@ -619,3 +619,35 @@ def test_profile_compaction_structure_and_exact_regime():
                 "Theta exact regime bound; the hashed n_users contract "
                 "needs re-examination"
             )
+
+
+def test_profile_compaction_flag_margins(spark):
+    """r7 review finding: the compaction's hashed booleans (hll_ok,
+    med_rank_ok) compared measured estimates against their thresholds
+    with no margin check — a driver-side estimate drift could flip a flag
+    with no local warning.  Assert, from the SAME pipeline the query
+    reads (compaction_estimates), that every period clears both
+    thresholds with >= 2x headroom at the local-default AND driver-gate
+    SFs."""
+    from self_healing_data_pipeline_agent_spark.operators.sketches import (
+        HLL_REL_TOL,
+    )
+    from self_healing_data_pipeline_agent_spark.streaming.events import (
+        COMPACTION_RANK_EPS,
+        compaction_estimates,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = compaction_estimates(spark, sf).collect()
+        assert rows, f"{sf}: no compacted periods"
+        for r in rows:
+            rel = abs(r.hll_est - r.th_est) / r.th_est
+            assert rel <= HLL_REL_TOL / 2, (
+                f"{sf} {r.period_start}: HLL-vs-Theta rel err {rel:.4f} "
+                f"within 2x of the {HLL_REL_TOL} flag threshold"
+            )
+            assert r.med_rank_dev <= COMPACTION_RANK_EPS / 2, (
+                f"{sf} {r.period_start}: median rank dev "
+                f"{r.med_rank_dev:.4f} within 2x of the "
+                f"{COMPACTION_RANK_EPS} flag threshold"
+            )
