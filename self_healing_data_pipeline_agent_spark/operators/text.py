@@ -1099,25 +1099,25 @@ def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
     hashed = toks.select("doc_id", "pos", th.alias("h"))
-    rolled = hashed.select(
-        "doc_id", "pos",
-        (
-            (F.col("h") * RK_BASE2) % RK_MOD
-            + (F.lead("h", 1).over(w) * RK_BASE) % RK_MOD
-            + F.lead("h", 2).over(w)
-        ).alias("acc"),
-    ).select("doc_id", "pos", (F.col("acc") % RK_MOD).alias("rh"))
-    rolled = rolled.filter(F.col("rh").isNotNull())
-    w2 = Window.partitionBy("doc_id").orderBy("pos")
-    fp = F.least(
-        F.col("rh"),
-        F.lead("rh", 1).over(w2),
-        F.lead("rh", 2).over(w2),
-        F.lead("rh", 3).over(w2),
-    )
-    guard = F.lead("rh", 3).over(w2)
+
+    # ONE window pass (r7): the winnow-min over rolled hashes is expressed
+    # by lead-COMPOSITION — rolled(pos+k) only needs h[pos+k .. pos+k+2],
+    # so fp(pos) = min over k=0..3 of rolled(pos+k) reads leads of h up to
+    # 5 in the same sort, instead of a second window over the rolled
+    # column.  Values are bit-identical to the two-pass form (same modular
+    # arithmetic per term; the DuckDB oracle pins them).
+    def _rolled(k: int) -> F.Column:
+        h0 = F.col("h") if k == 0 else F.lead("h", k).over(w)
+        return (
+            (h0 * RK_BASE2) % RK_MOD
+            + (F.lead("h", k + 1).over(w) * RK_BASE) % RK_MOD
+            + F.lead("h", k + 2).over(w)
+        ) % RK_MOD
+
+    fp = F.least(_rolled(0), _rolled(1), _rolled(2), _rolled(3))
+    guard = F.lead("h", 5).over(w)
     return (
-        rolled.select("doc_id", fp.alias("fp"), guard.alias("_g"))
+        hashed.select("doc_id", fp.alias("fp"), guard.alias("_g"))
         .filter(F.col("_g").isNotNull())
         .select("doc_id", "fp")
         .distinct()
