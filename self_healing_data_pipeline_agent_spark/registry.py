@@ -51,25 +51,26 @@ QUERY_ORDER = [
     "source_scorecard",
     "streaming_profile_compaction",
     "ann_int8_rerank",
-    # -- 41 of the 46 r4-aged official records (VERDICT r6 next-round
+    # -- 40 of the 46 r4-aged official records (VERDICT r6 next-round
     #    #2: no record should age past ~3 rounds).  All local-parity
-    #    green today; the remaining FIVE r4 records (distinct_counts,
+    #    green today; the remaining SIX r4 records (distinct_counts,
     #    distinct_event_types, anti_join_no_f_orders,
-    #    approx_distinct_counts, ann_ivf_topk — untouched
-    #    single-shuffle ops) plus the 44 r5 records must BOTH rotate in
-    #    the r8 window: 49 of its 50 slots are spoken for, so r8 has
-    #    room for at most ONE new query.  frequent_items_sketch
-    #    re-enters: its r6-green span was touched by an r7 docstring
-    #    edit, and the official record should describe the committed
-    #    code. --
+    #    approx_distinct_counts, ann_ivf_topk, cohort_retention —
+    #    untouched ops) plus the 44 r5 records must BOTH rotate in
+    #    the r8 window: all 50 of its slots are spoken for, so r8 is a
+    #    pure rotation round (next new-operator slot opens in r9).
+    #    frequent_items_sketch and rolling_fingerprints re-enter: their
+    #    r6-green spans were touched in r7 (docstring edit / one-pass
+    #    window fuse), and the official record should describe the
+    #    committed code. --
     "frequent_items_sketch",
+    "rolling_fingerprints",
     "activity_streaks",
     "ann_lsh_topk",
     "anomaly_zscore",
     "approx_quantile_profile",
     "attribution_asof",
     "chunk_dedup",
-    "cohort_retention",
     "corr_profile",
     "cube_summary",
     "customer_order_distribution",
