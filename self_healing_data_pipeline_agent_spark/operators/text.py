@@ -2771,39 +2771,53 @@ def q_substring_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     back to the docs table.  Nothing here re-touches raw text except the
     final per-doc token count, which is a map-side projection."""
     spans = q_substring_dup_spans(spark, sf_dir)
+    # BOTH sides of every span from ONE traversal of the spans plan: a
+    # union of two selects would execute the whole gram-join subtree
+    # twice (r7 measurement: ~2x the query's wall time); exploding each
+    # row into its (doc_a, start_a) and (doc_b, start_b) sides keeps the
+    # expensive lineage single-pass.
     sides = (
         spans.select(
-            F.col("doc_a").alias("doc_id"),
-            F.col("start_a").alias("s"),
-            (F.col("start_a") + F.col("span_tokens")).alias("e"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("doc_id"),
+                        F.col("start_a").alias("s"),
+                        (F.col("start_a") + F.col("span_tokens")).alias("e"),
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("doc_id"),
+                        F.col("start_b").alias("s"),
+                        (F.col("start_b") + F.col("span_tokens")).alias("e"),
+                    ),
+                )
+            ).alias("side")
         )
-        .unionByName(
-            spans.select(
-                F.col("doc_b").alias("doc_id"),
-                F.col("start_b").alias("s"),
-                (F.col("start_b") + F.col("span_tokens")).alias("e"),
-            )
-        )
+        .select("side.*")
         .distinct()
     )
-    w = Window.partitionBy("doc_id").orderBy("s", "e")
-    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    marked = sides.select(
-        "doc_id", "s", "e",
-        F.when(
-            prev_max_e.isNull() | (F.col("s") > prev_max_e), F.lit(1)
-        ).otherwise(F.lit(0)).alias("ni"),
-    )
-    numbered = marked.select(
-        "doc_id", "s", "e",
-        F.sum("ni").over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("isl"),
-    )
+    # Interval union as ONE groupBy + an in-row fold (instead of a window
+    # pass + two chained groupBys — r7: the spans set is pair-count-sized
+    # and per-doc span lists are tiny, so a sorted-array fold does the
+    # running-max-end merge with two fewer shuffles; the interpreted
+    # lambda touches only spans, never corpus-scale data).  Exact integer
+    # arithmetic, order pinned by sort_array on (s, e).
     cov = (
-        numbered.groupBy("doc_id", "isl")
-        .agg((F.max("e") - F.min("s")).alias("ext"))
-        .groupBy("doc_id")
-        .agg(F.sum("ext").alias("dup_tokens"))
+        sides.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("s", "e"))).alias("iv"))
+        .select(
+            "doc_id",
+            F.expr(
+                "aggregate(iv, named_struct('tot', 0L, 'cur_e', -1L),"
+                " (acc, x) -> named_struct("
+                "   'tot', acc.tot + CASE"
+                "     WHEN x.e <= acc.cur_e THEN 0L"
+                "     WHEN x.s >= acc.cur_e THEN x.e - x.s"
+                "     ELSE x.e - acc.cur_e END,"
+                "   'cur_e', greatest(acc.cur_e, x.e)),"
+                " acc -> acc.tot)"
+            ).alias("dup_tokens"),
+        )
     )
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.size(_tokens_col()).cast("bigint").alias("n_tokens")
