@@ -666,7 +666,9 @@ FROM assign s LEFT JOIN dups ON s.vec_id = vid
 # vectors before the exact rerank.  4x TOP_K: generous enough that the
 # quantization error (<= scale/2 per dim) cannot push a true top-k
 # neighbor out of the pool on this corpus — asserted by the recall test.
-SQ8_CANDIDATES = 20
+# Derived, so raising TOP_K keeps the 4x margin the recall contract
+# depends on (r7 review).
+SQ8_CANDIDATES = 4 * TOP_K
 
 
 def q_ann_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -690,17 +692,20 @@ def q_ann_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus is scanned once to score codes; the rerank joins only
     Q x SQ8_CANDIDATES rows back to full vectors."""
     emb = load_table(spark, sf_dir, "embeddings")
-    exploded = emb.select(F.posexplode("embedding").alias("dim", "v"))
-    agg = exploded.groupBy("dim").agg(
-        F.min(F.col("v").cast("double")).alias("mn"),
-        F.max(F.col("v").cast("double")).alias("mx"),
-    )
-    cb = agg.agg(
-        F.array_sort(F.collect_list(F.struct("dim", "mn", "mx"))).alias("cb")
-    ).select(
-        F.transform("cb", lambda s: s.mn).alias("mns"),
-        F.transform("cb", lambda s: (s.mx - s.mn) / F.lit(255.0))
-        .alias("scales"),
+    # the quantization parameters come FROM q_embedding_quant_codebook —
+    # one definition of the codebook in each engine (r7 review: the
+    # min/max/scale derivation was a frozen copy here)
+    cb = (
+        q_embedding_quant_codebook(spark, sf_dir)
+        .select("dim", "mn", "scale")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "mn", "scale")))
+            .alias("cb")
+        )
+        .select(
+            F.transform("cb", lambda s: s.mn).alias("mns"),
+            F.transform("cb", lambda s: s.scale).alias("scales"),
+        )
     )
 
     def _recon(v, i):
@@ -741,9 +746,7 @@ def q_ann_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("crn") <= SQ8_CANDIDATES)
         .select("query_id", "neighbor_id")
     )
-    qa = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
+    qa = q.select("query_id", F.col("q_emb").alias("qe"))
     ca = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
     )
@@ -769,16 +772,14 @@ def q_ann_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the codebook comes from the embedding_quant_codebook ORACLE verbatim —
+# one definition of the quantization per engine (r7 review)
 ORACLES["ann_int8_rerank"] = f"""
-WITH exploded AS (
-  SELECT g.pos AS dim, CAST(embedding[g.pos + 1] AS DOUBLE) AS v
-  FROM embeddings, generate_series(0, 63) AS g(pos)
-),
-agg AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM exploded GROUP BY dim),
+WITH cb_rows AS ({ORACLES["embedding_quant_codebook"]}),
 cb AS (
   SELECT list(mn ORDER BY dim) AS mns,
-         list((mx - mn) / 255.0 ORDER BY dim) AS scales
-  FROM agg
+         list(scale ORDER BY dim) AS scales
+  FROM cb_rows
 ),
 recon AS (
   SELECT vec_id AS neighbor_id,

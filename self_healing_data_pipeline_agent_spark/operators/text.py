@@ -2565,12 +2565,16 @@ def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     fps = q_rolling_fingerprints(spark, sf_dir).cache()
+    # cand feeds THREE consumers (both doc-level prunes + the pair-level
+    # semi join) — cached too, or the fingerprint self-join executes three
+    # times (r7 review; verified: zero ReusedExchange across the copies)
     cand = (
         fps.select(F.col("doc_id").alias("doc_a"), "fp")
         .join(fps.select(F.col("doc_id").alias("doc_b"), "fp"), "fp")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+        .cache()
     )
 
     # doc-level semi prune BEFORE the gram join (r7 review finding): the
@@ -2715,6 +2719,10 @@ def q_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Composed from the COMPONENT oracles (repetition_ratio, quality_gates,
+# the shared contamination CTEs and the char-LM model strings) the same
+# way the Spark side composes the q_ functions — no frozen copies of any
+# signal's logic (r7 review).
 ORACLES["source_scorecard"] = f"""
 {CHAR_LM_MODEL_CTES},
 lm AS (
@@ -2725,26 +2733,20 @@ lm AS (
 {DUCK_CONTAM_CTES.strip()},
 rep AS (
   SELECT doc_id,
-         (COUNT(*) - COUNT(DISTINCT shingle)) * 10000 // COUNT(*)
-           AS rep_units
-  FROM (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM documents)
-  GROUP BY doc_id
+         (n_shingles - n_distinct) * 10000 // n_shingles AS rep_units
+  FROM ({ORACLES["repetition_ratio"].strip()})
 ),
 gates AS (
-  SELECT doc_id,
-         CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens,
-         len({_DUCK_TOKENS}) >= {QG_MIN_TOKENS}
-           AND len({_DUCK_TOKENS}) <= {QG_MAX_TOKENS}
-           AND CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                    AS DOUBLE) / length(text) >= {QG_MIN_ALPHA}
-           AND len(list_filter(string_split(text, ' '),
-                   x -> x = 'the' OR x = 'a' OR x = 'of')) > 0 AS keep
+  SELECT doc_id, keep FROM ({ORACLES["quality_gates"].strip()})
+),
+ntok AS (
+  SELECT doc_id, CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens
   FROM documents
 ),
 agg AS (
   SELECT d.source,
          COUNT(*) AS n_docs,
-         CAST(SUM(g.n_tokens) AS BIGINT) AS total_tokens,
+         CAST(SUM(t.n_tokens) AS BIGINT) AS total_tokens,
          COUNT(*) FILTER (WHERE g.keep) AS n_kept,
          CAST(SUM(COALESCE(r.rep_units, 0)) AS BIGINT) AS sum_rep_units,
          COUNT(r.rep_units) AS n_with_shingles,
@@ -2752,6 +2754,7 @@ agg AS (
          COUNT(l.bpc_band) AS n_scored
   FROM documents d
   JOIN gates g ON d.doc_id = g.doc_id
+  JOIN ntok t ON d.doc_id = t.doc_id
   LEFT JOIN rep r ON d.doc_id = r.doc_id
   LEFT JOIN lm l ON d.doc_id = l.doc_id
   WHERE d.doc_id % {BENCH_DOC_MOD} <> 0
