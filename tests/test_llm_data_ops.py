@@ -571,3 +571,44 @@ def test_sq8_rerank_recall_vs_exact(spark, sf_dir):
     assert recall > 0.9, f"recall {recall:.2f} — quantization pool too lossy"
     for pair in set(exact) & set(sq8):
         assert sq8[pair] == exact[pair]
+
+
+def test_char_lm_bisect_trio_mutually_consistent(spark, sf_dir):
+    """The three driver-checked char-LM queries must tell ONE story: the
+    counts twin's n_bigrams matches the score query's; and recomputing
+    every doc's banded score in Python from the model twin's lp_units and
+    the tf frame reproduces bpc_band exactly.  If the driver reds one
+    query next round, this pins locally that the OTHER two describe the
+    same pipeline state — the bisect's interpretation depends on it."""
+    import math
+
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        CHAR_LM_BAND_PER_BIT,
+        _char_lm_tf_df,
+        q_char_lm_doc_counts,
+        q_char_lm_model,
+        q_char_lm_perplexity,
+    )
+
+    counts = {
+        r.doc_id: r.n_bigrams
+        for r in q_char_lm_doc_counts(spark, sf_dir).collect()
+    }
+    scored = {
+        r.doc_id: (r.n_bigrams, r.bpc_band)
+        for r in q_char_lm_perplexity(spark, sf_dir).collect()
+    }
+    assert set(counts) == set(scored)
+    assert all(counts[d] == scored[d][0] for d in counts)
+
+    lp = {r.bg: r.lp_units for r in q_char_lm_model(spark, sf_dir).collect()}
+    tf_rows = _char_lm_tf_df(spark, sf_dir).collect()
+    sums: dict[int, int] = {}
+    ns: dict[int, int] = {}
+    for r in tf_rows:
+        sums[r.doc_id] = sums.get(r.doc_id, 0) + r.tf * lp[r.bg]
+        ns[r.doc_id] = ns.get(r.doc_id, 0) + r.tf
+    for d, (n, band) in scored.items():
+        assert ns[d] == n
+        bpc = -(sums[d] / 1e6) / math.log(2) / n
+        assert math.floor(bpc * CHAR_LM_BAND_PER_BIT) == band, d
