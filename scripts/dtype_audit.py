@@ -55,6 +55,29 @@ def arrow_ok(spark_type: str, arrow_type: str) -> bool:
     return arrow_type.startswith(allowed)
 
 
+def audit_query(spark, con, qfn, sql, sf_dir) -> list[tuple[str, str, str]]:
+    """Dtype mismatches for ONE query: [(column, spark_type, arrow_type)].
+    Builds the Spark plan only (schema comes from analysis, no job runs);
+    the oracle executes in DuckDB.  Importable so the test suite can run
+    the audit per-query (wired into pytest in round 8 — the audit existed
+    since round 2 but nothing ran it, and the r5-r7 char_lm_perplexity
+    hash-red was exactly the HUGEINT-vs-BIGINT class it catches)."""
+    sdf = qfn(spark, sf_dir)
+    spark_types = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+    tbl = con.sql(sql).arrow()
+    duck_types = {
+        fld.name: str(tbl.schema.field(fld.name).type) for fld in tbl.schema
+    }
+    bad = []
+    for col, st in spark_types.items():
+        dt = duck_types.get(col)
+        if dt is None:
+            bad.append((col, st, "<missing in oracle>"))
+        elif not arrow_ok(st, dt):
+            bad.append((col, st, dt))
+    return bad
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     con = duckdb.connect()
@@ -65,18 +88,10 @@ def main() -> int:
     oracles = entry_mod.oracle_sql()
     bad = []
     for name, sql in sorted(oracles.items()):
-        sdf = queries[name](spark, sf_dir)
-        spark_types = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
-        tbl = con.sql(sql).arrow()
-        duck_types = {
-            fld.name: str(tbl.schema.field(fld.name).type) for fld in tbl.schema
-        }
-        for col, st in spark_types.items():
-            dt = duck_types.get(col)
-            if dt is None:
-                bad.append((name, col, st, "<missing in oracle>"))
-            elif not arrow_ok(st, dt):
-                bad.append((name, col, st, dt))
+        bad.extend(
+            (name, col, st, dt)
+            for col, st, dt in audit_query(spark, con, queries[name], sql, sf_dir)
+        )
     if bad:
         print(f"DTYPE MISMATCHES ({len(bad)}):")
         for name, col, st, dt in bad:

@@ -365,25 +365,72 @@ FROM f
 
 # --- content-hash payload dedup ----------------------------------------------
 
+# Fixed-size dedup block in bytes.  The r7 whole-payload variant found
+# zero duplicate payloads below sf0.1, so its driver green was a vacuous
+# empty-set hash (VERDICT r7 #2); block-level dedup — what storage
+# systems actually run — finds 15/12/191 duplicated blocks at
+# sf0.001/0.01/0.1.  The corpus is pure printable ASCII (tripwired in
+# tests), so char offsets ARE byte offsets and the oracle can slice with
+# substr on the text.
+PAYLOAD_BLOCK_BYTES = 256
+
+
 def q_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload dedup summary: sha256 content groups with more than
-    one row — how a blob store dedups images/audio at any scale (hash is
-    computed in the scan pass; the shuffle carries 32-byte digests, never
-    payloads).  Grouping on the digest makes the operator partitionable
-    regardless of blob size."""
+    """Block-level binary dedup summary: split every payload into fixed
+    256-byte blocks, hash each block, report blocks stored more than
+    once (with how many copies and how many distinct payloads carry
+    them) — how a blob store dedups image/audio bytes at any scale.
+    The shuffle carries 32-byte digests, never payloads; block explode
+    is a map-side ``posexplode`` over in-row slices, so the operator is
+    partitionable regardless of blob size and the dedup ratio is exact."""
     df = with_payload(load_table(spark, sf_dir, "documents"))
+    bs = PAYLOAD_BLOCK_BYTES
+    # explode block INDEXES, then slice in the projection — substring
+    # stays in whole-stage codegen (a transform() lambda building the
+    # slices would be interpreted per row).  The >0 guard matters:
+    # Spark's sequence(0, -1) DESCENDS ([0, -1]), it is not empty.
+    blocks = (
+        df.filter(F.octet_length("payload") > 0)
+        .select(
+            "doc_id", "payload",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.octet_length("payload") / F.lit(float(bs)))
+                    .cast("int") - 1,
+                )
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.sha2(
+                F.expr(f"substring(payload, i * {bs} + 1, {bs})"), 256
+            ).alias("sha"),
+        )
+    )
     return (
-        df.select(F.sha2(F.col("payload"), 256).alias("sha"))
-        .groupBy("sha")
-        .agg(F.count(F.lit(1)).alias("n_copies"))
+        blocks.groupBy("sha")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
         .filter(F.col("n_copies") > 1)
         .orderBy(F.desc("n_copies"), F.asc("sha"))
     )
 
 
-ORACLES["payload_dedup"] = """
-SELECT sha256(text) AS sha, COUNT(*) AS n_copies
-FROM documents
+ORACLES["payload_dedup"] = f"""
+WITH blocks AS (
+  SELECT doc_id,
+         sha256(substr(text, (i - 1) * {PAYLOAD_BLOCK_BYTES} + 1,
+                       {PAYLOAD_BLOCK_BYTES})) AS sha
+  FROM documents,
+       UNNEST(range(1, CAST(ceil(length(text) / {PAYLOAD_BLOCK_BYTES}.0)
+                            AS BIGINT) + 1)) AS t(i)
+  WHERE length(text) > 0
+)
+SELECT sha, COUNT(*) AS n_copies, COUNT(DISTINCT doc_id) AS n_docs
+FROM blocks
 GROUP BY sha
 HAVING COUNT(*) > 1
 ORDER BY n_copies DESC, sha ASC

@@ -1468,12 +1468,22 @@ WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 
 # --- TPC-H Q22: above-average-balance customers with no orders ---------------
 
+# "Idle" = no order on/after this date.  The r7 contract ("never
+# ordered") was empty below sf0.1 — EVERY customer has at least one
+# order at sf0.001/0.01, so the driver green was vacuous (VERDICT r7
+# #2).  Orders span 1995-2001; this cutoff yields 2/14/148 idle-rich
+# customers at sf0.001/0.01/0.1 — values exercised at every SF.
+IDLE_SINCE = "1999-01-01"
+
+
 def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q22 shape: per market segment, count customers whose balance
-    exceeds the global positive-balance average AND who never ordered.
+    exceeds the global positive-balance average AND who placed no order
+    since ``IDLE_SINCE`` (lapsed-customer detection).
     Composition: 1-row broadcast scalar (the average) + broadcast-able
-    ANTI join against order keys + one small aggregate.  The anti join's
-    build side is orders' single pruned column; with AQE it broadcasts,
+    ANTI join against recent order keys + one small aggregate.  The anti
+    join's build side is orders pruned to one column AND date-filtered
+    (the filter pushes to the parquet scan); with AQE it broadcasts,
     so the customer scan is one map-side pass."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
@@ -1485,10 +1495,11 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
     )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(IDLE_SINCE).cast("timestamp")
+    ).select("o_custkey")
     idle_rich = rich.join(
-        orders.select("o_custkey"),
-        rich.c_custkey == F.col("o_custkey"),
-        "left_anti",
+        recent, rich.c_custkey == F.col("o_custkey"), "left_anti"
     )
     return idle_rich.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_customers"),
@@ -1504,7 +1515,9 @@ SELECT c_mktsegment, COUNT(*) AS n_customers,
        {sql_dsum('c_acctbal')} AS total_balance
 FROM customer CROSS JOIN avg_bal
 WHERE c_acctbal > avg_bal
-  AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+  AND c_custkey NOT IN (
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{IDLE_SINCE} 00:00:00')
 GROUP BY c_mktsegment
 """
 
@@ -1768,7 +1781,12 @@ FROM hist
 # --- TPC-H Q8: national market share -----------------------------------------
 
 Q8_NATION = "NATION_3"
-Q8_REGION = "REGION_0"
+# The testdata's region names are the REAL TPC-H ones (AFRICA/AMERICA/
+# ASIA/EUROPE/MIDDLE EAST) even though nation names are synthetic
+# NATION_*; the r7 "REGION_0" constant matched nothing, so the query was
+# empty at every SF and its green was vacuous (VERDICT r7 #2).  ASIA is
+# TPC-H's canonical Q8 region; yields 7 year-rows at sf0.001/0.01/0.1.
+Q8_REGION = "ASIA"
 Q8_PTYPE = "PROMO"
 
 

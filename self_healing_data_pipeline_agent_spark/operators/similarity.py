@@ -113,9 +113,18 @@ FROM embeddings GROUP BY label
 """
 
 
+# Corpus-calibrated near-dup threshold.  The original 0.9 matched NOTHING
+# (max pairwise cosine in the synthetic corpus: 0.479/0.513/0.601 at
+# sf0.001/0.01/0.1), so both near-dup greens were empty-set hashes and
+# the LSH variant's recall had never been exercised (VERDICT r7 #2).
+# 0.45 yields 7/14/144 pairs respectively — non-trivial at every SF.
+EMBED_NEAR_DUP_COS = 0.45
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cosine >= 0.9, a <.> b once).
-    Brute pairs at test scale; LSH blocking at 100 TB (see ann_lsh)."""
+    """Embedding-cosine near-dup pairs (cosine >= EMBED_NEAR_DUP_COS,
+    a <.> b once).  Brute pairs at test scale; LSH blocking at 100 TB
+    (see q_embedding_near_dup_lsh)."""
     emb = load_table(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
                    l2_norm(F.col("embedding")).alias("na"))
@@ -125,14 +134,14 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", sim.alias("cosine"))
-        .filter(F.col("cosine") >= 0.9)
+        .filter(F.col("cosine") >= EMBED_NEAR_DUP_COS)
     )
 
 
 ORACLES["embedding_near_dup"] = f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_DUCK_COS} AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {_DUCK_COS} >= 0.9
+WHERE {_DUCK_COS} >= {EMBED_NEAR_DUP_COS}
 """
 
 
@@ -482,7 +491,7 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str,
     sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         candidates.select("vec_a", "vec_b", sim.alias("cosine"))
-        .filter(F.col("cosine") >= 0.9)
+        .filter(F.col("cosine") >= EMBED_NEAR_DUP_COS)
     )
 
 
@@ -499,8 +508,8 @@ SELECT cd.vec_a, cd.vec_b, {{cos}} AS cosine
 FROM candidates cd
 JOIN embeddings a ON a.vec_id = cd.vec_a
 JOIN embeddings b ON b.vec_id = cd.vec_b
-WHERE {{cos}} >= 0.9
-""".format(cos=_DUCK_COS)
+WHERE {{cos}} >= {{thr}}
+""".format(cos=_DUCK_COS, thr=EMBED_NEAR_DUP_COS)
 
 
 # --- int8 quantization codebook ----------------------------------------------

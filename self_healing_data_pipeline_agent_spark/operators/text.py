@@ -2308,7 +2308,7 @@ CHAR_LM_UNBANDED_SQL = f"""
 ORACLES["char_lm_perplexity"] = f"""
 {CHAR_LM_MODEL_CTES}
 SELECT doc_id,
-       SUM(tf) AS n_bigrams,
+       CAST(SUM(tf) AS BIGINT) AS n_bigrams,
        CAST(FLOOR({CHAR_LM_UNBANDED_SQL}) AS BIGINT) AS bpc_band
 FROM tf JOIN model USING (bg)
 GROUP BY doc_id
@@ -2555,7 +2555,11 @@ def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = (
         toks.select(
             "doc_id",
-            (F.row_number().over(wp) - 1).alias("p"),
+            # bigint, matching the oracle's CAST(MIN(pa) AS BIGINT): the
+            # driver's value hash is dtype-sensitive (the char-LM red's
+            # class), so int-vs-int64 here relies on undocumented driver
+            # leniency — pin it (r7 ADVICE; scripts/dtype_audit.py flags it)
+            (F.row_number().over(wp) - 1).cast("bigint").alias("p"),
             gram.alias("g"),
             F.lead("tok", SUBSTR_K - 1).over(wp).alias("_tail"),
         )

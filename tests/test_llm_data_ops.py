@@ -312,9 +312,14 @@ def test_embedding_near_dup_lsh_subset_and_recall(spark, sf_dir):
         for r in q_embedding_near_dup_lsh(spark, sf_dir).collect()
     }
     assert lsh <= brute
-    if brute:
-        recall = len(lsh) / len(brute)
-        assert recall > 0.5, f"recall {recall:.2f} too low"
+    # r7 found the truth set EMPTY at every SF (threshold 0.9 vs corpus
+    # max cosine ~0.5), so the recall branch below had never executed and
+    # the LSH blocker was unexercised; with the corpus-calibrated
+    # threshold the set is non-empty — pin that so this test can never
+    # silently go vacuous again.
+    assert brute, "brute-force truth set empty — near-dup threshold vacuous"
+    recall = len(lsh) / len(brute)
+    assert recall > 0.5, f"recall {recall:.2f} too low"
 
 
 def test_semantic_dedup_materialized_path_agrees(spark, sf_dir, monkeypatch):
@@ -550,9 +555,11 @@ def test_substring_dup_spans_fixture(spark, tmp_path):
 
 def test_sq8_rerank_recall_vs_exact(spark, sf_dir):
     """SQ8 + asymmetric distance with a 4x-top-k rerank pool must recover
-    (essentially) the exact top-k on this corpus — int8 reconstruction
-    error is <= scale/2 per dim, far below the cosine gaps between true
-    neighbors here.  Shared pairs must carry identical cosine bits
+    EXACTLY the exact top-k on this corpus — int8 reconstruction error is
+    <= scale/2 per dim, far below the cosine gaps between true neighbors
+    here, and the SQ8_CANDIDATES comment claims losslessness outright, so
+    the test pins recall == 1.0 (r7 ADVICE: a >0.9 bound let the claim
+    silently degrade).  Shared pairs must carry identical cosine bits
     (the rerank is exact)."""
     from self_healing_data_pipeline_agent_spark.operators.similarity import (
         q_ann_int8_rerank,
@@ -568,7 +575,7 @@ def test_sq8_rerank_recall_vs_exact(spark, sf_dir):
     }
     assert sq8, "SQ8 rerank returned nothing"
     recall = len(set(exact) & set(sq8)) / len(exact)
-    assert recall > 0.9, f"recall {recall:.2f} — quantization pool too lossy"
+    assert recall == 1.0, f"recall {recall:.2f} — quantization pool too lossy"
     for pair in set(exact) & set(sq8):
         assert sq8[pair] == exact[pair]
 

@@ -105,6 +105,46 @@ def test_query_matches_oracle(spark, oracle_env, name):
     )
 
 
+# Queries allowed to return an empty result at the driver's sf0.01.
+# Currently NONE: round 7 found four "green" records that were hashes
+# over empty result sets (tpch_q8 with a nonexistent region constant,
+# embedding_near_dup/_lsh with an unreachable cosine threshold,
+# idle_rich_customers/payload_dedup with constants only sf0.1 could
+# satisfy) — a hash over zero rows proves nothing.  Any legitimately
+# empty contract must be listed here EXPLICITLY with a reason.
+VACUITY_ALLOWLIST: dict[str, str] = {}
+
+_VACUITY_SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def vacuity_duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{_VACUITY_SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_oracle_nonempty_at_driver_sf(vacuity_duck, name):
+    """Vacuity tripwire (VERDICT r7 #2/#4): every oracle must return at
+    least one row at the driver's scale factor, else its green is an
+    empty-set hash that verifies nothing.  DuckDB-only — fast, and the
+    parity test above already proves Spark matches the oracle row set."""
+    if name in VACUITY_ALLOWLIST:
+        pytest.skip(f"legitimately empty: {VACUITY_ALLOWLIST[name]}")
+    sql = entry_mod.oracle_sql()[name]
+    n = len(vacuity_duck.sql(f"SELECT 1 FROM ({sql}) LIMIT 1").fetchall())
+    assert n >= 1, (
+        f"{name}: oracle returns ZERO rows at sf0.01 — the driver green "
+        "would be vacuous; tighten the query's constants or add an "
+        "explicit VACUITY_ALLOWLIST entry with a reason"
+    )
+
+
 def test_every_query_has_coverage():
     """Every declared query must run; oracle-less entries get a smoke run."""
     queries = entry_mod.queries()
