@@ -1422,3 +1422,166 @@ SELECT period_start, granularity,
        TRUE AS med_rank_ok
 FROM keyed GROUP BY period_start, granularity
 """
+
+
+# --- second-tier compaction: week rows -> month rows -------------------------
+
+# Week rows whose Monday is at least this many days behind the table's max
+# day merge again into month rows.  21 leaves ~2 week rows in the month
+# bucket and ~2 younger week rows untouched on the ~30-day test stream, so
+# the month union, the week pass-through, and the day pass-through are all
+# exercised at every SF.
+PROFILE_RETAIN_WEEK_DAYS = 21
+
+# med_rank_ok threshold for MONTH periods.  A month row is a union of
+# ALREADY-merged week sketches — two KLL merge levels deep, which is the
+# associativity 100-TB retention relies on (week files merged last
+# quarter get re-merged into months this quarter without re-reading
+# days).  Measured max deviation at the month tier: 0.0002 across
+# sf0.001/0.01 (BELOW the single-merge week tier's 0.0217 — the month
+# median sits on a larger merged sample, so its rank stabilizes), so the
+# week tier's 0.08 flag threshold already carries far more than the
+# mandated 2x headroom one level deeper; tripwired in
+# tests/test_sketches.py::test_profile_compaction2_flag_margins.
+COMPACTION2_RANK_EPS = COMPACTION_RANK_EPS
+
+
+def compaction2_estimates(
+    spark: SparkSession, sf_dir: str, store_dir: str | None = None
+) -> DataFrame:
+    """Two-level retention compaction measurements: day rows older than
+    ``PROFILE_RETAIN_DAYS`` merge into week rows (level-1 sketch union),
+    then week rows older than ``PROFILE_RETAIN_WEEK_DAYS`` merge into
+    month rows (level-2 union over the ALREADY-merged week sketches —
+    never re-reading day rows, which is the point of mergeability).
+    Same split as ``compaction_estimates``: the query's boolean contract
+    and the margin tripwires must read ONE pipeline."""
+    from ..operators.sketches import THETA_LG_K
+    from ..sources.tables import load_table
+
+    store = streaming_profile_table(spark, sf_dir, store_dir)
+    maxd = store.agg(F.max("day").alias("maxd"))
+    old7 = F.col("day") <= F.date_sub(F.col("maxd"), PROFILE_RETAIN_DAYS)
+    keyed1 = store.crossJoin(F.broadcast(maxd)).select(
+        F.when(old7, F.trunc("day", "week")).otherwise(F.col("day"))
+        .alias("p1"),
+        F.when(old7, F.lit("week")).otherwise(F.lit("day")).alias("g1"),
+        "hll", "th", "kll",
+    )
+    tier1 = keyed1.groupBy("p1", "g1").agg(
+        F.count(F.lit(1)).alias("n_days_merged"),
+        F.hll_union_agg("hll").alias("hll"),
+        F.theta_union_agg("th", F.lit(THETA_LG_K)).alias("th"),
+        F.kll_merge_agg_double("kll").alias("kll"),
+    )
+    old21 = (F.col("g1") == "week") & (
+        F.col("p1") <= F.date_sub(F.col("maxd"), PROFILE_RETAIN_WEEK_DAYS)
+    )
+    keyed2 = tier1.crossJoin(F.broadcast(maxd)).select(
+        F.when(old21, F.trunc("p1", "month")).otherwise(F.col("p1"))
+        .alias("period_start"),
+        F.when(old21, F.lit("month")).otherwise(F.col("g1"))
+        .alias("granularity"),
+        "n_days_merged", "hll", "th", "kll",
+    )
+    tier2 = keyed2.groupBy("period_start", "granularity").agg(
+        F.sum("n_days_merged").cast("bigint").alias("n_days_merged"),
+        F.count(F.lit(1)).alias("n_source_rows"),
+        F.hll_union_agg("hll").alias("hll"),
+        F.theta_union_agg("th", F.lit(THETA_LG_K)).alias("th"),
+        F.kll_merge_agg_double("kll").alias("kll"),
+    )
+    prof = tier2.select(
+        "period_start", "granularity", "n_days_merged", "n_source_rows",
+        F.theta_sketch_estimate("th").alias("th_est"),
+        F.hll_sketch_estimate("hll").alias("hll_est"),
+        F.kll_sketch_get_quantile_double("kll", F.lit(0.5)).alias("med"),
+    )
+    # audit-side rank check against raw values under the COMPOSED keying
+    # (production drops this scan; it is the correctness teeth here)
+    ev = load_table(spark, sf_dir, "events").crossJoin(F.broadcast(maxd))
+    day = F.to_date("ts")
+    p1 = F.when(
+        day <= F.date_sub(F.col("maxd"), PROFILE_RETAIN_DAYS),
+        F.trunc(day, "week"),
+    ).otherwise(day)
+    is_week = day <= F.date_sub(F.col("maxd"), PROFILE_RETAIN_DAYS)
+    p2 = F.when(
+        is_week
+        & (p1 <= F.date_sub(F.col("maxd"), PROFILE_RETAIN_WEEK_DAYS)),
+        F.trunc(p1, "month"),
+    ).otherwise(p1)
+    ranks = (
+        ev.select(p2.alias("period_start"), "value")
+        .join(F.broadcast(prof.select("period_start", "med")), "period_start")
+        .groupBy("period_start")
+        .agg(
+            F.abs(
+                F.avg((F.col("value") <= F.col("med")).cast("double"))
+                - F.lit(0.5)
+            ).alias("med_rank_dev")
+        )
+    )
+    return prof.join(ranks, "period_start")
+
+
+def q_streaming_profile_compaction2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Second-tier retention compaction of the streaming profile table:
+    day -> week -> month, where the month union consumes only the merged
+    WEEK sketches.  Re-merging already-merged sketches is the
+    associativity property 100-TB retention depends on (day files union
+    into weeks as they age, weeks into months a quarter later, all
+    without re-reading raw history); the checked contract pins it with
+    the X23 ring convention — exact/decision columns only: days and
+    tier-1 rows merged per period, Theta-exact distinct users (month
+    unions stay far inside the lgK=16 exact regime), the HLL-vs-Theta
+    accuracy flag, and the merged-merged KLL median rank audit."""
+    from ..operators.sketches import HLL_REL_TOL
+
+    est = compaction2_estimates(spark, sf_dir)
+    return est.select(
+        "period_start", "granularity", "n_days_merged", "n_source_rows",
+        F.col("th_est").cast("bigint").alias("n_users"),
+        (
+            F.abs(F.col("hll_est") - F.col("th_est"))
+            <= F.col("th_est") * F.lit(HLL_REL_TOL)
+        ).alias("hll_ok"),
+        (F.col("med_rank_dev") <= F.lit(COMPACTION2_RANK_EPS))
+        .alias("med_rank_ok"),
+    )
+
+
+# Exact analytic twin of the two-level keying from raw events (the
+# decision columns at their oracle-exact values — margins tripwired in
+# tests/test_sketches.py).  n_source_rows counts the tier-1 rows each
+# final period consumed: distinct old-enough week starts for a month
+# row, 1 for pass-through week and day rows.
+ORACLES["streaming_profile_compaction2"] = f"""
+WITH maxd AS (SELECT MAX(CAST(ts AS DATE)) AS m FROM events),
+k1 AS (
+  SELECT CASE WHEN CAST(ts AS DATE) <= m - {PROFILE_RETAIN_DAYS}
+              THEN date_trunc('week', CAST(ts AS DATE))
+              ELSE CAST(ts AS DATE) END AS p1,
+         CASE WHEN CAST(ts AS DATE) <= m - {PROFILE_RETAIN_DAYS}
+              THEN 'week' ELSE 'day' END AS g1,
+         m, CAST(ts AS DATE) AS d, user_id
+  FROM events, maxd
+),
+k2 AS (
+  SELECT CASE WHEN g1 = 'week' AND p1 <= m - {PROFILE_RETAIN_WEEK_DAYS}
+              THEN date_trunc('month', p1) ELSE p1 END AS period_start,
+         CASE WHEN g1 = 'week' AND p1 <= m - {PROFILE_RETAIN_WEEK_DAYS}
+              THEN 'month' ELSE g1 END AS granularity,
+         p1, d, user_id
+  FROM k1
+)
+SELECT period_start, granularity,
+       COUNT(DISTINCT d) AS n_days_merged,
+       COUNT(DISTINCT p1) AS n_source_rows,
+       COUNT(DISTINCT user_id) AS n_users,
+       TRUE AS hll_ok,
+       TRUE AS med_rank_ok
+FROM k2 GROUP BY period_start, granularity
+"""

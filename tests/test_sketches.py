@@ -651,3 +651,101 @@ def test_profile_compaction_flag_margins(spark):
                 f"{r.med_rank_dev:.4f} within 2x of the "
                 f"{COMPACTION_RANK_EPS} flag threshold"
             )
+
+
+def test_profile_compaction2_structure_and_exact_regime():
+    """Second-tier compaction (day -> week -> month): (a) a month row
+    exists and merges MULTIPLE already-merged week rows — the two-level
+    union is actually exercised; (b) some week and day rows pass through
+    untouched, so all three granularities coexist; (c) every final
+    period's exact cardinality stays far inside the Theta lgK=16 exact
+    regime even at the month level (the widest union in the repo)."""
+    import duckdb
+
+    from self_healing_data_pipeline_agent_spark.operators.sketches import (
+        THETA_LG_K,
+    )
+    from self_healing_data_pipeline_agent_spark.streaming.events import (
+        PROFILE_RETAIN_DAYS,
+        PROFILE_RETAIN_WEEK_DAYS,
+    )
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"'/root/testdata/{sf}/events.parquet'"
+        )
+        rows = con.sql(f"""
+            WITH maxd AS (SELECT MAX(CAST(ts AS DATE)) AS m FROM events),
+            k1 AS (
+              SELECT CASE WHEN CAST(ts AS DATE) <= m - {PROFILE_RETAIN_DAYS}
+                          THEN date_trunc('week', CAST(ts AS DATE))
+                          ELSE CAST(ts AS DATE) END AS p1,
+                     CASE WHEN CAST(ts AS DATE) <= m - {PROFILE_RETAIN_DAYS}
+                          THEN 'week' ELSE 'day' END AS g1,
+                     m, user_id FROM events, maxd
+            ),
+            k2 AS (
+              SELECT CASE WHEN g1 = 'week' AND p1 <= m - {PROFILE_RETAIN_WEEK_DAYS}
+                          THEN date_trunc('month', p1) ELSE p1 END AS p2,
+                     CASE WHEN g1 = 'week' AND p1 <= m - {PROFILE_RETAIN_WEEK_DAYS}
+                          THEN 'month' ELSE g1 END AS g2,
+                     p1, user_id FROM k1
+            )
+            SELECT g2, p2, COUNT(DISTINCT p1) AS n_src,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM k2 GROUP BY g2, p2
+        """).fetchall()
+        con.close()
+        months = [r for r in rows if r[0] == "month"]
+        assert months, f"{sf}: no month rows — tier-2 union untested"
+        assert any(r[2] > 1 for r in months), (
+            f"{sf}: no month merges multiple week rows — the "
+            "merge-of-merged property is not exercised"
+        )
+        assert [r for r in rows if r[0] == "week"], f"{sf}: no week rows"
+        assert [r for r in rows if r[0] == "day"], f"{sf}: no day rows"
+        cap = 2 ** THETA_LG_K // 2
+        for r in rows:
+            assert r[3] < cap, (
+                f"{sf}: period {r[1]} has {r[3]} users — approaching the "
+                "Theta exact regime bound at the month tier"
+            )
+
+
+def test_profile_compaction2_flag_margins(spark):
+    """The tier-2 margin tripwire, one union level deeper than
+    test_profile_compaction_flag_margins: every period of the two-level
+    pipeline — including the month rows whose KLL is a merge of
+    ALREADY-merged week sketches — must clear the hashed flags'
+    thresholds with >= 2x headroom.  If KLL merge error compounded
+    super-linearly across levels, this catches it before a driver hash
+    flips (measured month-tier max deviation: 0.0002, far below the
+    week tier's 0.0217)."""
+    from self_healing_data_pipeline_agent_spark.operators.sketches import (
+        HLL_REL_TOL,
+    )
+    from self_healing_data_pipeline_agent_spark.streaming.events import (
+        COMPACTION2_RANK_EPS,
+        compaction2_estimates,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = compaction2_estimates(spark, sf).collect()
+        assert rows, f"{sf}: no tier-2 periods"
+        assert any(
+            r.granularity == "month" and r.n_source_rows > 1 for r in rows
+        ), f"{sf}: no multi-week month row in the measured pipeline"
+        for r in rows:
+            rel = abs(r.hll_est - r.th_est) / r.th_est
+            assert rel <= HLL_REL_TOL / 2, (
+                f"{sf} {r.period_start} ({r.granularity}): HLL-vs-Theta "
+                f"rel err {rel:.4f} within 2x of the {HLL_REL_TOL} flag "
+                "threshold"
+            )
+            assert r.med_rank_dev <= COMPACTION2_RANK_EPS / 2, (
+                f"{sf} {r.period_start} ({r.granularity}): median rank "
+                f"dev {r.med_rank_dev:.4f} within 2x of the "
+                f"{COMPACTION2_RANK_EPS} flag threshold"
+            )
