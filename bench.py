@@ -112,6 +112,16 @@ HEADLINE = [
     "source_scorecard",
     "char_lm_perplexity",
     "ann_int8_rerank",
+    # r8: the registry-dispatched PPM decode kernel (Arrow-batched real
+    # container parse — the round's Python-side work-bound row), the
+    # re-contracted block-level payload dedup (256-byte block explode +
+    # digest agg), and the LSH-blocked near-dup pairs, whose truth set
+    # is non-empty for the first time (threshold recalibration).
+    # streaming_profile_compaction2 is excluded like the other streaming
+    # rows: a bench row would time stream staging, not the operator.
+    "multimodal_decode_ppm",
+    "payload_dedup",
+    "embedding_near_dup_lsh",
 ]
 
 

@@ -592,3 +592,72 @@ def test_ann_int8_rerank_broadcasts_queries_and_codebook(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # codebook + query broadcasts: at least two broadcast exchanges
     assert plan.count("BroadcastExchange") >= 2
+
+
+def test_idle_rich_customers_date_filter_pushed(spark, sf_dir):
+    """The r8 idle-since re-contract must push the recency filter to the
+    ORDERS parquet scan (the anti join's build side reads one column of a
+    date-pruned scan, not the whole table) and broadcast the 1-row
+    average — no nested-loop anywhere else."""
+    from self_healing_data_pipeline_agent_spark.operators.relational import (
+        q_idle_rich_customers,
+    )
+
+    df = q_idle_rich_customers(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert has_pushed_filter(df, "o_orderdate")
+    assert "CartesianProduct" not in plan
+
+
+def test_payload_dedup_stays_in_codegen(spark, sf_dir):
+    """Block-level dedup (r8) must slice blocks with explode+substring —
+    whole-stage-codegen expressions — not a Python UDF or an interpreted
+    per-element lambda, and must partial-aggregate the digest counts
+    map-side (exactly one shuffle: the sha groupBy; the orderBy collapses
+    to the same single-partition exchange at test scale)."""
+    from self_healing_data_pipeline_agent_spark.operators.multimodal import (
+        q_payload_dedup,
+    )
+
+    df = q_payload_dedup(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Python" not in plan  # no UDF/ArrowEval anywhere
+    # block slicing = explode of indexes + substring in a plain Project
+    # (JVM expressions), not an interpreted transform() lambda
+    assert re.search(r"\(\d+\) Generate", plan)
+    assert "sha2(substring(payload" in plan
+    assert "lambdafunction" not in plan.lower()
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_multimodal_decode_ppm_single_python_stage(spark, sf_dir):
+    """The PPM ring's plan contract: the JVM-side encode (concat/rpad)
+    feeds exactly ONE Arrow-batched Python stage (the registry-dispatched
+    decode kernel), and the query is map-only — zero shuffles, the
+    embarrassingly-parallel shape every multimodal kernel must keep."""
+    from self_healing_data_pipeline_agent_spark.operators.multimodal import (
+        q_multimodal_decode_ppm,
+    )
+
+    df = q_multimodal_decode_ppm(spark, sf_dir)
+    plan = formatted_plan(df)
+    # formatted mode renders each node twice (tree + detail section)
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+    assert count_exchanges(df) == 0
+
+
+def test_tpch_q8_broadcasts_all_dimensions(spark, sf_dir):
+    """Q8's only big-big edge is lineitem-orders; every dimension
+    (region-filtered customers, promo parts, nation-named suppliers) must
+    broadcast.  First plan-checked in r8 — the query was empty at every
+    SF until the region-constant fix, so its plan had never carried a
+    row."""
+    from self_healing_data_pipeline_agent_spark.operators.relational import (
+        q_tpch_q8,
+    )
+
+    df = q_tpch_q8(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 3
