@@ -20,7 +20,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from self_healing_data_pipeline_agent_spark.registry import all_queries  # noqa: E402
 from self_healing_data_pipeline_agent_spark.session import get_spark  # noqa: E402
 
-# query -> reason a flag is the RIGHT plan there
+# query -> reason a flag is the RIGHT plan there.  r8 lesson (the dtype
+# audit all over again): this list had not been maintained since r5, so
+# every r6/r7 operator ran UNEXPLAINED and nobody noticed — the audit is
+# now executed by tests/test_plan_audit.py, so an unexplained flag fails
+# ``pytest tests/`` and the list must be updated WITH the new operator.
 EXPECTED = {
     "ann_ivf_topk": "BNLJ = broadcast cross join with the 16-centroid codebook",
     "knn_cosine": "BNLJ = tiny broadcast query set against the corpus scan",
@@ -34,9 +38,60 @@ EXPECTED = {
     "incremental_dedup": "shuffles: signature agg + batch-vs-corpus band join + verification",
     "quantile_profile": "shuffles: two ranked columns, tiny offset windows",
     "semantic_dedup": "BNLJ = broadcast cross join with the 16-centroid codebook",
+    # r6/r7/r8 operators (back-filled in r8 when the audit was wired
+    # into pytest; each reason matches the shape its plan test pins)
+    "ann_int8_rerank": "BNLJ = broadcast query set + 1-row broadcast codebook crossJoin (pinned by test_plan_shapes)",
+    "char_lm_perplexity": "shuffles: bigram tf -> model -> per-doc score aggs of one corpus pipeline; model side is V^2-bounded",
+    "curate_corpus": "BNLJ = 1-row corpus-total broadcasts; shuffles: dedup+gates+decontaminate funnel composed in ONE lazy plan",
+    "heavy_hitters": "BNLJ = tiny broadcast MG-candidate/threshold frame against the exact recount",
+    "kll_quantile_bounds": "BNLJ = 1-row merged-sketch broadcast crossJoin against the probe grid",
+    "prefix_filter_jaccard": "shuffles: rarity ranking + prefix explode + candidate join + exact verification (lossless pruning stages)",
+    "source_scorecard": "shuffles: five doc_id-co-keyed signal pipelines composed in one plan; nothing shuffles wider than doc_id (pinned by test_plan_shapes)",
+    "streaming_profile_compaction": "BNLJ = 1-row max-day broadcast crossJoin (the retention cutoff)",
+    "streaming_profile_compaction2": "BNLJ = 1-row max-day broadcast for BOTH tier keyings; shuffles: two union tiers + the rank-audit join over sketch-row-sized data",
+    "substring_dup_spans": "shuffles: postings/fingerprint index builds + doc-prune semis + gram join + islands window (pinned by test_plan_shapes); all stages bucketed, none all-pairs",
+    "substring_dup_coverage": "shuffles: the spans lineage + interval-union agg + per-doc join; union runs over pair-count-sized data only",
+    "theta_priority_overlap": "BNLJ = pairwise combination of priority-count-sized broadcast sketch rows",
 }
 
 STREAMING = {"streaming_hourly_counts", "streaming_dq_profile", "stateful_sessions"}
+
+
+def query_flags(df) -> list[str]:
+    """Scale red flags for one query's physical plan."""
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    flags = []
+    if "CartesianProduct" in plan:
+        flags.append("CARTESIAN")
+    if "BroadcastNestedLoopJoin" in plan:
+        flags.append("BNLJ")
+    n_shuffles = sum(
+        1 for line in plan.splitlines()
+        if "Exchange" in line and "Broadcast" not in line
+    )
+    if n_shuffles > 6:
+        flags.append(f"shuffles={n_shuffles}")
+    return flags
+
+
+def audit(spark, sf_dir: str, verbose: bool = False) -> list[tuple[str, list[str]]]:
+    """[(query, flags)] for every flagged query WITHOUT an EXPECTED
+    reason.  Importable so the test suite runs the sweep per round."""
+    unexplained = []
+    for name, fn in sorted(all_queries().items()):
+        if name in STREAMING:
+            continue
+        flags = query_flags(fn(spark, sf_dir))
+        if flags:
+            reason = EXPECTED.get(name)
+            tag = f"expected ({reason})" if reason else "UNEXPLAINED"
+            if verbose:
+                print(f"{name}: {', '.join(flags)} — {tag}")
+            if not reason:
+                unexplained.append((name, flags))
+    return unexplained
 
 
 def main() -> None:
@@ -44,33 +99,9 @@ def main() -> None:
     spark = get_spark(app_name="plan-audit", master="local[8]",
                       shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
-    unexplained = []
-    for name, fn in sorted(all_queries().items()):
-        if name in STREAMING:
-            continue
-        df = fn(spark, sf_dir)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "simple"
-        )
-        flags = []
-        if "CartesianProduct" in plan:
-            flags.append("CARTESIAN")
-        if "BroadcastNestedLoopJoin" in plan:
-            flags.append("BNLJ")
-        n_shuffles = sum(
-            1 for line in plan.splitlines()
-            if "Exchange" in line and "Broadcast" not in line
-        )
-        if n_shuffles > 6:
-            flags.append(f"shuffles={n_shuffles}")
-        if flags:
-            reason = EXPECTED.get(name)
-            tag = f"expected ({reason})" if reason else "UNEXPLAINED"
-            print(f"{name}: {', '.join(flags)} — {tag}")
-            if not reason:
-                unexplained.append(name)
+    unexplained = audit(spark, sf_dir, verbose=True)
     if unexplained:
-        print(f"\nFAIL: unexplained plan flags in {unexplained}")
+        print(f"\nFAIL: unexplained plan flags in {[n for n, _ in unexplained]}")
         sys.exit(1)
     print("\nplan audit clean (all flags documented)")
 

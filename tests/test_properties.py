@@ -453,3 +453,46 @@ def test_substring_dup_spans_matches_bruteforce(spark, tmp_path_factory, data):
         for r in q_substring_dup_spans(spark, str(d)).collect()
     }
     assert got == expected
+
+
+@given(
+    w=st.integers(min_value=1, max_value=8),
+    h=st.integers(min_value=1, max_value=8),
+    maxval=st.integers(min_value=1, max_value=255),
+    pad=st.sampled_from([b" ", b"\n", b"\t", b"\r"]),
+    comments=st.lists(
+        st.binary(min_size=0, max_size=6).filter(lambda b: b"\n" not in b),
+        max_size=3,
+    ),
+    data=st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_ppm_decode_roundtrip_property(w, h, maxval, pad, comments, data):
+    """Any spec-valid P6 payload — arbitrary dimensions, maxval,
+    header whitespace and comment placement — must decode to exactly its
+    raster bytes; any truncation of the raster must raise.  The codec is
+    the registry's real-container path, so its parser has to be
+    spec-total, not just correct on the fixed 16x16 encoder output."""
+    from self_healing_data_pipeline_agent_spark.operators.multimodal import (
+        _ppm_header,
+        decode_payload,
+    )
+    import pytest as _pytest
+
+    raster = data.draw(
+        st.binary(min_size=w * h * 3, max_size=w * h * 3)
+    )
+    header = bytearray(b"P6")
+    for tok in (w, h, maxval):
+        for c in comments:
+            header += b"#" + c + b"\n"
+        header += pad + str(tok).encode()
+    header += pad  # the single post-maxval whitespace byte
+    payload = bytes(header) + raster
+    assert decode_payload(payload, codec="ppm") == raster
+    pw, ph, pm, off = _ppm_header(payload)
+    assert (pw, ph, pm) == (w, h, maxval)
+    assert payload[off:off + w * h * 3] == raster
+    if w * h * 3 > 0:
+        with _pytest.raises(ValueError):
+            decode_payload(payload[:-1], codec="ppm")
