@@ -110,6 +110,48 @@ def fn_span(fn) -> tuple[str, int, int] | None:
     return os.path.relpath(f, REPO), start, start + len(lines) - 1
 
 
+_ORACLE_SPANS: dict[str, tuple[str, int, int]] | None = None
+
+
+def oracle_spans() -> dict[str, tuple[str, int, int]]:
+    """query -> (repo-relative file, first line, last line) of its
+    ``ORACLES["name"] = ...`` assignment, located via AST over every
+    registry module.  Added in r8: the audit tracked only the q_ function
+    span, so an oracle-side contract edit (exactly the r8
+    char_lm_perplexity CAST fix) left the official record looking fresh.
+    Remaining documented blind spot: module-level CONSTANTS interpolated
+    into either span (the r7 ``Q8_REGION`` case) — a constant edit still
+    needs a manual re-window; the local parity suite is the backstop."""
+    global _ORACLE_SPANS
+    if _ORACLE_SPANS is not None:
+        return _ORACLE_SPANS
+    import ast
+
+    from self_healing_data_pipeline_agent_spark import registry
+
+    spans: dict[str, tuple[str, int, int]] = {}
+    for mod in registry._MODULES:
+        f = inspect.getsourcefile(mod)
+        if not f:
+            continue
+        tree = ast.parse(open(f).read())
+        rel = os.path.relpath(f, REPO)
+        for node in ast.walk(tree):
+            if not isinstance(node, ast.Assign):
+                continue
+            for t in node.targets:
+                if (
+                    isinstance(t, ast.Subscript)
+                    and isinstance(t.value, ast.Name)
+                    and t.value.id == "ORACLES"
+                    and isinstance(t.slice, ast.Constant)
+                    and isinstance(t.slice.value, str)
+                ):
+                    spans[t.slice.value] = (rel, node.lineno, node.end_lineno)
+    _ORACLE_SPANS = spans
+    return spans
+
+
 def last_touch(file: str, start: int, end: int) -> str | None:
     """Most recent commit modifying the function's source range.
 
@@ -166,45 +208,60 @@ def audit() -> dict:
             entry["reason"] = "cannot locate function span"
             report[name] = entry
             continue
-        file, start, end = span
-        touch = last_touch(file, start, end)
-        if touch is None:
-            # fail CLOSED: a tool that cannot date the function must not
-            # report the green as trustworthy (ADVICE r4 — the old
-            # fail-open here was a silent false-green)
-            entry["status"] = "stale?"
-            entry["reason"] = "could not determine last modification " \
-                              f"of {file}:{start}-{end}"
-        elif green_commit is None:
-            # Untracked record: the driver wrote it AFTER the round's last
-            # commit, against the then-current working tree — the normal
-            # state for the newest round (r4's blind spot: this read as
-            # "cannot locate green commit" and flagged all 50 greens).
-            # The record's mtime dates the green; a later commit or a
-            # pending worktree edit over the span invalidates it.
-            record_mtime = os.path.getmtime(record_path)
-            touch_time = commit_time(touch)
-            if touch_time is not None and touch_time > record_mtime:
-                entry["status"] = "stale?"
-                entry["reason"] = f"{file}:{start}-{end} committed in " \
-                                  f"{touch[:10]} after round {last_green}'s " \
-                                  "(untracked) record was written"
+        # Both halves of the contract are tracked (r8): the q_ function
+        # AND its ORACLES["name"] assignment — an edit to either means
+        # the official record no longer describes the committed contract.
+        spans = [span]
+        ospan = oracle_spans().get(name)
+        if ospan is not None:
+            spans.append(ospan)
+        status, reason, note = "fresh", None, None
+        for file, start, end in spans:
+            touch = last_touch(file, start, end)
+            if touch is None:
+                # fail CLOSED: a tool that cannot date the span must not
+                # report the green as trustworthy (ADVICE r4 — the old
+                # fail-open here was a silent false-green)
+                status = "stale?"
+                reason = "could not determine last modification " \
+                         f"of {file}:{start}-{end}"
+                break
+            if green_commit is None:
+                # Untracked record: the driver wrote it AFTER the round's
+                # last commit, against the then-current working tree — the
+                # normal state for the newest round (r4's blind spot: this
+                # read as "cannot locate green commit" and flagged all 50
+                # greens).  The record's mtime dates the green; a later
+                # commit or a pending worktree edit over the span
+                # invalidates it.
+                record_mtime = os.path.getmtime(record_path)
+                touch_time = commit_time(touch)
+                if touch_time is not None and touch_time > record_mtime:
+                    status = "stale?"
+                    reason = f"{file}:{start}-{end} committed in " \
+                             f"{touch[:10]} after round {last_green}'s " \
+                             "(untracked) record was written"
+                    break
+                if _span_dirty(file, start, end, dirty_cache):
+                    status = "stale?"
+                    reason = f"uncommitted edits overlap {file}:" \
+                             f"{start}-{end} after the untracked record"
+                    break
+                note = "record untracked; green dated by file mtime"
+            elif not is_ancestor(touch, green_commit):
+                status = "stale?"
+                reason = f"{file}:{start}-{end} modified in {touch[:10]} " \
+                         f"after round {last_green}'s record"
+                break
             elif _span_dirty(file, start, end, dirty_cache):
-                entry["status"] = "stale?"
-                entry["reason"] = f"uncommitted edits overlap {file}:" \
-                                  f"{start}-{end} after the untracked record"
-            else:
-                entry["status"] = "fresh"
-                entry["note"] = "record untracked; green dated by file mtime"
-        elif not is_ancestor(touch, green_commit):
-            entry["status"] = "stale?"
-            entry["reason"] = f"{file}:{start}-{end} modified in {touch[:10]} " \
-                              f"after round {last_green}'s record"
-        elif _span_dirty(file, start, end, dirty_cache):
-            entry["status"] = "stale?"
-            entry["reason"] = f"uncommitted edits overlap {file}:{start}-{end}"
-        else:
-            entry["status"] = "fresh"
+                status = "stale?"
+                reason = f"uncommitted edits overlap {file}:{start}-{end}"
+                break
+        entry["status"] = status
+        if reason:
+            entry["reason"] = reason
+        if note and status == "fresh":
+            entry["note"] = note
         report[name] = entry
     return report
 

@@ -60,6 +60,11 @@ QUERY_ORDER = [
     #    union ALREADY-merged week sketches — two KLL merge levels) --
     "multimodal_decode_ppm",
     "streaming_profile_compaction2",
+    # -- caught by the r8 oracle-span upgrade of window_audit: the r7
+    #    DUCK_CONTAM_CTES dedup rewrote this oracle AFTER its r6 green
+    #    (values unchanged per local parity, but the fail-closed policy
+    #    says the record must describe the committed contract) --
+    "contamination_score",
     # -- the six r4 records deferred from the r7 rotation --
     "ann_ivf_topk",
     "anti_join_no_f_orders",
@@ -70,7 +75,8 @@ QUERY_ORDER = [
     # -- 35 of the 44 r5-aged records.  The 9 forced slots above
     #    displace: row_count, null_fractions, recent_errors,
     #    point_lookup, status_metrics, revenue_by_nation,
-    #    rollup_summary, setop_except, setop_intersect — the simplest,
+    #    rollup_summary, setop_except, setop_intersect, plus
+    #    order_priority_check for the contamination_score slot — the simplest,
     #    most change-isolated queries in the r5 cohort (single-table
     #    scans/aggs and set ops untouched since r2; all local-parity
     #    green today).  They spill to r9 oldest-first per the rotation
@@ -91,7 +97,6 @@ QUERY_ORDER = [
     "merge_upsert_orders",
     "one_pass_profile",
     "order_lag_lead",
-    "order_priority_check",
     "prefix_filter_jaccard",
     "promo_revenue_share",
     "quantile_profile",
