@@ -257,6 +257,25 @@ def audit() -> dict:
                 status = "stale?"
                 reason = f"uncommitted edits overlap {file}:{start}-{end}"
                 break
+        # Third check (r8): the contract FINGERPRINT.  Spans cannot see a
+        # module-level constant edit that re-renders into the oracle or
+        # the plan (the Q8_REGION case); the committed
+        # CONTRACT_FINGERPRINTS.json hashes both rendered halves, and
+        # tests/test_contract_fingerprints.py forces it to be regenerated
+        # in the same commit as any contract change — so comparing the
+        # entry at the green round's commit against HEAD's dates semantic
+        # changes exactly.  Records green before the file existed carry a
+        # note instead (spans + local parity remain their backstop).
+        if status == "fresh" and green_commit is not None:
+            then = _fingerprints_at(green_commit)
+            now = _fingerprints_at("HEAD")
+            if then is None or now is None:
+                entry["note"] = (entry.get("note", "") +
+                                 " no fingerprint at green round").strip()
+            elif then.get(name) != now.get(name):
+                status = "stale?"
+                reason = ("contract fingerprint changed since round "
+                          f"{last_green}'s record (oracle/plan hash)")
         entry["status"] = status
         if reason:
             entry["reason"] = reason
@@ -264,6 +283,19 @@ def audit() -> dict:
             entry["note"] = note
         report[name] = entry
     return report
+
+
+_FP_CACHE: dict[str, dict | None] = {}
+
+
+def _fingerprints_at(rev: str) -> dict | None:
+    """CONTRACT_FINGERPRINTS.json as of ``rev`` (None if absent there)."""
+    if rev not in _FP_CACHE:
+        out = _git("show", f"{rev}:CONTRACT_FINGERPRINTS.json")
+        _FP_CACHE[rev] = (
+            json.loads(out.stdout) if out.returncode == 0 else None
+        )
+    return _FP_CACHE[rev]
 
 
 def main() -> None:
