@@ -471,26 +471,43 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str,
     against the brute-force twin.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    coded = _lsh_coded(emb, dim)
-    a = coded.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
-        l2_norm(F.col("embedding")).alias("na"), "table",
-        F.col("code").alias("code_a"),
-    )
-    b = coded.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
-        l2_norm(F.col("embedding")).alias("nb"), "table",
-        F.col("code").alias("code_b"),
-    )
-    candidates = (
-        a.join(b, ["table"])
-        .filter((F.col("code_a") == F.col("code_b"))
-                & (F.col("vec_a") < F.col("vec_b")))
+    # r8 reshape: the blocker join carries ONLY (vec_id, table, code) —
+    # the old shape joined full embedding+norm rows on "table" alone
+    # (codes post-filtered), shuffling every embedding 8x per side and
+    # replaying the coding lineage for both sides.  Join ids on the
+    # explicit (table, code) key, dedup candidate PAIRS, then rejoin the
+    # (broadcastable, corpus-sized) embeddings once per side for the
+    # exact verify.  Candidate set and cosines are bit-identical; at
+    # scale the shuffle shrinks from 8x-replicated vectors to 12-byte
+    # code rows.  coded is cached: a self-join re-executes the 32
+    # hyperplane folds per side otherwise (the _shingle_df convention).
+    coded = _lsh_coded(emb, dim).select("vec_id", "table", "code").cache()
+    cand = (
+        coded.select(F.col("vec_id").alias("vec_a"), "table", "code")
+        .join(
+            coded.select(F.col("vec_id").alias("vec_b"), "table", "code"),
+            ["table", "code"],
+        )
+        .filter(F.col("vec_a") < F.col("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])
+        .select("vec_a", "vec_b")
+    )
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        l2_norm(F.col("embedding")).alias("na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        l2_norm(F.col("embedding")).alias("nb"),
     )
     sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    # no broadcast hint: the embedding side is corpus-sized, so Catalyst
+    # must stay free to pick SMJ on vec_id at scale (it broadcasts on its
+    # own at test SFs, where the corpus is KBs)
     return (
-        candidates.select("vec_a", "vec_b", sim.alias("cosine"))
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", sim.alias("cosine"))
         .filter(F.col("cosine") >= EMBED_NEAR_DUP_COS)
     )
 
