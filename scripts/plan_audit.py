@@ -42,6 +42,7 @@ EXPECTED = {
     # into pytest; each reason matches the shape its plan test pins)
     "ann_int8_rerank": "BNLJ = broadcast query set + 1-row broadcast codebook crossJoin (pinned by test_plan_shapes)",
     "char_lm_perplexity": "shuffles: bigram tf -> model -> per-doc score aggs of one corpus pipeline; model side is V^2-bounded",
+    "char_lm_model": "shuffles: 6 normally; 7 when the shared tf .cache() is materialized by an earlier query in the session — simple-mode explain then renders the InMemoryRelation's child plan (with its exchanges) inline",
     "curate_corpus": "BNLJ = 1-row corpus-total broadcasts; shuffles: dedup+gates+decontaminate funnel composed in ONE lazy plan",
     "heavy_hitters": "BNLJ = tiny broadcast MG-candidate/threshold frame against the exact recount",
     "kll_quantile_bounds": "BNLJ = 1-row merged-sketch broadcast crossJoin against the probe grid",
