@@ -661,3 +661,61 @@ def test_tpch_q8_broadcasts_all_dimensions(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastExchange") >= 3
+
+
+def test_minhash_lsh_pairs_equi_band_join(spark, sf_dir):
+    """The MinHash blocker must be an equi hash join on the band key —
+    a nested-loop here is the all-pairs blowup banding exists to
+    prevent.  (Below-window r5 green; pinned in r8 so a plan regression
+    fails CI even while the query rides its official record.)"""
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        q_minhash_lsh_pairs,
+    )
+
+    plan = formatted_plan(q_minhash_lsh_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_duplicate_clusters_no_cartesian(spark, sf_dir):
+    """Iterative connected-components over LSH edges: every join in the
+    final composed plan must be keyed (edges, labels) — never cartesian."""
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        q_duplicate_clusters,
+    )
+
+    plan = formatted_plan(q_duplicate_clusters(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_broadcasts_codebook(spark, sf_dir):
+    """SemDeDup must broadcast the 16-centroid codebook against the
+    corpus scan (the only acceptable nested-loop) and keep the prune
+    self-join per-cell keyed — no cartesian anywhere."""
+    from self_healing_data_pipeline_agent_spark.operators.similarity import (
+        q_semantic_dedup,
+    )
+
+    plan = formatted_plan(q_semantic_dedup(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_embedding_near_dup_lsh_code_join_carries_no_vectors(spark, sf_dir):
+    """The r8 reshape's contract: the blocker's shuffle join carries only
+    (vec_id, table, code) — the embedding arrays must enter the plan
+    AFTER candidate dedup, via the verify joins.  If a future edit
+    reattaches vectors to the coded frame, the 8x-replicated-vector
+    shuffle returns silently; this pins it."""
+    from self_healing_data_pipeline_agent_spark.operators.similarity import (
+        q_embedding_near_dup_lsh,
+    )
+
+    plan = formatted_plan(q_embedding_near_dup_lsh(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the candidate-side SortMergeJoin/ShuffledHashJoin keys must include
+    # the code column; embedding only appears in the verify-side joins
+    import re as _re
+    smj_keys = _re.findall(r"(?:SortMergeJoin|ShuffledHashJoin) \[([^\]]*)\]", plan)
+    if smj_keys:  # at test scale AQE may broadcast everything
+        assert any("code" in k for k in smj_keys)
