@@ -41,7 +41,17 @@ SF_DIR = "/root/testdata/sf0.001"
 
 # Session-dependent noise stripped from analyzed-plan strings:
 # expression ids (#123 / #123L), plan ids, and memory addresses.
-_EXPR_ID = re.compile(r"#\d+")
+# The expr-id regex is anchored to identifier context (ADVICE r8: a bare
+# r"#\d+" would also strip '#123' inside a string/SQL literal rendered
+# into the plan, silently keeping a fingerprint stable across a semantic
+# literal edit).  Expr-ids follow an identifier, a closing paren/bracket
+# (aggregate result ids: "..._candidates(tokens#8386)#8374"), or a
+# backtick-quoted name ("`count(1)`#9638") — verified output-identical
+# to the unanchored form on all 149 current plans, so committed
+# fingerprints are unaffected.  The trailing L (long-typed ids) is NOT
+# consumed, deliberately: it normalizes consistently ("#L") and
+# consuming it would churn every committed hash.
+_EXPR_ID = re.compile(r"(?<=[\w)`\]])#\d+")
 _PLAN_ID = re.compile(r"plan_id=\d+")
 _ADDR = re.compile(r"@[0-9a-f]{6,}")
 # Python callables render as <function f at 0x...> inside MapInPandas /
@@ -54,7 +64,11 @@ _PYFN = re.compile(r"<function ([^ ]+) at 0x[0-9a-f]+>")
 _LAMBDA_VAR = re.compile(r"lambda ([A-Za-z]+)_\d+#")
 # The streaming twins register per-session temp views / staging dirs with
 # uuid suffixes (hourly_counts_02fe57a0, /tmp/... paths) — session noise.
-_UUID_SFX = re.compile(r"_[0-9a-f]{8,}\b")
+# Width pinned to EXACTLY the 8 hex chars those uuid4 suffixes use
+# (ADVICE r8: the open-ended {8,} would also strip a longer hex-ish token
+# that is real plan content, e.g. a literal hash constant, making a
+# semantic edit to it invisible to the fingerprint).
+_UUID_SFX = re.compile(r"_[0-9a-f]{8}\b")
 _TMP_PATH = re.compile(r"file:/tmp/[^\s,)\]]*|/tmp/[^\s,)\]]*")
 
 

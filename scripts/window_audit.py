@@ -119,9 +119,14 @@ def oracle_spans() -> dict[str, tuple[str, int, int]]:
     registry module.  Added in r8: the audit tracked only the q_ function
     span, so an oracle-side contract edit (exactly the r8
     char_lm_perplexity CAST fix) left the official record looking fresh.
-    Remaining documented blind spot: module-level CONSTANTS interpolated
-    into either span (the r7 ``Q8_REGION`` case) — a constant edit still
-    needs a manual re-window; the local parity suite is the backstop."""
+    Module-level CONSTANTS interpolated into either span (the r7
+    ``Q8_REGION`` case) are covered for COMMITTED edits by the contract
+    fingerprint comparison in ``audit()`` (the rendered oracle + plan
+    hashes change whenever a constant reaches either engine); the
+    residual gap is UNCOMMITTED working-tree constant edits —
+    fingerprints compare committed revisions and ``_span_dirty`` only
+    sees hunks overlapping the tracked spans — for which the local
+    parity suite is the backstop."""
     global _ORACLE_SPANS
     if _ORACLE_SPANS is not None:
         return _ORACLE_SPANS

@@ -159,6 +159,11 @@ def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
     whitespace byte separates maxval from the raster."""
     if payload[:2] != b"P6":
         raise ValueError(f"not a P6 PPM (magic {payload[:2]!r})")
+    # the magic is a token too: a whitespace (or comment) byte must
+    # separate it from the width, else "P64 ..." would silently parse
+    # the 4 as the width's first digit
+    if payload[2:3] not in (b" ", b"\t", b"\r", b"\n", b"#"):
+        raise ValueError("PPM magic not followed by whitespace")
     pos, tokens = 2, []
     while len(tokens) < 3:
         if pos >= len(payload):
@@ -178,6 +183,8 @@ def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
     if payload[pos: pos + 1] not in b" \t\r\n":
         raise ValueError("PPM maxval not followed by whitespace")
     w, h, maxval = tokens
+    if w <= 0 or h <= 0:
+        raise ValueError(f"PPM dimensions {w}x{h} out of range")
     if not (0 < maxval < 65536):
         raise ValueError(f"PPM maxval {maxval} out of range")
     return w, h, maxval, pos + 1

@@ -1784,8 +1784,11 @@ Q8_NATION = "NATION_3"
 # The testdata's region names are the REAL TPC-H ones (AFRICA/AMERICA/
 # ASIA/EUROPE/MIDDLE EAST) even though nation names are synthetic
 # NATION_*; the r7 "REGION_0" constant matched nothing, so the query was
-# empty at every SF and its green was vacuous (VERDICT r7 #2).  ASIA is
-# TPC-H's canonical Q8 region; yields 7 year-rows at sf0.001/0.01/0.1.
+# empty at every SF and its green was vacuous (VERDICT r7 #2).  ASIA was
+# chosen because it yields non-empty results at every SF (7 year-rows at
+# sf0.001/0.01/0.1); the canonical TPC-H Q8 validation substitution is
+# actually region = AMERICA (nation BRAZIL) — not used here because the
+# choice of region is arbitrary for this synthetic data.
 Q8_REGION = "ASIA"
 Q8_PTYPE = "PROMO"
 

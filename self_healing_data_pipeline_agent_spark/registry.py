@@ -72,7 +72,7 @@ QUERY_ORDER = [
     "cohort_retention",
     "distinct_counts",
     "distinct_event_types",
-    # -- 35 of the 44 r5-aged records.  The 9 forced slots above
+    # -- 34 of the 44 r5-aged records.  The 9 forced slots above
     #    displace: row_count, null_fractions, recent_errors,
     #    point_lookup, status_metrics, revenue_by_nation,
     #    rollup_summary, setop_except, setop_intersect, plus

@@ -228,6 +228,14 @@ def test_ppm_codec_spec_parse():
         decode_payload(b"P6\n2 2", codec="ppm")
     with pytest.raises(ValueError, match="maxval"):
         decode_payload(b"P6\n2 2\n0\n" + raster, codec="ppm")
+    # ADVICE r8: zero dimensions and a magic fused to the width must fail,
+    # not decode to empty bytes / misparse the width
+    with pytest.raises(ValueError, match="dimensions"):
+        decode_payload(b"P6\n0 0\n255\n", codec="ppm")
+    with pytest.raises(ValueError, match="dimensions"):
+        decode_payload(b"P6\n2 0\n255\n", codec="ppm")
+    with pytest.raises(ValueError, match="magic not followed"):
+        decode_payload(b"P64 2\n255\n" + raster, codec="ppm")
 
 
 def test_ppm_decode_query_roundtrip(spark, sf_dir):
