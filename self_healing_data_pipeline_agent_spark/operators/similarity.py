@@ -202,37 +202,59 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str, dim: int = 64) -> DataFrame
     DuckDB twin (``_lsh_oracle_sql``) reproduces the index bit-for-bit.
 
     100 TB shape: coding is a narrow scan (no shuffle); the candidate join
-    shuffles on (table, code) so only colliding vectors meet; tune
-    LSH_BITS up as the corpus grows (collision count ~ N / 2^bits per
-    table) and LSH_TABLES up for recall.
+    meets on the explicit (table, code) key so only colliding vectors
+    pair up; tune LSH_BITS up as the corpus grows (collision count
+    ~ N / 2^bits per table) and LSH_TABLES up for recall.
+
+    r9 reshape (the embedding_near_dup_lsh r8 lesson applied to the last
+    holdout): the old shape joined full embedding+norm rows on "table"
+    alone with the code as a post-filter — every corpus embedding was
+    replicated 8x into the join and carried through dropDuplicates.  Now
+    the candidate join and the pair dedup move ONLY (vec_id, table,
+    code) rows; the (query, neighbor) id pairs then rejoin the
+    embeddings once per side for the exact rerank.  Candidate set and
+    cosines are bit-identical; the dedup shuffle shrinks from
+    8x-replicated 64-float vectors to 12-byte code rows.  coded is
+    cached: query and corpus sides would otherwise each replay the 32
+    hyperplane folds.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    coded = _lsh_coded(emb, dim)
+    coded = _lsh_coded(emb, dim).select("vec_id", "table", "code").cache()
 
-    q = coded.filter(F.col("vec_id") < N_QUERY_VECS).select(
+    qcodes = coded.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), "table", "code"
+    )
+    candidates = (
+        F.broadcast(qcodes)
+        .join(
+            coded.select(F.col("vec_id").alias("neighbor_id"), "table", "code"),
+            ["table", "code"],
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id")
+    )
+    # exact rerank: query embeddings are Q-sized -> broadcast; the
+    # neighbor side is corpus-sized, so no hint — Catalyst must stay free
+    # to pick SMJ on vec_id at scale (it broadcasts on its own at test SFs)
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         l2_norm(F.col("embedding")).alias("q_norm"),
-        "table", F.col("code").alias("q_code"),
     )
-    c = coded.select(
+    c = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
         l2_norm(F.col("embedding")).alias("c_norm"),
-        "table", F.col("code").alias("c_code"),
-    )
-    candidates = (
-        F.broadcast(q)
-        .join(c, ["table"])
-        .filter((F.col("q_code") == F.col("c_code"))
-                & (F.col("query_id") != F.col("neighbor_id")))
-        .select("query_id", "q_emb", "q_norm", "neighbor_id", "c_emb", "c_norm")
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     sim = dot(F.col("q_emb"), F.col("c_emb")) / (
         F.col("q_norm") * F.col("c_norm")
     )
-    pairs = candidates.select("query_id", "neighbor_id", sim.alias("cosine"))
+    pairs = (
+        candidates.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )

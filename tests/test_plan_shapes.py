@@ -719,3 +719,30 @@ def test_embedding_near_dup_lsh_code_join_carries_no_vectors(spark, sf_dir):
     smj_keys = _re.findall(r"(?:SortMergeJoin|ShuffledHashJoin) \[([^\]]*)\]", plan)
     if smj_keys:  # at test scale AQE may broadcast everything
         assert any("code" in k for k in smj_keys)
+
+
+def test_ann_lsh_topk_pair_dedup_carries_no_vectors(spark, sf_dir):
+    """The r9 reshape's contract (embedding_near_dup_lsh's r8 lesson
+    applied to the ANN index): candidate generation and the pair dedup
+    move only (vec_id, table, code) rows — embeddings must enter the plan
+    AFTER dedup, via the rerank joins.  The dropDuplicates HashAggregate
+    keys pin it: if a future edit reattaches vectors to the coded frame,
+    the aggregate would key (or carry) embedding columns again."""
+    import re as _re
+
+    from self_healing_data_pipeline_agent_spark.operators.similarity import (
+        q_ann_lsh_topk,
+    )
+
+    plan = formatted_plan(q_ann_lsh_topk(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # formatted detail blocks: "Input [n]: [...]\nKeys [n]: [...]" — the
+    # dedup aggregate is the one keyed on the id pair; its Input must be
+    # the two ids alone
+    dedup_inputs = [
+        inp for inp, keys in _re.findall(
+            r"Input \[\d+\]: \[([^\]]*)\]\nKeys \[\d+\]: \[([^\]]*)\]", plan)
+        if "query_id" in keys and "neighbor_id" in keys
+    ]
+    assert dedup_inputs, "pair-dedup HashAggregate not found in plan"
+    assert all("emb" not in i and "norm" not in i for i in dedup_inputs)
