@@ -122,6 +122,16 @@ HEADLINE = [
     "multimodal_decode_ppm",
     "payload_dedup",
     "embedding_near_dup_lsh",
+    # r9: the JL projected-candidate ANN (32-dim brute scan + exact
+    # rerank), the Morton-vs-linear layout study (full lineitem scan +
+    # two zone-map aggs), and the Bloom-bitset decontamination prefilter
+    # (shingle stream probed against a broadcast bitset + exact verify).
+    # jl_projection itself is excluded: a map-only projection pass is
+    # pure scheduler floor at sf0.1 and is timed inside ann_jl_rerank
+    # anyway.
+    "ann_jl_rerank",
+    "zorder_pruning",
+    "bloom_decontaminate",
 ]
 
 

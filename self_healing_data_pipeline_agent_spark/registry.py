@@ -37,91 +37,81 @@ _MODULES = [
 # (tests/test_oracle_parity.py, which runs ALL pairs) — not the official
 # record — decides what needs the window.
 QUERY_ORDER = [
-    # -- r8 forced slots (VERDICT r7 items 1-3 + the two new rings).
-    #    char_lm_perplexity: never-green r5-r7; the oracle's uncast
-    #    SUM(tf) (DuckDB HUGEINT vs Spark BIGINT) is now CAST — the
-    #    dtype_audit-confirmed root cause.  substring_dup_spans:
-    #    positions recast to bigint (same dtype class, was driver-
-    #    tolerated).  tpch_q8 / embedding_near_dup(+lsh) /
-    #    idle_rich_customers / payload_dedup: the four vacuous
-    #    empty-set greens, re-contracted to be non-empty at every SF
-    #    (region constant, corpus-calibrated threshold, idle-since
-    #    cutoff, block-level dedup) — each must re-green on VALUES. --
-    "char_lm_perplexity",
-    "substring_dup_spans",
-    "tpch_q8",
-    "embedding_near_dup",
-    "embedding_near_dup_lsh",
-    "idle_rich_customers",
-    "payload_dedup",
-    # -- new operators in r8: the codec registry's real-container path
-    #    (pure-Python PPM P6 decode through the same gate real codecs
-    #    use) and the second-tier retention compaction (month rows
-    #    union ALREADY-merged week sketches — two KLL merge levels) --
+    # -- r9 new operators (never-green, must be in-window): the JL
+    #    random-projection ring (map-only 64->32 compression + the
+    #    projected-candidate/exact-rerank ANN), the Morton-vs-linear
+    #    layout study, and the Bloom-bitset decontamination prefilter --
+    "jl_projection",
+    "ann_jl_rerank",
+    "zorder_pruning",
+    "bloom_decontaminate",
+    # -- changed in r9, fail-closed re-check: ann_lsh_topk's candidate
+    #    join/dedup reshaped to move codes instead of embeddings
+    #    (bit-identical per local parity); multimodal_decode_ppm's
+    #    _ppm_header helper gained malformed-input rejections (valid
+    #    payloads decode unchanged, but the helper sits outside the
+    #    tracked spans, so the record is re-earned rather than argued) --
+    "ann_lsh_topk",
     "multimodal_decode_ppm",
-    "streaming_profile_compaction2",
-    # -- caught by the r8 oracle-span upgrade of window_audit: the r7
-    #    DUCK_CONTAM_CTES dedup rewrote this oracle AFTER its r6 green
-    #    (values unchanged per local parity, but the fail-closed policy
-    #    says the record must describe the committed contract) --
-    "contamination_score",
-    # -- the six r4 records deferred from the r7 rotation --
-    "ann_ivf_topk",
-    "anti_join_no_f_orders",
-    "approx_distinct_counts",
-    "cohort_retention",
-    "distinct_counts",
-    "distinct_event_types",
-    # -- 34 of the 44 r5-aged records.  The 9 forced slots above
-    #    displace: row_count, null_fractions, recent_errors,
-    #    point_lookup, status_metrics, revenue_by_nation,
-    #    rollup_summary, setop_except, setop_intersect, plus
-    #    order_priority_check for the contamination_score slot — the simplest,
-    #    most change-isolated queries in the r5 cohort (single-table
-    #    scans/aggs and set ops untouched since r2; all local-parity
-    #    green today).  They spill to r9 oldest-first per the rotation
-    #    policy (no official record older than ~3 rounds after r9). --
-    "chunk_with_overlap",
-    "concentrated_value_parts",
-    "curate_corpus",
-    "customer_churn_sketch",
-    "grouped_dq_profile",
-    "healing_proposals",
-    "hll_distinct_profile",
-    "hourly_windows",
-    "jaccard_pairs",
-    "json_extract",
-    "kll_quantile_bounds",
-    "large_volume_customers",
-    "late_data_profile",
-    "merge_upsert_orders",
-    "one_pass_profile",
-    "order_lag_lead",
-    "prefix_filter_jaccard",
-    "promo_revenue_share",
-    "quantile_profile",
-    "regional_supplier_volume",
-    "rolling_order_totals",
-    "semantic_dedup",
-    "semi_join_open_orders",
-    "sessionization",
-    "shipping_priority",
-    "simhash_fingerprints",
-    "simhash_near_dup",
-    "sliding_windows",
-    "sole_late_supplier",
-    "supplier_part_breadth",
-    "tfidf_top_terms",
-    "theta_priority_overlap",
-    "tpch_q6",
-    "user_rolling_hour",
-    # Below the 50-entry window: everything else carries an r6 or r7
-    # official green against current testdata and unchanged code
-    # (substring_dup_coverage stays out deliberately: its r7 record is
-    # fresh, the spans dtype fix changes only an intermediate column's
-    # width, and its output schema/values are pinned unchanged by local
-    # parity).  scripts/window_audit.py tracks staleness; local parity
-    # re-verifies the full surface each session at sf0.001+sf0.01.
+    # -- the ten r5 records the r8 rotation spilled (committed there as
+    #    r9 MUST-window; after these re-green, no official record is
+    #    older than r6) --
+    "row_count",
+    "null_fractions",
+    "recent_errors",
+    "point_lookup",
+    "status_metrics",
+    "revenue_by_nation",
+    "rollup_summary",
+    "setop_except",
+    "setop_intersect",
+    "order_priority_check",
+    # -- 34 of the 42 r6-aged records, oldest-first rotation.  The 8
+    #    displaced by the forced slots above — fulfillment_lag,
+    #    lang_guess, ngram_counts, payload_stats, small_qty_revenue,
+    #    top_supplier_revenue, top_terms, tpch_q1 — are the simplest,
+    #    most change-isolated of the cohort (single-table scans/aggs
+    #    untouched since their green; all local-parity green today).
+    #    They spill to r10 oldest-first per the rotation policy. --
+    "dup_ngram_coverage",
+    "embedding_norm_stats",
+    "embedding_quant_codebook",
+    "exact_dedup_docs",
+    "format_interchange",
+    "funnel_conversion",
+    "heavy_hitters",
+    "heavy_hitters_by_lang",
+    "histogram_profile",
+    "kll_quantile_drift",
+    "knn_cosine",
+    "label_centroids",
+    "minhash_lsh_pairs",
+    "mixture_resample",
+    "pack_sequences",
+    "pii_scrub",
+    "pivot_status_priority",
+    "quality_gates",
+    "referential_orphans",
+    "repetition_ratio",
+    "salted_hot_key_agg",
+    "shard_manifest",
+    "source_mix",
+    "stratified_sample",
+    "streaming_cardinality_profile",
+    "streaming_churn_profile",
+    "streaming_dedup_jittered",
+    "streaming_enriched_counts",
+    "streaming_session_windows",
+    "streaming_sketch_rollup",
+    "text_quality",
+    "token_stats_by_lang",
+    "train_val_split",
+    "vocab_growth",
+    # Below the 50-entry window: everything else carries an r7 or r8
+    # official green against current testdata and unchanged code.
+    # scripts/window_audit.py tracks staleness (spans + fingerprints);
+    # local parity re-verifies the full surface each session at
+    # sf0.001+sf0.01.
 ]
 
 
