@@ -746,3 +746,53 @@ def test_ann_lsh_topk_pair_dedup_carries_no_vectors(spark, sf_dir):
     ]
     assert dedup_inputs, "pair-dedup HashAggregate not found in plan"
     assert all("emb" not in i and "norm" not in i for i in dedup_inputs)
+
+
+def test_zorder_pruning_single_pass_two_shuffles(spark, sf_dir):
+    """The layout study must stay one scan: both file assignments come
+    from an explode over the same cell rows (never a UNION of two
+    selects re-scanning lineitem), and only the zone-map agg and the
+    per-layout summary shuffle.  A second scan or a union would double
+    the cost of the operator whose whole point is measuring scan cost."""
+    from self_healing_data_pipeline_agent_spark.operators.relational import (
+        q_zorder_pruning,
+    )
+
+    df = q_zorder_pruning(spark, sf_dir)
+    # simple mode renders each node once (formatted repeats it in the
+    # detail section), so scan counting is exact there
+    simple = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple")
+    assert simple.count("Scan parquet") == 1
+    assert "Union" not in simple
+    assert count_exchanges(df) <= 2
+
+
+def test_bloom_decontaminate_probes_via_broadcast(spark, sf_dir):
+    """The bitset probe must be a BROADCAST join against the ~KB word
+    table — if it ever degrades to a shuffle join, the corpus-side
+    shingle stream gets repartitioned just to test candidacy, defeating
+    the operator's reason to exist (the bitset exists so the corpus
+    never shuffles for the membership test)."""
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        q_bloom_decontaminate,
+    )
+
+    df = q_bloom_decontaminate(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_jl_projection_shuffle_free(spark, sf_dir):
+    """The projection is the compression lever BECAUSE it is map-only:
+    one narrow scan, no exchange of any kind."""
+    from self_healing_data_pipeline_agent_spark.operators.similarity import (
+        q_jl_projection,
+    )
+
+    df = q_jl_projection(spark, sf_dir)
+    assert count_exchanges(df) == 0
+    simple = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple")
+    assert simple.count("Scan parquet") == 1
