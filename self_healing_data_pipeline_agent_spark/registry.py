@@ -40,11 +40,14 @@ QUERY_ORDER = [
     # -- r9 new operators (never-green, must be in-window): the JL
     #    random-projection ring (map-only 64->32 compression + the
     #    projected-candidate/exact-rerank ANN), the Morton-vs-linear
-    #    layout study, and the Bloom-bitset decontamination prefilter --
+    #    layout study, the Bloom-bitset decontamination prefilter, and
+    #    the stream-stream LEFT OUTER interval join (watermark-gated
+    #    null emission under the min multiple-watermark policy) --
     "jl_projection",
     "ann_jl_rerank",
     "zorder_pruning",
     "bloom_decontaminate",
+    "streaming_error_orphans",
     # -- changed in r9, fail-closed re-check: ann_lsh_topk's candidate
     #    join/dedup reshaped to move codes instead of embeddings
     #    (bit-identical per local parity); multimodal_decode_ppm's
@@ -66,13 +69,14 @@ QUERY_ORDER = [
     "setop_except",
     "setop_intersect",
     "order_priority_check",
-    # -- 34 of the 42 r6-aged records, oldest-first rotation.  The 8
+    # -- 33 of the 42 r6-aged records, oldest-first rotation.  The 9
     #    displaced by the forced slots above — fulfillment_lag,
-    #    lang_guess, ngram_counts, payload_stats, small_qty_revenue,
-    #    top_supplier_revenue, top_terms, tpch_q1 — are the simplest,
-    #    most change-isolated of the cohort (single-table scans/aggs
-    #    untouched since their green; all local-parity green today).
-    #    They spill to r10 oldest-first per the rotation policy. --
+    #    histogram_profile, lang_guess, ngram_counts, payload_stats,
+    #    small_qty_revenue, top_supplier_revenue, top_terms, tpch_q1 —
+    #    are the simplest, most change-isolated of the cohort
+    #    (single-table scans/aggs and footer reads untouched since their
+    #    green; all local-parity green today).  They spill to r10
+    #    oldest-first per the rotation policy. --
     "dup_ngram_coverage",
     "embedding_norm_stats",
     "embedding_quant_codebook",
@@ -81,7 +85,6 @@ QUERY_ORDER = [
     "funnel_conversion",
     "heavy_hitters",
     "heavy_hitters_by_lang",
-    "histogram_profile",
     "kll_quantile_drift",
     "knn_cosine",
     "label_centroids",

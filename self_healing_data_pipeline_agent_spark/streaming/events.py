@@ -592,6 +592,106 @@ WHERE e.event_type = 'error'
 """
 
 
+def streaming_error_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every error event with its
+    +-5-minute same-user click/view context, or a NULL context once the
+    watermark PROVES none can arrive — the late-data-aware "unanswered
+    error" detector, and the semantics that separates outer streaming
+    joins from batch ones: a NULL row may only be emitted when the other
+    side's event-time watermark has passed the row's entire match
+    interval (earlier emission could be contradicted by a late match).
+
+    The exactly-checkable boundary (empirically pinned at all three SFs):
+    the engine's global watermark under the default ``min`` multiple-
+    watermark policy is min(max err_ts, max ctx_ts) FLOORED TO MILLIS
+    minus the 2h delay — the errors stream ends hours before the context
+    stream in this data, so the ERROR side's max gates everything (a
+    production lesson in disguise: one stalled input holds back every
+    outer emission).  Matched pairs emit as they meet, unconstrained.
+
+    100 TB shape: identical to the inner interval join — state per side
+    bounded by watermark + interval; the outer semantics add only the
+    eviction-time null emission, no extra state."""
+    errors = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.col("user_id").alias("err_user"),
+            F.col("ts").alias("err_ts"),
+        )
+        .withWatermark("err_ts", WATERMARK)
+    )
+    context = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            F.col("event_id").alias("ctx_id"),
+            F.col("user_id").alias("ctx_user"),
+            F.col("ts").alias("ctx_ts"),
+        )
+        .withWatermark("ctx_ts", WATERMARK)
+    )
+    joined = errors.join(
+        context,
+        (F.col("err_user") == F.col("ctx_user"))
+        & (F.col("ctx_ts") >= F.col("err_ts") - F.expr(f"INTERVAL {JOIN_WINDOW_SEC} SECONDS"))
+        & (F.col("ctx_ts") <= F.col("err_ts") + F.expr(f"INTERVAL {JOIN_WINDOW_SEC} SECONDS")),
+        "left_outer",
+    ).select("err_id", "ctx_id")
+    name = f"error_orphans_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+def q_streaming_error_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_error_orphans(spark, sf_dir)
+
+
+# Batch twin: matched pairs are the plain interval join; NULL rows are
+# the unmatched errors whose whole match interval lies below the final
+# global watermark = ms-floor(min of the two sides' max event times) - 2h
+# (the engine tracks per-operator max event time in millis, and the
+# default multipleWatermarkPolicy takes the min across inputs).  Strict
+# '<' matches the engine's eviction predicate; with microsecond-random
+# timestamps an exact ms-boundary tie would be a measure-zero data
+# coincidence, and the parity suite would surface it loudly.
+ORACLES["streaming_error_orphans"] = f"""
+WITH wm AS (
+  SELECT date_trunc('milliseconds',
+           LEAST((SELECT MAX(ts) FROM events WHERE event_type = 'error'),
+                 (SELECT MAX(ts) FROM events
+                   WHERE event_type IN ('click', 'view'))))
+         - INTERVAL 2 HOUR AS w
+),
+err AS (
+  SELECT event_id AS err_id, user_id, ts FROM events
+  WHERE event_type = 'error'
+),
+pairs AS (
+  SELECT e.err_id, c.event_id AS ctx_id
+  FROM err e JOIN events c
+    ON c.user_id = e.user_id AND c.event_type IN ('click', 'view')
+   AND ABS(epoch_us(c.ts) - epoch_us(e.ts)) <= {JOIN_WINDOW_SEC * 1_000_000}
+)
+SELECT err_id, ctx_id FROM pairs
+UNION ALL
+SELECT e.err_id, CAST(NULL AS BIGINT) AS ctx_id
+FROM err e, wm
+WHERE e.err_id NOT IN (SELECT err_id FROM pairs)
+  AND e.ts + INTERVAL {JOIN_WINDOW_SEC} SECOND < wm.w
+"""
+
+
 # --- Streaming deduplication -------------------------------------------------
 
 def streaming_dedup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
