@@ -132,6 +132,11 @@ HEADLINE = [
     "ann_jl_rerank",
     "zorder_pruning",
     "bloom_decontaminate",
+    # r9: integer-unit PageRank over the supplier<->customer graph —
+    # the round's iterative work-bound row (3 join+agg rounds over the
+    # cached edge frame).  streaming_error_orphans is excluded like the
+    # other streaming rows: a bench row would time stream staging.
+    "graph_pagerank",
 ]
 
 

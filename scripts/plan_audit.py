@@ -55,6 +55,7 @@ EXPECTED = {
     "theta_priority_overlap": "BNLJ = pairwise combination of priority-count-sized broadcast sketch rows",
     # r9 operators
     "ann_jl_rerank": "BNLJ = tiny broadcast query set scanning the projected corpus (knn_cosine's layout in 32 dims)",
+    "graph_pagerank": "shuffles: iterative fixpoint — graph build (pair dedup + degree + edge-deg join) plus 2 shuffles per PageRank round; the rendered count also re-inlines the cached edges frame's lineage per round, runtime stages dedupe via the cache",
     "bloom_decontaminate": "shuffles: cached shingle set feeds bitset build + probe verdict + exact verify; the candidate TEST itself is the broadcast bloom join (map-only)",
 }
 

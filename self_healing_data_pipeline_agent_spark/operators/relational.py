@@ -2473,3 +2473,119 @@ SELECT layout,
        CAST(SUM(n_matched) AS BIGINT) AS rows_matched
 FROM zone GROUP BY layout
 """
+
+
+# --- X5b: iterative graph analytics — PageRank over the trade graph ----------
+#
+# duplicate_clusters (text.py) does iterative min-label CONNECTED
+# COMPONENTS; this is the other canonical join-iterate-aggregate shape:
+# PageRank over the bipartite supplier<->customer graph induced by
+# lineitem x orders.  Every arithmetic step is exact BIGINT units
+# (rank//deg integer contributions, damping as *850 //1000), so three
+# engines' worth of floating-point summation order cannot move a bit —
+# the same trick functions/stable.py plays for sums, applied to an
+# ITERATIVE fixpoint.
+
+PR_SCALE = 1_000_000  # rank stored in millionths
+PR_ITERS = 3
+PR_TOP = 20
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-PR_TOP entities of the supplier<->customer trade graph after
+    PR_ITERS integer-unit PageRank rounds (damping 0.85).
+
+    Scale shape: the edge list (deduped, symmetric, degree-annotated) is
+    built once and cached — it is the frame every iteration joins, the
+    Pregel-on-DataFrames layout.  Each round is contribution join ->
+    per-node sum, shuffling on node ids only; rank state is 2 columns x
+    |V| rows.  Degrees are attached to the EDGE frame at build time so
+    iterations join ranks alone (no per-round deg join).  At 100 TB you
+    would localCheckpoint rank state every few rounds (duplicate_clusters
+    does) — three fixed rounds keep the lineage shallow enough without.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # nodes are packed into BIGINTs (supplier = 2k, customer = 2k+1) so
+    # every iteration shuffles 16-byte rows, not string labels; the
+    # human-readable id is attached only to the PR_TOP output rows
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("l_suppkey") * 2).alias("s"),
+            (F.col("o_custkey") * 2 + 1).alias("c"),
+        )
+        .distinct()
+    )
+    edges = pairs.selectExpr("s AS src", "c AS dst").unionAll(
+        pairs.selectExpr("c AS src", "s AS dst")
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    edges_deg = edges.join(deg, "src").cache()
+    ranks = deg.select(
+        F.col("src").alias("node"),
+        F.lit(PR_SCALE).cast("bigint").alias("r"),
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges_deg.join(ranks, edges_deg.src == ranks.node)
+            .select("dst", F.expr("r div d").alias("cu"))
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum("cu").alias("s"))
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"CAST({int(0.15 * PR_SCALE)} + (850 * s) div 1000 AS BIGINT)"
+                ).alias("r"),
+            )
+        )
+    w = Window.orderBy(F.desc("r"), F.asc("node"))
+    label = F.concat(
+        F.when(F.col("node") % 2 == 0, F.lit("s")).otherwise(F.lit("c")),
+        F.expr("node div 2").cast("string"),
+    )
+    return (
+        ranks.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= PR_TOP)
+        .select("rn", label.alias("node_id"), F.col("r").alias("rank_units"))
+    )
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    return f"""{out} AS (
+  SELECT e.dst AS node,
+         CAST({int(0.15 * PR_SCALE)} + (850 * SUM(r.r // e.d)) // 1000
+              AS BIGINT) AS r
+  FROM edges_deg e JOIN {prev} r ON r.node = e.src
+  GROUP BY e.dst
+)"""
+
+
+ORACLES["graph_pagerank"] = f"""
+WITH pairs AS (
+  SELECT DISTINCT l_suppkey * 2 AS s, o_custkey * 2 + 1 AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT s AS src, c AS dst FROM pairs
+  UNION ALL
+  SELECT c AS src, s AS dst FROM pairs
+),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+edges_deg AS (SELECT e.src, e.dst, d.d FROM edges e JOIN deg d ON d.src = e.src),
+r0 AS (SELECT src AS node, CAST({PR_SCALE} AS BIGINT) AS r FROM deg),
+{_pr_iter_sql("r0", "r1")},
+{_pr_iter_sql("r1", "r2")},
+{_pr_iter_sql("r2", "r3")}
+SELECT rn,
+       (CASE WHEN node % 2 = 0 THEN 's' ELSE 'c' END)
+         || CAST(node // 2 AS VARCHAR) AS node_id,
+       rank_units
+FROM (
+  SELECT ROW_NUMBER() OVER (ORDER BY r DESC, node ASC) AS rn,
+         node, r AS rank_units
+  FROM r3
+) WHERE rn <= {PR_TOP}
+"""

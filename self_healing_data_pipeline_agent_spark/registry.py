@@ -48,6 +48,7 @@ QUERY_ORDER = [
     "zorder_pruning",
     "bloom_decontaminate",
     "streaming_error_orphans",
+    "graph_pagerank",
     # -- changed in r9, fail-closed re-check: ann_lsh_topk's candidate
     #    join/dedup reshaped to move codes instead of embeddings
     #    (bit-identical per local parity); multimodal_decode_ppm's
@@ -69,14 +70,14 @@ QUERY_ORDER = [
     "setop_except",
     "setop_intersect",
     "order_priority_check",
-    # -- 33 of the 42 r6-aged records, oldest-first rotation.  The 9
+    # -- 32 of the 42 r6-aged records, oldest-first rotation.  The 10
     #    displaced by the forced slots above — fulfillment_lag,
     #    histogram_profile, lang_guess, ngram_counts, payload_stats,
-    #    small_qty_revenue, top_supplier_revenue, top_terms, tpch_q1 —
-    #    are the simplest, most change-isolated of the cohort
-    #    (single-table scans/aggs and footer reads untouched since their
-    #    green; all local-parity green today).  They spill to r10
-    #    oldest-first per the rotation policy. --
+    #    pivot_status_priority, small_qty_revenue, top_supplier_revenue,
+    #    top_terms, tpch_q1 — are the simplest, most change-isolated of
+    #    the cohort (single-table scans/aggs, pivots and footer reads
+    #    untouched since their green; all local-parity green today).
+    #    They spill to r10 oldest-first per the rotation policy. --
     "dup_ngram_coverage",
     "embedding_norm_stats",
     "embedding_quant_codebook",
@@ -92,7 +93,6 @@ QUERY_ORDER = [
     "mixture_resample",
     "pack_sequences",
     "pii_scrub",
-    "pivot_status_priority",
     "quality_gates",
     "referential_orphans",
     "repetition_ratio",

@@ -771,3 +771,26 @@ def test_char_lm_bisect_trio_mutually_consistent(spark, sf_dir):
         assert ns[d] == n
         bpc = -(sums[d] / 1e6) / math.log(2) / n
         assert math.floor(bpc * CHAR_LM_BAND_PER_BIT) == band, d
+
+
+def test_graph_pagerank_invariants(spark, sf_dir):
+    """Integer-unit PageRank sanity: exactly PR_TOP ranked rows, dense
+    rank 1..N, every rank at least the damping base (0.15 * scale — the
+    floor any node gets regardless of neighbors), and rank mass bounded
+    by the node count (floor divisions only ever LOSE mass).  Determinism
+    across runs is implied by the oracle hash check; this pins the
+    algebraic invariants a wrong edge build would break."""
+    from self_healing_data_pipeline_agent_spark.operators.relational import (
+        PR_SCALE,
+        PR_TOP,
+        q_graph_pagerank,
+    )
+
+    rows = q_graph_pagerank(spark, sf_dir).collect()
+    assert len(rows) == PR_TOP
+    assert sorted(r["rn"] for r in rows) == list(range(1, PR_TOP + 1))
+    assert all(r["rank_units"] >= int(0.15 * PR_SCALE) for r in rows)
+    assert all(r["node_id"][0] in ("s", "c") for r in rows)
+    by_rn = sorted(rows, key=lambda r: r["rn"])
+    ranks = [r["rank_units"] for r in by_rn]
+    assert ranks == sorted(ranks, reverse=True)
