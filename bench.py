@@ -137,6 +137,11 @@ HEADLINE = [
     # cached edge frame).  streaming_error_orphans is excluded like the
     # other streaming rows: a bench row would time stream staging.
     "graph_pagerank",
+    # r9 second wave: the UniMax waterfill (its cost is the corpus token
+    # count) and the cluster-aware split-hygiene report (LSH pairs +
+    # iterative CC + crossing counts — a composed work-bound pipeline).
+    "mixture_epochs",
+    "leakage_safe_split",
 ]
 
 

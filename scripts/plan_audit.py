@@ -57,6 +57,8 @@ EXPECTED = {
     "ann_jl_rerank": "BNLJ = tiny broadcast query set scanning the projected corpus (knn_cosine's layout in 32 dims)",
     "graph_pagerank": "shuffles: iterative fixpoint — graph build (pair dedup + degree + edge-deg join) plus 2 shuffles per PageRank round; the rendered count also re-inlines the cached edges frame's lineage per round, runtime stages dedupe via the cache",
     "bloom_decontaminate": "shuffles: cached shingle set feeds bitset build + probe verdict + exact verify; the candidate TEST itself is the broadcast bloom join (map-only)",
+    "mixture_epochs": "BNLJ = two 1-row broadcasts (budget, leftover pool); shuffles: per-lang token agg + the k-row waterfill window stages over |languages| rows",
+    "leakage_safe_split": "BNLJ = 1-row crossing-count broadcast; shuffles: the LSH pair pipeline + iterative CC rounds (cached pairs feed clustering AND the crossing count) + two doc_id-keyed assignment joins",
 }
 
 STREAMING = {"streaming_hourly_counts", "streaming_dq_profile", "stateful_sessions"}

@@ -988,6 +988,11 @@ def q_ann_jl_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rerank joins only Q x JL_CAND id pairs back to the raw vectors.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    # deliberately NOT cached (the _shingle_df convention does not apply
+    # here): the query side's filter pushes down to project only
+    # N_QUERY_VECS rows, so the "re-executed" lineage costs 10 extra
+    # fold evaluations, while a cache forces full materialization before
+    # the scan — A/B-measured 0.5 s SLOWER at sf0.1.
     proj = emb.select("vec_id", _jl_project().alias("parr"))
     q = proj.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),

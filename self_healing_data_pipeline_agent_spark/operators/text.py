@@ -3024,3 +3024,247 @@ FROM probe p
 LEFT JOIN exact e ON p.doc_id = e.doc_id AND p.shingle = e.shingle
 GROUP BY p.doc_id
 """
+
+
+# --- X-mix2: UniMax-style epoch allocation under a token budget --------------
+#
+# mixture_resample answers "thin each stratum at a fixed rate"; this
+# answers the budgeting question that comes FIRST in a training run:
+# given a total token budget and a repetition cap, how many epochs of
+# each language does the run get?  UniMax (Chung et al. 2023) allocates
+# the budget as uniformly as possible across languages while capping any
+# language at EPOCH_CAP epochs of its corpus — waterfilling: small
+# corpora saturate at the cap, the remainder is split equally among the
+# rest.  Every step here is exact BIGINT arithmetic on token counts, so
+# the closed-form waterfill (a sort + prefix-sum window) is value-hash
+# checkable cross-engine.
+
+EPOCH_CAP = 2  # max epochs (repetitions) of any language's corpus
+# budget = BUDGET_NUM/BUDGET_DEN of the total corpus token count (1.5
+# epochs on average) — chosen with EPOCH_CAP so BOTH branches are
+# exercised at every SF (sf0.001: de+zh saturate, es/fr/en share;
+# sf0.01 and sf0.1: all but en saturate)
+BUDGET_NUM, BUDGET_DEN = 3, 2
+
+
+def q_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language training-mixture allocation: token count, epoch cap
+    in tokens, saturation flag, allocated tokens, and allocated epochs
+    in millis (alloc*1000 div tokens).
+
+    The waterfill closed form: order languages by ascending cap; lang i
+    (1-based, k langs total) saturates iff cap_i * (k - i + 1) <=
+    budget - sum(cap_j, j < i) — valid because ascending order means
+    every earlier lang already saturated, so the prefix of caps IS the
+    tokens already spent.  Unsaturated languages split the leftover
+    equally (integer div; the sub-k-token remainder is dropped).
+
+    Scale shape: one grouped token count over the corpus, then ALL
+    waterfill arithmetic runs on k = |languages| rows — two 1-row
+    broadcasts (total budget, leftover pool) and one k-row window.  The
+    100 TB cost is the token count scan; the allocation itself is free.
+    """
+    df = load_table(spark, sf_dir, "documents")
+    langs = (
+        df.select("lang", F.size(_tokens_col()).cast("bigint").alias("t"))
+        .groupBy("lang")
+        .agg(F.sum("t").alias("n_tokens"))
+    )
+    total = langs.agg(
+        F.sum("n_tokens").alias("_total"),
+        F.count(F.lit(1)).alias("_k"),
+    )
+    cap = F.col("n_tokens") * EPOCH_CAP
+    budget = F.expr(f"(_total * {BUDGET_NUM}) div {BUDGET_DEN}")
+    w = Window.orderBy("cap_tokens", "lang")
+    capped = (
+        langs.crossJoin(F.broadcast(total))
+        .select(
+            "lang", "n_tokens", cap.alias("cap_tokens"),
+            budget.alias("_budget"), "_k",
+        )
+        .withColumn(
+            "_prefix",
+            F.coalesce(
+                F.sum("cap_tokens").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "saturated",
+            (F.col("cap_tokens") * (F.col("_k") - F.col("_rn") + 1)
+             <= F.col("_budget") - F.col("_prefix")).cast("bigint"),
+        )
+    )
+    pool = capped.agg(
+        F.sum(F.when(F.col("saturated") == 1, F.col("cap_tokens"))
+              .otherwise(F.lit(0))).alias("_sat_total"),
+        F.sum(F.lit(1) - F.col("saturated")).alias("_n_unsat"),
+    )
+    alloc = F.when(F.col("saturated") == 1, F.col("cap_tokens")).otherwise(
+        F.expr("(_budget - _sat_total) div _n_unsat")
+    )
+    return (
+        capped.crossJoin(F.broadcast(pool))
+        .withColumn("alloc_tokens", alloc)
+        .select(
+            "lang", "n_tokens", "cap_tokens", "saturated", "alloc_tokens",
+            F.expr("(alloc_tokens * 1000) div n_tokens").alias("epochs_milli"),
+        )
+    )
+
+
+ORACLES["mixture_epochs"] = f"""
+WITH langs AS (
+  SELECT lang,
+         CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+total AS (
+  SELECT (SUM(n_tokens) * {BUDGET_NUM}) // {BUDGET_DEN} AS budget,
+         COUNT(*) AS k
+  FROM langs
+),
+capped AS (
+  SELECT lang, n_tokens, n_tokens * {EPOCH_CAP} AS cap_tokens, budget, k,
+         COALESCE(SUM(n_tokens * {EPOCH_CAP}) OVER (
+           ORDER BY n_tokens * {EPOCH_CAP}, lang
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx,
+         ROW_NUMBER() OVER (ORDER BY n_tokens * {EPOCH_CAP}, lang) AS rn
+  FROM langs, total
+),
+flagged AS (
+  SELECT *, CASE WHEN cap_tokens * (k - rn + 1) <= budget - pfx
+                 THEN 1 ELSE 0 END AS saturated
+  FROM capped
+),
+pool AS (
+  SELECT CAST(SUM(CASE WHEN saturated = 1 THEN cap_tokens ELSE 0 END)
+              AS BIGINT) AS sat_total,
+         CAST(SUM(1 - saturated) AS BIGINT) AS n_unsat
+  FROM flagged
+)
+SELECT lang, n_tokens, cap_tokens, CAST(saturated AS BIGINT) AS saturated,
+       CASE WHEN saturated = 1 THEN cap_tokens
+            ELSE (budget - sat_total) // n_unsat END AS alloc_tokens,
+       (CASE WHEN saturated = 1 THEN cap_tokens
+             ELSE (budget - sat_total) // n_unsat END * 1000) // n_tokens
+         AS epochs_milli
+FROM flagged, pool
+"""
+
+
+# --- X-split2: leakage-safe (cluster-aware) train/val split ------------------
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The split-hygiene report: how many near-duplicate pairs does the
+    naive per-document hash split place on OPPOSITE sides of the
+    train/val boundary (eval leakage), and how many remain when the
+    split key is the duplicate CLUSTER's id instead (zero, by
+    construction — every member inherits the representative's side).
+
+    One summary row: corpus size, LSH-verified near-dup pair count, the
+    crossing-pair count under each scheme, and each scheme's val-side
+    size (the cluster split moves whole clusters, so val share drifts
+    slightly from the per-doc hash rate — the price of hygiene, also
+    reported).
+
+    Scale shape: reuses the banded-LSH pair pipeline and the iterative
+    min-label clustering as-is (pairs cached — both the clustering and
+    the crossing count consume them); the split assignment itself is a
+    map-side hash on the cluster id, and the report is two tiny joins of
+    the pair list against the k=|docs| assignment frame.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = (
+        q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b").cache()
+    )
+    clusters = _connected_components(pairs)
+    split_of = lambda c: F.when(  # noqa: E731
+        F.substring(F.md5(c.cast("string")), 1, 2) < TRAIN_HEX_CUTOFF,
+        F.lit("train"),
+    ).otherwise(F.lit("val"))
+    assigned = (
+        docs.join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+        .select(
+            "doc_id",
+            split_of(F.col("doc_id")).alias("naive_split"),
+            split_of(F.col("cluster_id")).alias("cluster_split"),
+        )
+    )
+    a = assigned.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("naive_split").alias("na"),
+        F.col("cluster_split").alias("ca"),
+    )
+    b = assigned.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("naive_split").alias("nb"),
+        F.col("cluster_split").alias("cb"),
+    )
+    crossed = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_pairs"),
+            F.sum((F.col("na") != F.col("nb")).cast("bigint"))
+            .alias("naive_cross_pairs"),
+            F.sum((F.col("ca") != F.col("cb")).cast("bigint"))
+            .alias("cluster_cross_pairs"),
+        )
+    )
+    sizes = assigned.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("naive_split") == "val").cast("bigint"))
+        .alias("n_val_naive"),
+        F.sum((F.col("cluster_split") == "val").cast("bigint"))
+        .alias("n_val_cluster"),
+    )
+    return sizes.crossJoin(F.broadcast(crossed)).select(
+        "n_docs", "n_dup_pairs", "naive_cross_pairs", "cluster_cross_pairs",
+        "n_val_naive", "n_val_cluster",
+    )
+
+
+ORACLES["leakage_safe_split"] = f"""
+WITH RECURSIVE {_DUCK_CC_CTES},
+assigned AS (
+  SELECT d.doc_id,
+         CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2)
+                   < '{TRAIN_HEX_CUTOFF}'
+              THEN 'train' ELSE 'val' END AS naive_split,
+         CASE WHEN substr(md5(CAST(COALESCE(c.cluster_id, d.doc_id)
+                                   AS VARCHAR)), 1, 2) < '{TRAIN_HEX_CUTOFF}'
+              THEN 'train' ELSE 'val' END AS cluster_split
+  FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+),
+crossed AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+         CAST(SUM(CASE WHEN a.naive_split <> b.naive_split
+                       THEN 1 ELSE 0 END) AS BIGINT) AS naive_cross_pairs,
+         CAST(SUM(CASE WHEN a.cluster_split <> b.cluster_split
+                       THEN 1 ELSE 0 END) AS BIGINT) AS cluster_cross_pairs
+  FROM pairs p
+  JOIN assigned a ON a.doc_id = p.doc_a
+  JOIN assigned b ON b.doc_id = p.doc_b
+),
+split_sizes AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN naive_split = 'val' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_val_naive,
+         CAST(SUM(CASE WHEN cluster_split = 'val' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_val_cluster
+  FROM assigned
+)
+SELECT n_docs, n_dup_pairs, naive_cross_pairs, cluster_cross_pairs,
+       n_val_naive, n_val_cluster
+FROM split_sizes, crossed
+"""

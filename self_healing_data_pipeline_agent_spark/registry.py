@@ -49,6 +49,8 @@ QUERY_ORDER = [
     "bloom_decontaminate",
     "streaming_error_orphans",
     "graph_pagerank",
+    "mixture_epochs",
+    "leakage_safe_split",
     # -- changed in r9, fail-closed re-check: ann_lsh_topk's candidate
     #    join/dedup reshaped to move codes instead of embeddings
     #    (bit-identical per local parity); multimodal_decode_ppm's
@@ -70,14 +72,16 @@ QUERY_ORDER = [
     "setop_except",
     "setop_intersect",
     "order_priority_check",
-    # -- 32 of the 42 r6-aged records, oldest-first rotation.  The 10
+    # -- 30 of the 42 r6-aged records, oldest-first rotation.  The 12
     #    displaced by the forced slots above — fulfillment_lag,
     #    histogram_profile, lang_guess, ngram_counts, payload_stats,
-    #    pivot_status_priority, small_qty_revenue, top_supplier_revenue,
-    #    top_terms, tpch_q1 — are the simplest, most change-isolated of
-    #    the cohort (single-table scans/aggs, pivots and footer reads
-    #    untouched since their green; all local-parity green today).
-    #    They spill to r10 oldest-first per the rotation policy. --
+    #    pivot_status_priority, quality_gates, small_qty_revenue,
+    #    source_mix, top_supplier_revenue, top_terms, tpch_q1 — are the
+    #    simplest, most change-isolated of the cohort (single-table
+    #    scans/aggs/filter stacks, pivots and footer reads untouched
+    #    since their green; all local-parity green today).  They spill
+    #    to r10 oldest-first per the rotation policy: r10 MUST window
+    #    these twelve. --
     "dup_ngram_coverage",
     "embedding_norm_stats",
     "embedding_quant_codebook",
@@ -93,12 +97,10 @@ QUERY_ORDER = [
     "mixture_resample",
     "pack_sequences",
     "pii_scrub",
-    "quality_gates",
     "referential_orphans",
     "repetition_ratio",
     "salted_hot_key_agg",
     "shard_manifest",
-    "source_mix",
     "stratified_sample",
     "streaming_cardinality_profile",
     "streaming_churn_profile",

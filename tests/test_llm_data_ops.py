@@ -794,3 +794,53 @@ def test_graph_pagerank_invariants(spark, sf_dir):
     by_rn = sorted(rows, key=lambda r: r["rn"])
     ranks = [r["rank_units"] for r in by_rn]
     assert ranks == sorted(ranks, reverse=True)
+
+
+def test_mixture_epochs_waterfill(spark, sf_dir):
+    """UniMax waterfill invariants: both branches exercised (the
+    constants are chosen so some languages saturate and some share),
+    saturated rows get exactly their cap (epochs = EPOCH_CAP), all
+    unsaturated rows get the SAME allocation below their cap, and the
+    grand total never exceeds the budget (floor divisions only lose)."""
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        BUDGET_DEN,
+        BUDGET_NUM,
+        EPOCH_CAP,
+        q_mixture_epochs,
+    )
+
+    rows = q_mixture_epochs(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    sat = [r for r in rows if r["saturated"] == 1]
+    unsat = [r for r in rows if r["saturated"] == 0]
+    assert sat and unsat, "waterfill must exercise both branches"
+    for r in sat:
+        assert r["alloc_tokens"] == r["cap_tokens"] == EPOCH_CAP * r["n_tokens"]
+        assert r["epochs_milli"] == EPOCH_CAP * 1000
+    shares = {r["alloc_tokens"] for r in unsat}
+    assert len(shares) == 1, "unsaturated languages must share equally"
+    assert all(r["alloc_tokens"] < r["cap_tokens"] for r in unsat)
+    budget = (sum(r["n_tokens"] for r in rows) * BUDGET_NUM) // BUDGET_DEN
+    total_alloc = sum(r["alloc_tokens"] for r in rows)
+    assert total_alloc <= budget
+    assert budget - total_alloc < len(unsat) + len(rows)  # only div remainders
+
+
+def test_leakage_safe_split_hygiene(spark, sf_dir):
+    """The operator's reason to exist: the naive per-doc split leaks
+    near-dup pairs across the boundary (>0 on this corpus at every SF),
+    the cluster-keyed split leaks exactly ZERO by construction, and the
+    pair count agrees with the LSH pipeline it reuses."""
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        q_leakage_safe_split,
+        q_minhash_lsh_pairs,
+    )
+
+    row = q_leakage_safe_split(spark, sf_dir).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r["cluster_cross_pairs"] == 0
+    assert r["naive_cross_pairs"] > 0
+    assert r["n_dup_pairs"] == q_minhash_lsh_pairs(spark, sf_dir).count()
+    assert 0 < r["n_val_naive"] < r["n_docs"]
+    assert 0 < r["n_val_cluster"] < r["n_docs"]
