@@ -138,10 +138,12 @@ HEADLINE = [
     # other streaming rows: a bench row would time stream staging.
     "graph_pagerank",
     # r9 second wave: the UniMax waterfill (its cost is the corpus token
-    # count) and the cluster-aware split-hygiene report (LSH pairs +
-    # iterative CC + crossing counts — a composed work-bound pipeline).
+    # count), the cluster-aware split-hygiene report (LSH pairs +
+    # iterative CC + crossing counts — a composed work-bound pipeline),
+    # and the RIFF/WAVE decode kernel (the audio twin of the PPM row).
     "mixture_epochs",
     "leakage_safe_split",
+    "multimodal_decode_wav",
 ]
 
 

@@ -604,3 +604,152 @@ GROUP BY sha
 HAVING COUNT(*) > 1
 ORDER BY n_copies DESC, sha ASC
 """
+
+
+# --- real-codec path #2: RIFF/WAVE 16-bit PCM audio --------------------------
+#
+# The PPM ring (above) proves the registry's real-container path for
+# IMAGES; this is the audio twin, using the standard library's `wave`
+# parser — an actual RIFF chunk walker, not hand-rolled — behind the
+# same gate an ffmpeg codec would use.  Each document is encoded
+# JVM-side as a valid 44-byte-header mono 16-bit PCM file whose samples
+# are the document's text bytes (printable-ASCII corpus -> every sample
+# positive and < 32768), and the kernel decodes it back and reports
+# exact integer amplitude stats.
+
+WAV_SR = 8000
+WAV_N_SAMPLES = 256
+WAV_DATA_BYTES = WAV_N_SAMPLES * 2  # 16-bit mono
+
+
+def _wav_header() -> bytes:
+    """Canonical 44-byte RIFF/WAVE header for the fixed encode params
+    (PCM fmt 1, mono, 16-bit, WAV_SR Hz, WAV_N_SAMPLES frames)."""
+    import struct
+
+    return (
+        b"RIFF" + struct.pack("<I", 36 + WAV_DATA_BYTES) + b"WAVE"
+        + b"fmt " + struct.pack(
+            "<IHHIIHH", 16, 1, 1, WAV_SR, WAV_SR * 2, 2, 16
+        )
+        + b"data" + struct.pack("<I", WAV_DATA_BYTES)
+    )
+
+
+def _wav_decode(payload: bytes) -> bytes:
+    """Decode RIFF/WAVE to raw PCM bytes via the stdlib ``wave`` chunk
+    parser.  Only mono 16-bit PCM is supported (what the encoder side
+    emits); malformed containers and other layouts raise ValueError —
+    the same fail-on-bad-bytes contract as the PPM codec."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                raise ValueError(
+                    f"unsupported WAV layout: {w.getnchannels()} ch x "
+                    f"{w.getsampwidth() * 8}-bit (need mono 16-bit)"
+                )
+            n = w.getnframes()
+            pcm = w.readframes(n)
+    except wave.Error as e:
+        raise ValueError(f"malformed WAV container: {e}") from None
+    if len(pcm) != n * 2:
+        raise ValueError(f"WAV data truncated: {len(pcm)} of {n * 2} bytes")
+    return pcm
+
+
+register_codec("wav", _wav_decode)
+
+
+def wav_payload(text_col: str = "text") -> F.Column:
+    """Valid mono 16-bit PCM WAV from a document's text: fixed header +
+    the first 512 text bytes (space-padded) as little-endian samples.
+    JVM-side concat/rpad, like ``ppm_payload``."""
+    return F.concat(
+        F.lit(_wav_header()),
+        F.encode(
+            F.rpad(
+                F.substring(F.col(text_col), 1, WAV_DATA_BYTES),
+                WAV_DATA_BYTES, " ",
+            ),
+            "utf-8",
+        ),
+    )
+
+
+WAV_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sum_amp", LongType()),
+        StructField("min_amp", LongType()),
+        StructField("max_amp", LongType()),
+    ]
+)
+
+
+def _wav_kernel(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    """mapInPandas kernel: registry-dispatched WAV decode + exact
+    integer amplitude stats.  Rate and frame count come from the parsed
+    container, not assumed constants."""
+    import io
+    import wave
+
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            with wave.open(io.BytesIO(payload)) as w:
+                rate, n = w.getframerate(), w.getnframes()
+            samples = np.frombuffer(
+                decode_payload(payload, "wav"), dtype="<i2"
+            ).astype(np.int64)
+            rows.append(
+                (doc_id, rate, n, int(samples.sum()),
+                 int(samples.min()), int(samples.max()))
+            )
+        yield pd.DataFrame(rows, columns=[f.name for f in WAV_SCHEMA.fields])
+
+
+def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio twin of ``q_multimodal_decode_ppm``: encode JVM-side as a
+    valid RIFF/WAVE PCM file, decode through the codec registry (stdlib
+    ``wave`` chunk parser) in an Arrow-batched kernel, report exact
+    amplitude stats.  No shuffle; batch-bounded memory; at 100 TB the
+    encode is replaced by stored blobs and the registry dispatches a
+    real audio codec with this exact plumbing."""
+    df = load_table(spark, sf_dir, "documents").select(
+        "doc_id", wav_payload().alias("payload")
+    )
+    return df.mapInPandas(_wav_kernel, schema=WAV_SCHEMA)
+
+
+# Analytic twin: sample i is text byte 2i (lo) + 256 * text byte 2i+1
+# (hi) of the space-padded 512-char prefix; the pure-printable-ASCII
+# corpus (tripwired) keeps every sample in [0x2020, 0x7e7e] — positive,
+# so the signed-int16 reinterpretation is the identity.
+ORACLES["multimodal_decode_wav"] = f"""
+WITH r AS (
+  SELECT doc_id,
+         list_transform(range({WAV_N_SAMPLES}), i ->
+           ascii(substr(rpad(substr(text, 1, {WAV_DATA_BYTES}),
+                             {WAV_DATA_BYTES}, ' '),
+                        CAST(i * 2 + 1 AS INT), 1))
+           + 256 * ascii(substr(rpad(substr(text, 1, {WAV_DATA_BYTES}),
+                                     {WAV_DATA_BYTES}, ' '),
+                                CAST(i * 2 + 2 AS INT), 1))) AS samples
+  FROM documents
+)
+SELECT doc_id,
+       CAST({WAV_SR} AS BIGINT) AS sample_rate,
+       CAST({WAV_N_SAMPLES} AS BIGINT) AS n_samples,
+       CAST(list_sum(samples) AS BIGINT) AS sum_amp,
+       CAST(list_min(samples) AS BIGINT) AS min_amp,
+       CAST(list_max(samples) AS BIGINT) AS max_amp
+FROM r
+"""

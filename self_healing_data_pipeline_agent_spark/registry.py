@@ -51,6 +51,7 @@ QUERY_ORDER = [
     "graph_pagerank",
     "mixture_epochs",
     "leakage_safe_split",
+    "multimodal_decode_wav",
     # -- changed in r9, fail-closed re-check: ann_lsh_topk's candidate
     #    join/dedup reshaped to move codes instead of embeddings
     #    (bit-identical per local parity); multimodal_decode_ppm's
@@ -72,21 +73,21 @@ QUERY_ORDER = [
     "setop_except",
     "setop_intersect",
     "order_priority_check",
-    # -- 30 of the 42 r6-aged records, oldest-first rotation.  The 12
-    #    displaced by the forced slots above — fulfillment_lag,
-    #    histogram_profile, lang_guess, ngram_counts, payload_stats,
-    #    pivot_status_priority, quality_gates, small_qty_revenue,
-    #    source_mix, top_supplier_revenue, top_terms, tpch_q1 — are the
-    #    simplest, most change-isolated of the cohort (single-table
-    #    scans/aggs/filter stacks, pivots and footer reads untouched
-    #    since their green; all local-parity green today).  They spill
-    #    to r10 oldest-first per the rotation policy: r10 MUST window
-    #    these twelve. --
+    # -- 29 of the 42 r6-aged records, oldest-first rotation.  The 13
+    #    displaced by the forced slots above — format_interchange,
+    #    fulfillment_lag, histogram_profile, lang_guess, ngram_counts,
+    #    payload_stats, pivot_status_priority, quality_gates,
+    #    small_qty_revenue, source_mix, top_supplier_revenue, top_terms,
+    #    tpch_q1 — are the simplest, most change-isolated of the cohort
+    #    (single-table scans/aggs/filter stacks, pivots, footer reads
+    #    and the self-contained format roundtrip, untouched since their
+    #    green; all local-parity green today).  They spill to r10
+    #    oldest-first per the rotation policy: r10 MUST window these
+    #    thirteen. --
     "dup_ngram_coverage",
     "embedding_norm_stats",
     "embedding_quant_codebook",
     "exact_dedup_docs",
-    "format_interchange",
     "funnel_conversion",
     "heavy_hitters",
     "heavy_hitters_by_lang",

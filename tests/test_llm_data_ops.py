@@ -844,3 +844,34 @@ def test_leakage_safe_split_hygiene(spark, sf_dir):
     assert r["n_dup_pairs"] == q_minhash_lsh_pairs(spark, sf_dir).count()
     assert 0 < r["n_val_naive"] < r["n_docs"]
     assert 0 < r["n_val_cluster"] < r["n_docs"]
+
+
+def test_wav_codec_spec_parse():
+    """The WAV codec is the registry's real-container AUDIO path: valid
+    RIFF/WAVE decodes to exactly its PCM bytes; wrong magic, truncation,
+    and unsupported layouts (stereo) must raise ValueError — same
+    fail-on-bad-bytes contract as the PPM codec."""
+    import struct
+
+    from self_healing_data_pipeline_agent_spark.operators.multimodal import (
+        WAV_DATA_BYTES,
+        _wav_header,
+        decode_payload,
+    )
+
+    pcm = bytes(range(256)) * 2  # WAV_DATA_BYTES of deterministic PCM
+    assert len(pcm) == WAV_DATA_BYTES
+    payload = _wav_header() + pcm
+    assert decode_payload(payload, codec="wav") == pcm
+    with pytest.raises(ValueError, match="malformed"):
+        decode_payload(b"RIFX" + payload[4:], codec="wav")
+    with pytest.raises(ValueError, match="malformed|truncated"):
+        decode_payload(payload[:50], codec="wav")
+    # stereo layout: rebuild the fmt chunk with 2 channels
+    stereo = (
+        b"RIFF" + struct.pack("<I", 36 + WAV_DATA_BYTES) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+        + b"data" + struct.pack("<I", WAV_DATA_BYTES) + pcm
+    )
+    with pytest.raises(ValueError, match="unsupported WAV layout"):
+        decode_payload(stereo, codec="wav")
