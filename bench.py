@@ -144,6 +144,7 @@ HEADLINE = [
     "mixture_epochs",
     "leakage_safe_split",
     "multimodal_decode_wav",
+    "multimodal_decode_ppm_stream",
 ]
 
 

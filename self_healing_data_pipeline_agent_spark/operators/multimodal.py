@@ -753,3 +753,150 @@ SELECT doc_id,
        CAST(list_max(samples) AS BIGINT) AS max_amp
 FROM r
 """
+
+
+# --- real-codec path #3: multi-image PNM stream (the video twin) -------------
+#
+# Netpbm defines that a PNM file may contain MULTIPLE images back to
+# back — the classic uncompressed frame-stream format (what
+# ppmtoy4m-style tooling consumes).  That makes it the one VIDEO-shaped
+# container this environment can parse for real: the kernel walks the
+# stream with the same header parser the still-image codec uses,
+# extracts every frame's raster, and keeps every FRAME_STEP-th frame —
+# frame subsampling (multimodal_frame_sample's semantics) against a real
+# container instead of a fake payload.
+
+STREAM_FRAMES = 4
+STREAM_W = 8
+STREAM_H = 8
+STREAM_FRAME_BYTES = STREAM_W * STREAM_H * 3  # 192
+FRAME_STEP = 2  # keep frames 0, 2, ...
+
+
+def _ppm_stream_decode(payload: bytes) -> list[bytes]:
+    """Split a concatenated-P6 stream into per-frame rasters, validating
+    every header and raster length; trailing bytes that are not a valid
+    frame raise (a real stream parser must not silently drop them)."""
+    frames, pos = [], 0
+    while pos < len(payload):
+        w, h, maxval, off = _ppm_header(payload[pos:])
+        if maxval > 255:
+            raise ValueError("2-byte-per-sample PPM stream not supported")
+        raster = payload[pos + off: pos + off + w * h * 3]
+        if len(raster) != w * h * 3:
+            raise ValueError(
+                f"PPM stream frame {len(frames)} truncated: "
+                f"{len(raster)} of {w * h * 3} bytes"
+            )
+        frames.append(raster)
+        pos += off + w * h * 3
+    return frames
+
+
+def ppm_stream_payload(text_col: str = "text") -> F.Column:
+    """STREAM_FRAMES concatenated 8x8 P6 frames from consecutive slices
+    of the document's text (space-padded) — JVM-side concat/rpad."""
+    header = F.lit(f"P6\n{STREAM_W} {STREAM_H}\n{PPM_MAXVAL}\n".encode())
+    padded = F.rpad(
+        F.substring(F.col(text_col), 1, STREAM_FRAMES * STREAM_FRAME_BYTES),
+        STREAM_FRAMES * STREAM_FRAME_BYTES, " ",
+    )
+    parts = []
+    for f in range(STREAM_FRAMES):
+        parts.append(header)
+        parts.append(
+            F.encode(
+                F.substring(padded, f * STREAM_FRAME_BYTES + 1,
+                            STREAM_FRAME_BYTES),
+                "utf-8",
+            )
+        )
+    return F.concat(*parts)
+
+
+STREAM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("n_sampled", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def _ppm_stream_kernel(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    """mapInPandas kernel: parse the frame stream, subsample every
+    FRAME_STEP-th frame, report exact per-channel sums over the KEPT
+    frames only (the decode-then-subsample dataflow of a video
+    ingestion job)."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            frames = _ppm_stream_decode(payload)
+            kept = frames[::FRAME_STEP]
+            arr = np.frombuffer(b"".join(kept), dtype=np.uint8)
+            rows.append(
+                (
+                    doc_id, len(frames), len(kept),
+                    int(arr[0::3].sum()), int(arr[1::3].sum()),
+                    int(arr[2::3].sum()),
+                )
+            )
+        yield pd.DataFrame(rows, columns=[f.name for f in STREAM_SCHEMA.fields])
+
+
+def q_multimodal_decode_ppm_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video twin of the PPM/WAV decode rings: a concatenated-P6 frame
+    stream parsed frame-by-frame in the kernel, every FRAME_STEP-th
+    frame kept, exact channel sums over the kept frames.  No shuffle;
+    at 100 TB the stream bytes come from storage and the same walker
+    dispatches a real demuxer."""
+    df = load_table(spark, sf_dir, "documents").select(
+        "doc_id", ppm_stream_payload().alias("payload")
+    )
+    return df.mapInPandas(_ppm_stream_kernel, schema=STREAM_SCHEMA)
+
+
+# Analytic twin: kept frame f covers padded-text positions
+# [f*192, (f+1)*192); channel c is every 3rd byte starting at c.
+ORACLES["multimodal_decode_ppm_stream"] = f"""
+WITH r AS (
+  SELECT doc_id,
+         rpad(substr(text, 1, {STREAM_FRAMES * STREAM_FRAME_BYTES}),
+              {STREAM_FRAMES * STREAM_FRAME_BYTES}, ' ') AS padded
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, padded, unnest(range(0, {STREAM_FRAMES}, {FRAME_STEP})) AS f
+  FROM r
+),
+sums AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range({STREAM_W * STREAM_H}), i ->
+              ascii(substr(padded,
+                CAST(f * {STREAM_FRAME_BYTES} + i * 3 + 1 AS INT), 1))))
+              AS BIGINT) AS fr,
+         CAST(list_sum(list_transform(range({STREAM_W * STREAM_H}), i ->
+              ascii(substr(padded,
+                CAST(f * {STREAM_FRAME_BYTES} + i * 3 + 2 AS INT), 1))))
+              AS BIGINT) AS fg,
+         CAST(list_sum(list_transform(range({STREAM_W * STREAM_H}), i ->
+              ascii(substr(padded,
+                CAST(f * {STREAM_FRAME_BYTES} + i * 3 + 3 AS INT), 1))))
+              AS BIGINT) AS fb
+  FROM kept
+)
+SELECT doc_id,
+       CAST({STREAM_FRAMES} AS BIGINT) AS n_frames,
+       CAST({(STREAM_FRAMES + FRAME_STEP - 1) // FRAME_STEP} AS BIGINT)
+         AS n_sampled,
+       CAST(SUM(fr) AS BIGINT) AS sum_r,
+       CAST(SUM(fg) AS BIGINT) AS sum_g,
+       CAST(SUM(fb) AS BIGINT) AS sum_b
+FROM sums GROUP BY doc_id
+"""

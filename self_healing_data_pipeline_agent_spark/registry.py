@@ -40,9 +40,12 @@ QUERY_ORDER = [
     # -- r9 new operators (never-green, must be in-window): the JL
     #    random-projection ring (map-only 64->32 compression + the
     #    projected-candidate/exact-rerank ANN), the Morton-vs-linear
-    #    layout study, the Bloom-bitset decontamination prefilter, and
-    #    the stream-stream LEFT OUTER interval join (watermark-gated
-    #    null emission under the min multiple-watermark policy) --
+    #    layout study, the Bloom-bitset decontamination prefilter, the
+    #    stream-stream LEFT OUTER interval join (watermark-gated null
+    #    emission under the min multiple-watermark policy), integer-unit
+    #    PageRank, the UniMax epoch waterfill, the cluster-aware
+    #    split-hygiene report, and the real-container audio (RIFF/WAVE)
+    #    and video (concatenated-P6 frame stream) decode kernels --
     "jl_projection",
     "ann_jl_rerank",
     "zorder_pruning",
@@ -52,6 +55,7 @@ QUERY_ORDER = [
     "mixture_epochs",
     "leakage_safe_split",
     "multimodal_decode_wav",
+    "multimodal_decode_ppm_stream",
     # -- changed in r9, fail-closed re-check: ann_lsh_topk's candidate
     #    join/dedup reshaped to move codes instead of embeddings
     #    (bit-identical per local parity); multimodal_decode_ppm's
@@ -73,24 +77,23 @@ QUERY_ORDER = [
     "setop_except",
     "setop_intersect",
     "order_priority_check",
-    # -- 29 of the 42 r6-aged records, oldest-first rotation.  The 13
+    # -- 28 of the 42 r6-aged records, oldest-first rotation.  The 14
     #    displaced by the forced slots above — format_interchange,
-    #    fulfillment_lag, histogram_profile, lang_guess, ngram_counts,
-    #    payload_stats, pivot_status_priority, quality_gates,
-    #    small_qty_revenue, source_mix, top_supplier_revenue, top_terms,
-    #    tpch_q1 — are the simplest, most change-isolated of the cohort
-    #    (single-table scans/aggs/filter stacks, pivots, footer reads
-    #    and the self-contained format roundtrip, untouched since their
-    #    green; all local-parity green today).  They spill to r10
-    #    oldest-first per the rotation policy: r10 MUST window these
-    #    thirteen. --
+    #    fulfillment_lag, heavy_hitters_by_lang, histogram_profile,
+    #    lang_guess, ngram_counts, payload_stats, pivot_status_priority,
+    #    quality_gates, small_qty_revenue, source_mix,
+    #    top_supplier_revenue, top_terms, tpch_q1 — are the simplest,
+    #    most change-isolated of the cohort (single-table scans/aggs/
+    #    filter stacks, pivots, footer reads, the self-contained format
+    #    roundtrip, and the grouped twin of in-window heavy_hitters;
+    #    all local-parity green today).  They spill to r10 oldest-first
+    #    per the rotation policy: r10 MUST window these fourteen. --
     "dup_ngram_coverage",
     "embedding_norm_stats",
     "embedding_quant_codebook",
     "exact_dedup_docs",
     "funnel_conversion",
     "heavy_hitters",
-    "heavy_hitters_by_lang",
     "kll_quantile_drift",
     "knn_cosine",
     "label_centroids",

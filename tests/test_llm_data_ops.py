@@ -875,3 +875,22 @@ def test_wav_codec_spec_parse():
     )
     with pytest.raises(ValueError, match="unsupported WAV layout"):
         decode_payload(stereo, codec="wav")
+
+
+def test_ppm_stream_codec_parse():
+    """The frame-stream walker must split concatenated P6 images exactly
+    and reject trailing garbage or truncated frames — a real stream
+    parser must not silently drop bytes."""
+    from self_healing_data_pipeline_agent_spark.operators.multimodal import (
+        _ppm_stream_decode,
+    )
+
+    f1 = b"P6\n2 1\n255\n" + bytes(6)
+    f2 = b"P6\n1 1\n255\n" + bytes([1, 2, 3])
+    frames = _ppm_stream_decode(f1 + f2)
+    assert frames == [bytes(6), bytes([1, 2, 3])]
+    with pytest.raises(ValueError, match="magic"):
+        _ppm_stream_decode(f1 + f2 + b"JUNK")
+    with pytest.raises(ValueError, match="truncated"):
+        _ppm_stream_decode(f1[:-2])
+    assert _ppm_stream_decode(b"") == []
