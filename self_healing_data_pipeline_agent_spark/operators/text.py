@@ -3125,7 +3125,12 @@ WITH langs AS (
   FROM documents GROUP BY lang
 ),
 total AS (
-  SELECT (SUM(n_tokens) * {BUDGET_NUM}) // {BUDGET_DEN} AS budget,
+  -- CAST: SUM(BIGINT) is HUGEINT in DuckDB and would otherwise promote
+  -- alloc_tokens/epochs_milli to DECIMAL(38,0) — the dtype class the
+  -- driver's value hash distinguishes (the char_lm_perplexity root
+  -- cause; caught this time by tests/test_dtype_audit.py)
+  SELECT CAST((SUM(n_tokens) * {BUDGET_NUM}) // {BUDGET_DEN} AS BIGINT)
+           AS budget,
          COUNT(*) AS k
   FROM langs
 ),
