@@ -496,3 +496,94 @@ def test_ppm_decode_roundtrip_property(w, h, maxval, pad, comments, data):
     if w * h * 3 > 0:
         with _pytest.raises(ValueError):
             decode_payload(payload[:-1], codec="ppm")
+
+
+@given(
+    caps=st.lists(st.integers(min_value=1, max_value=10**6),
+                  min_size=1, max_size=12),
+    budget_frac=st.integers(min_value=0, max_value=300),
+)
+@settings(max_examples=300, deadline=None)
+def test_waterfill_closed_form_matches_iterative(caps, budget_frac):
+    """mixture_epochs' allocation uses the CLOSED FORM of waterfilling
+    (lang i saturates iff cap_i*(k-i+1) <= budget - prefix_i over
+    ascending caps, everyone else shares the leftover equally).  The
+    textbook DEFINITION is the iterative fixpoint: hand each remaining
+    party an equal share, cap whoever exceeds their cap, redistribute,
+    repeat.  Multi-round saturation (a cap that only saturates after an
+    earlier round frees budget) is exactly where a closed form can go
+    wrong — this pins their equivalence under integer division,
+    including budget 0, all-saturated, and tie cases."""
+    budget = sum(caps) * budget_frac // 100
+
+    # closed form, mirrored from q_mixture_epochs / its oracle
+    order = sorted(range(len(caps)), key=lambda i: (caps[i], i))
+    k = len(caps)
+    prefix, sat = 0, [False] * k
+    for pos, i in enumerate(order):
+        if caps[i] * (k - pos) <= budget - prefix:
+            sat[i] = True
+        prefix += caps[i]
+    sat_total = sum(c for i, c in enumerate(caps) if sat[i])
+    n_unsat = k - sum(sat)
+    closed = [
+        caps[i] if sat[i]
+        else (budget - sat_total) // n_unsat
+        for i in range(k)
+    ]
+
+    # iterative fixpoint (the definition)
+    remaining = set(range(k))
+    alloc = [0] * k
+    rem = budget
+    while remaining:
+        share = rem // len(remaining)
+        newly = [i for i in remaining if caps[i] <= share]
+        if not newly:
+            for i in remaining:
+                alloc[i] = share
+            break
+        for i in newly:
+            alloc[i] = caps[i]
+            rem -= caps[i]
+            remaining.remove(i)
+
+    assert closed == alloc
+
+
+@given(
+    frames=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),   # w
+            st.integers(min_value=1, max_value=5),   # h
+            st.sampled_from([b" ", b"\n", b"\t"]),   # header pad
+        ),
+        min_size=0, max_size=5,
+    ),
+    data=st.data(),
+)
+@settings(max_examples=80, deadline=None)
+def test_ppm_stream_roundtrip_property(frames, data):
+    """Any concatenation of spec-valid P6 frames — mixed dimensions and
+    header whitespace — must split back into exactly its rasters in
+    order; chopping any byte off the tail must raise.  The stream walker
+    is the video ring's container parser, so it has to be total over
+    frame-boundary placement, not just the fixed encoder layout."""
+    import pytest as _pytest
+
+    from self_healing_data_pipeline_agent_spark.operators.multimodal import (
+        _ppm_stream_decode,
+    )
+
+    payload, rasters = b"", []
+    for w, h, pad in frames:
+        raster = data.draw(
+            st.binary(min_size=w * h * 3, max_size=w * h * 3)
+        )
+        payload += b"P6" + pad + str(w).encode() + pad + str(h).encode() \
+            + pad + b"255" + pad + raster
+        rasters.append(raster)
+    assert _ppm_stream_decode(payload) == rasters
+    if payload:
+        with _pytest.raises(ValueError):
+            _ppm_stream_decode(payload[:-1])
