@@ -2541,14 +2541,19 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("r"),
             )
         )
+    # top-k via orderBy+limit, NOT a global row_number window: Catalyst
+    # plans the former as TakeOrderedAndProject (per-partition top-k,
+    # then a k-row merge on the driver side of the exchange), while an
+    # unpartitioned window would funnel ALL |V| rank rows into one sort
+    # task.  The k-row rn window after the limit sorts 20 rows.
+    top = ranks.orderBy(F.desc("r"), F.asc("node")).limit(PR_TOP)
     w = Window.orderBy(F.desc("r"), F.asc("node"))
     label = F.concat(
         F.when(F.col("node") % 2 == 0, F.lit("s")).otherwise(F.lit("c")),
         F.expr("node div 2").cast("string"),
     )
     return (
-        ranks.withColumn("rn", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rn") <= PR_TOP)
+        top.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .select("rn", label.alias("node_id"), F.col("r").alias("rank_units"))
     )
 

@@ -796,3 +796,17 @@ def test_jl_projection_shuffle_free(spark, sf_dir):
     simple = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "simple")
     assert simple.count("Scan parquet") == 1
+
+
+def test_graph_pagerank_topk_is_take_ordered(spark, sf_dir):
+    """The final top-20 must plan as TakeOrderedAndProject (per-partition
+    top-k + k-row merge), never an unpartitioned row_number window that
+    funnels every node's rank into one sort task."""
+    from self_healing_data_pipeline_agent_spark.operators.relational import (
+        q_graph_pagerank,
+    )
+
+    df = q_graph_pagerank(spark, sf_dir)
+    simple = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple")
+    assert "TakeOrderedAndProject" in simple
