@@ -2594,3 +2594,155 @@ FROM (
   FROM r3
 ) WHERE rn <= {PR_TOP}
 """
+
+
+# --- X24b: grouped PageRank — per-region fixpoints ---------------------------
+#
+# q_graph_pagerank ranks the GLOBAL trade graph; the training-data use
+# case usually wants influence WITHIN a stratum (per language, per
+# source, per region) — the subgraph induced by keeping only
+# within-stratum edges.  Because every node (supplier or customer)
+# belongs to exactly one region, that restriction makes the strata
+# DISJOINT subgraphs, so ALL the per-region fixpoints run as ONE
+# iteration loop over the union — no per-group driver loop, no skew
+# from running the biggest stratum last.  The region label is attached
+# only at the ends (edge build, final top-k), never shuffled through
+# the rank state.
+
+PR_G_TOP = 5  # top-k reported per region
+
+
+def q_graph_pagerank_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-PR_G_TOP entities per region of the INTRA-REGION trade graph
+    after PR_ITERS integer-unit PageRank rounds (damping 0.85) — the
+    grouped twin of ``q_graph_pagerank`` (same PR_SCALE fixed-point
+    units, same rank//deg + *850//1000 damping, so the fixpoint is
+    bit-exact cross-engine).
+
+    Scale shape: the iterations are IDENTICAL to the global operator —
+    16-byte (node, rank) rows shuffling against a cached degree-
+    annotated edge frame — because disjoint subgraphs need no group key
+    in the loop; grouping costs exactly one extra broadcast-dim join at
+    edge-build time (nation/region are tiny dims) and a PARTITIONED
+    row_number at the end (per-region top-k, never a global sort).
+    Contrast with a per-group driver loop over N strata: N× the
+    scheduler barriers and the largest stratum still dominates."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = load_table(spark, sf_dir, "region")
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_regionkey").alias("s_reg"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_regionkey").alias("c_reg"))
+    )
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("s_reg") == F.col("c_reg"))
+        .select(
+            F.col("s_reg").alias("regionkey"),
+            (F.col("l_suppkey") * 2).alias("s"),
+            (F.col("o_custkey") * 2 + 1).alias("c"),
+        )
+        .distinct()
+    )
+    edges = pairs.selectExpr("regionkey", "s AS src", "c AS dst").unionAll(
+        pairs.selectExpr("regionkey", "c AS src", "s AS dst")
+    )
+    # the node -> region map rides on the degree frame (each node is in
+    # exactly one region, so this is 1 row per node, not per edge)
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("d"), F.min("regionkey").alias("regionkey")
+    )
+    edges_deg = edges.select("src", "dst").join(deg.select("src", "d"), "src").cache()
+    ranks = deg.select(
+        F.col("src").alias("node"),
+        F.lit(PR_SCALE).cast("bigint").alias("r"),
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges_deg.join(ranks, edges_deg.src == ranks.node)
+            .select("dst", F.expr("r div d").alias("cu"))
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum("cu").alias("s"))
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"CAST({int(0.15 * PR_SCALE)} + (850 * s) div 1000 AS BIGINT)"
+                ).alias("r"),
+            )
+        )
+    w = Window.partitionBy("regionkey").orderBy(F.desc("r"), F.asc("node"))
+    label = F.concat(
+        F.when(F.col("node") % 2 == 0, F.lit("s")).otherwise(F.lit("c")),
+        F.expr("node div 2").cast("string"),
+    )
+    return (
+        ranks.join(deg.select(F.col("src").alias("node"), "regionkey"), "node")
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= PR_G_TOP)
+        .join(F.broadcast(reg), F.col("regionkey") == F.col("r_regionkey"))
+        .select(
+            F.col("r_name").alias("region"),
+            "rn",
+            label.alias("node_id"),
+            F.col("r").alias("rank_units"),
+        )
+    )
+
+
+ORACLES["graph_pagerank_by_region"] = f"""
+WITH sup AS (
+  SELECT s_suppkey, n_regionkey AS s_reg
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+),
+cust AS (
+  SELECT c_custkey, n_regionkey AS c_reg
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+),
+pairs AS (
+  SELECT DISTINCT s_reg AS regionkey,
+         l_suppkey * 2 AS s, o_custkey * 2 + 1 AS c
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN sup ON l_suppkey = s_suppkey
+  JOIN cust ON o_custkey = c_custkey
+  WHERE s_reg = c_reg
+),
+edges AS (
+  SELECT regionkey, s AS src, c AS dst FROM pairs
+  UNION ALL
+  SELECT regionkey, c AS src, s AS dst FROM pairs
+),
+deg AS (
+  SELECT src, COUNT(*) AS d, MIN(regionkey) AS regionkey
+  FROM edges GROUP BY src
+),
+edges_deg AS (
+  SELECT e.src, e.dst, d.d FROM edges e JOIN deg d ON d.src = e.src
+),
+r0 AS (SELECT src AS node, CAST({PR_SCALE} AS BIGINT) AS r FROM deg),
+{_pr_iter_sql("r0", "r1")},
+{_pr_iter_sql("r1", "r2")},
+{_pr_iter_sql("r2", "r3")}
+SELECT r_name AS region, rn, node_id, rank_units
+FROM (
+  SELECT g.regionkey,
+         ROW_NUMBER() OVER (PARTITION BY g.regionkey
+                            ORDER BY r3.r DESC, r3.node ASC) AS rn,
+         (CASE WHEN r3.node % 2 = 0 THEN 's' ELSE 'c' END)
+           || CAST(r3.node // 2 AS VARCHAR) AS node_id,
+         r3.r AS rank_units
+  FROM r3 JOIN deg g ON g.src = r3.node
+) t JOIN region ON t.regionkey = r_regionkey
+WHERE rn <= {PR_G_TOP}
+"""

@@ -974,8 +974,8 @@ FROM proj
 
 def q_ann_jl_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X9 compression path #2: ANN via JL projection + exact rerank.
-    Candidate generation scans 16-dim projections (4x less data per pair
-    than the raw 64-dim scan) for the top-JL_CAND projected-cosine
+    Candidate generation scans JL_DIM=32-dim projections (2x less data
+    per pair than the raw 64-dim scan) for the top-JL_CAND projected-cosine
     neighbors per query; the exact rerank then rescores only Q x JL_CAND
     pairs in the original space.  Same contract family as
     ``q_ann_int8_rerank`` (SQ8): approximate candidates, exact final

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..sources.tables import load_table
 
@@ -3273,3 +3274,254 @@ SELECT n_docs, n_dup_pairs, naive_cross_pairs, cluster_cross_pairs,
        n_val_naive, n_val_cluster
 FROM split_sizes, crossed
 """
+
+
+# --- X-decon-c: SIZED Bloom decontamination --------------------------------
+#
+# q_bloom_decontaminate keeps BLOOM_BITS fixed across SFs to SHOW what an
+# unresized bitset costs as the benchmark set grows (measured FP rate
+# 0.22 at sf0.1).  This is the other half of the lesson: apply the
+# sizing rule.  The element count n comes from one scalar count of the
+# (tiny, benchmark-side) distinct-shingle set — in a deployment that's
+# the eval-registry's manifest or a parquet footer count, never a
+# corpus-side scan — and the bitset gets
+#     m = BLOOM_SIZED_BPE * next_pow2(n)   bits   (>= 32 bits/element)
+# with BLOOM_SIZED_K double-hash probes, putting the false-positive rate
+# below ~2e-6 so the exact-verify join volume is the true-hit volume.
+# Power-of-two m keeps `% m` identical across engines, and because
+# BLOOM_SIZED_BPE is itself 2^5 the size rule is pure integer math.
+
+BLOOM_SIZED_BPE = 32  # bits per element, rounded up to a power of two
+BLOOM_SIZED_K = 10    # double-hashing probes: pos_i = (h1 + i*h2) mod m
+
+
+def _next_pow2(n: int) -> int:
+    """Smallest power of two >= n (n >= 1) — integer-only, and equal to
+    the oracle's CAST(POWER(2, CEIL(LOG2(n))) AS BIGINT) for every
+    BIGINT n (log2 of an exact power of two is exact in IEEE double)."""
+    return 1 << (int(n) - 1).bit_length() if n > 1 else 1
+
+
+def q_bloom_sized_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc decontamination scorecard through a PROPERLY SIZED Bloom
+    prefilter: (doc_id, n_shingles, n_bloom_pos, n_exact, n_false_pos,
+    bloom_bits).  Same contract as ``q_bloom_decontaminate`` plus the
+    chosen bitset size, so the pair of reports demonstrates the sizing
+    rule next to the saturation failure.
+
+    Scale shape: identical to the fixed-size operator — bit_or word agg
+    on the benchmark side, broadcast probe, exact verify of survivors —
+    except the broadcast now grows with the BENCHMARK set (still KBs at
+    any realistic eval-suite size: 32 bits/element = 4 bytes/shingle),
+    never with the corpus, and the near-zero FP rate means the
+    verify-join volume equals the true-contamination volume."""
+    sh = _shingle_df(spark, sf_dir)
+    bench_ids = F.col("doc_id") % BENCH_DOC_MOD == 0
+    bench_shingles = sh.filter(bench_ids).select("shingle").distinct()
+    corpus = sh.filter(~bench_ids)
+
+    # one scalar count of the benchmark-side set sizes the filter (the
+    # deployment analogue: the eval registry's manifest count)
+    n_bench = bench_shingles.count()
+    m_bits = BLOOM_SIZED_BPE * _next_pow2(max(n_bench, 2))
+
+    ks = F.explode(F.array(*[F.lit(i) for i in range(BLOOM_SIZED_K)])).alias("i")
+    pos = (_bloom_h("shingle", 1) + F.col("i") * _bloom_h("shingle", 9)) % m_bits
+    mask = F.pow(F.lit(2.0), pos % BLOOM_WORD_BITS).cast("bigint")
+    bloom = (
+        bench_shingles.select("shingle", ks)
+        .select(F.floor(pos / BLOOM_WORD_BITS).cast("bigint").alias("word"),
+                mask.alias("m"))
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("w"))
+    )
+    probe = (
+        corpus.select("doc_id", "shingle", ks)
+        .select("doc_id", "shingle",
+                F.floor(pos / BLOOM_WORD_BITS).cast("bigint").alias("word"),
+                mask.alias("m"))
+        .join(F.broadcast(bloom), "word", "left")
+        .groupBy("doc_id", "shingle")
+        .agg(
+            F.min(
+                F.when(F.col("w").bitwiseAND(F.col("m")) != 0, 1).otherwise(0)
+            ).alias("bloom_hit")
+        )
+    )
+    exact = (
+        corpus.join(F.broadcast(bench_shingles), "shingle", "left_semi")
+        .withColumn("is_exact", F.lit(1))
+    )
+    return (
+        probe.join(exact, ["doc_id", "shingle"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("bloom_hit").cast("bigint").alias("n_bloom_pos"),
+            F.sum(F.coalesce("is_exact", F.lit(0))).cast("bigint")
+            .alias("n_exact"),
+            (F.sum("bloom_hit") - F.sum(F.coalesce("is_exact", F.lit(0))))
+            .cast("bigint").alias("n_false_pos"),
+        )
+        .withColumn("bloom_bits", F.lit(m_bits).cast("bigint"))
+    )
+
+
+ORACLES["bloom_sized_decontaminate"] = f"""
+WITH {_DUCK_SHINGLE_CTE},
+bench AS (
+  SELECT DISTINCT shingle FROM shingles WHERE doc_id % {BENCH_DOC_MOD} = 0
+),
+corpus AS (
+  SELECT doc_id, shingle FROM shingles WHERE doc_id % {BENCH_DOC_MOD} <> 0
+),
+sz AS (
+  SELECT CAST({BLOOM_SIZED_BPE} * POWER(2, CEIL(LOG2(GREATEST(COUNT(*), 2))))
+              AS BIGINT) AS m
+  FROM bench
+),
+bpos AS (
+  SELECT ({_duck_bloom_h('shingle', 1)}
+          + g.i * {_duck_bloom_h('shingle', 9)}) % sz.m AS pos
+  FROM bench, sz, generate_series(0, {BLOOM_SIZED_K - 1}) AS g(i)
+),
+bloom AS (
+  SELECT pos // {BLOOM_WORD_BITS} AS word,
+         bit_or(CAST(POWER(2, pos % {BLOOM_WORD_BITS}) AS BIGINT)) AS w
+  FROM bpos GROUP BY pos // {BLOOM_WORD_BITS}
+),
+cpos AS (
+  SELECT doc_id, shingle,
+         ({_duck_bloom_h('shingle', 1)}
+          + g.i * {_duck_bloom_h('shingle', 9)}) % sz.m AS pos
+  FROM corpus, sz, generate_series(0, {BLOOM_SIZED_K - 1}) AS g(i)
+),
+probe AS (
+  SELECT c.doc_id, c.shingle,
+         MIN(CASE WHEN (b.w & CAST(POWER(2, c.pos % {BLOOM_WORD_BITS})
+                                   AS BIGINT)) <> 0
+                  THEN 1 ELSE 0 END) AS bloom_hit
+  FROM cpos c
+  LEFT JOIN bloom b ON b.word = c.pos // {BLOOM_WORD_BITS}
+  GROUP BY c.doc_id, c.shingle
+),
+exact AS (
+  SELECT DISTINCT c.doc_id, c.shingle
+  FROM corpus c JOIN bench b USING (shingle)
+)
+SELECT p.doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(p.bloom_hit) AS BIGINT) AS n_bloom_pos,
+       CAST(SUM(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_exact,
+       CAST(SUM(p.bloom_hit)
+            - SUM(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos,
+       (SELECT m FROM sz) AS bloom_bits
+FROM probe p
+LEFT JOIN exact e ON p.doc_id = e.doc_id AND p.shingle = e.shingle
+GROUP BY p.doc_id
+"""
+
+
+# --- X-tok: BPE merge induction (distributed tokenizer training) ------------
+#
+# The tokenizer-training half of a data pipeline: learn the first
+# BPE_MERGE_ROUNDS byte-pair-encoding merges over the corpus.  Each
+# round is (1) a corpus-wide adjacent-bigram count — a map-side-
+# combinable groupBy, the only shuffle, carrying 2-char keys — and
+# (2) an argmax (count DESC, pair ASC — the deterministic tie-break),
+# then (3) a MAP-ONLY rewrite replacing the winning pair with a fresh
+# single-symbol placeholder (chr(round): the corpus is printable ASCII,
+# so 0x01..0x08 are free).  Non-overlapping left-to-right `replace` is
+# the SAME greedy semantics in Spark (Java String.replace), DuckDB, and
+# Python, which is what makes an ITERATIVE TEXT fixpoint exactly
+# value-checkable cross-engine — the string twin of graph_pagerank's
+# integer-unit trick.  Real BPE runs ~30k rounds with periodic
+# checkpoints of the rewritten corpus; 8 rounds keep the lineage
+# shallow and the oracle a finite CTE chain while exercising the full
+# count -> argmax -> rewrite -> recount loop, including merges OF
+# merges (later winners contain earlier placeholder symbols).
+
+BPE_MERGE_ROUNDS = 8
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE_MERGE_ROUNDS BPE merges over documents.text:
+    (rn, token, cnt) — merge rank, the merged token fully expanded back
+    to the original alphabet, and the pair count that won the round.
+
+    Scale shape: per round, the bigram count shuffles (pair, partial
+    count) pairs only (map-side combine collapses each partition to its
+    distinct-bigram histogram, ~alphabet^2 rows); the argmax is a 1-row
+    TakeOrderedAndProject; the rewrite is a narrow map over the corpus.
+    Driver state is 8 (pair, count) scalars — the merge table itself,
+    which IS the operator's output.  At 100 TB you checkpoint the
+    rewritten corpus every ~50 rounds to cap lineage; the loop shape is
+    unchanged."""
+    docs = load_table(spark, sf_dir, "documents").select(F.col("text").alias("t"))
+    cur = docs
+    merges: list[tuple[str, int]] = []
+    for k in range(1, BPE_MERGE_ROUNDS + 1):
+        top = (
+            cur.filter(F.length("t") >= 2)
+            .select(F.expr("explode(sequence(1, length(t)-1))").alias("i"), "t")
+            .select(F.expr("substring(t, i, 2)").alias("pair"))
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        merges.append((top[0]["pair"], int(top[0]["cnt"])))
+        cur = cur.select(
+            F.replace(F.col("t"), F.lit(top[0]["pair"]), F.lit(chr(k))).alias("t")
+        )
+    # expand placeholders back to the original alphabet (expansions are
+    # placeholder-free, so substitution order cannot matter)
+    expanded: dict[int, str] = {}
+    rows = []
+    for k, (pair, cnt) in enumerate(merges, start=1):
+        ex = pair
+        for j in range(1, k):
+            ex = ex.replace(chr(j), expanded[j])
+        expanded[k] = ex
+        rows.append((k, ex, cnt))
+    schema = T.StructType([
+        T.StructField("rn", T.LongType(), False),
+        T.StructField("token", T.StringType(), False),
+        T.StructField("cnt", T.LongType(), False),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def _bpe_oracle() -> str:
+    parts = ["c0 AS (SELECT text AS t FROM documents)"]
+    for k in range(1, BPE_MERGE_ROUNDS + 1):
+        parts.append(
+            f"m{k} AS (\n"
+            f"  SELECT substr(t, CAST(i AS INTEGER), 2) AS pair,\n"
+            f"         CAST(COUNT(*) AS BIGINT) AS cnt\n"
+            f"  FROM c{k - 1}, LATERAL generate_series(1, length(t) - 1) AS g(i)\n"
+            f"  GROUP BY 1 ORDER BY cnt DESC, pair ASC LIMIT 1\n"
+            f")"
+        )
+        parts.append(
+            f"c{k} AS (SELECT REPLACE(t, (SELECT pair FROM m{k}), chr({k})) AS t "
+            f"FROM c{k - 1})"
+        )
+    for k in range(1, BPE_MERGE_ROUNDS + 1):
+        ex = "pair"
+        for j in range(1, k):
+            ex = f"REPLACE({ex}, chr({j}), (SELECT ex FROM e{j}))"
+        parts.append(f"e{k} AS (SELECT CAST({k} AS BIGINT) AS rn, {ex} AS ex, cnt FROM m{k})")
+    union = "\nUNION ALL\n".join(
+        f"SELECT rn, ex AS token, cnt FROM e{k}"
+        for k in range(1, BPE_MERGE_ROUNDS + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+ORACLES["bpe_merges"] = _bpe_oracle()

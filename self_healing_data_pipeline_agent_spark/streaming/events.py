@@ -1685,3 +1685,134 @@ SELECT period_start, granularity,
        TRUE AS med_rank_ok
 FROM k2 GROUP BY period_start, granularity
 """
+
+
+# --- X17+: state-store observability ----------------------------------------
+#
+# The streaming ring's other queries check VALUES; this one reports the
+# engine's own per-operator state-store metrics — the 100 TB go/no-go
+# signal for stateful streaming.  A stream-stream LEFT OUTER interval
+# join retains both sides until the watermark clears the match interval
+# (the r9 `streaming_error_orphans` addition), and a session-window agg
+# retains one merging window per open session; if either's state size
+# does not plateau once the watermark advances, the job eventually
+# OOMs/spills no matter how many executors it gets.  The report is the
+# quantity a deployment alerts on (rows retained at end-of-stream,
+# lifetime update/remove churn, bytes); values come from
+# StreamingQueryProgress.stateOperators, the same source the Spark UI
+# renders.
+
+
+def _progress_dicts(q) -> list[dict]:
+    """recentProgress as plain dicts across PySpark's object/dict API
+    variants."""
+    import json as _json
+
+    out = []
+    for p in q.recentProgress:
+        out.append(p if isinstance(p, dict) else _json.loads(p.json))
+    return out
+
+
+def _run_and_observe(df: DataFrame, prefix: str) -> list[dict]:
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return _progress_dicts(q)
+
+
+def streaming_state_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per stateful operator of two representative stateful
+    pipelines — the outer interval join and the native session-window
+    agg: (pipeline, operator, state_rows_final, rows_updated_total,
+    rows_removed_total, memory_used_bytes_final).
+
+    ``state_rows_final`` is the state left after the final watermark
+    advance — data-determined (what the watermark could not yet evict),
+    not batching-determined; the churn totals sum the per-batch metrics
+    over the run.  Registered rows-only (no SQL twin: the subject IS the
+    engine's runtime state accounting, which a batch engine does not
+    have); the row count is pinned by the operator count of the two
+    plans, and tests assert the invariants that make the numbers
+    meaningful (join retains rows, session state drains to the open
+    tail, bytes > 0 for non-empty state)."""
+    # pipeline 1: the LEFT OUTER interval join from streaming_error_orphans
+    errors = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.col("user_id").alias("err_user"),
+            F.col("ts").alias("err_ts"),
+        )
+        .withWatermark("err_ts", WATERMARK)
+    )
+    context = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            F.col("event_id").alias("ctx_id"),
+            F.col("user_id").alias("ctx_user"),
+            F.col("ts").alias("ctx_ts"),
+        )
+        .withWatermark("ctx_ts", WATERMARK)
+    )
+    joined = errors.join(
+        context,
+        (F.col("err_user") == F.col("ctx_user"))
+        & (F.col("ctx_ts") >= F.col("err_ts") - F.expr(f"INTERVAL {JOIN_WINDOW_SEC} SECONDS"))
+        & (F.col("ctx_ts") <= F.col("err_ts") + F.expr(f"INTERVAL {JOIN_WINDOW_SEC} SECONDS")),
+        "left_outer",
+    ).select("err_id", "ctx_id")
+    # pipeline 2: native session windows (same plan as streaming_session_windows)
+    gap_min = SESSION_GAP_MICROS // 60_000_000
+    sessions = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", f"{gap_min} minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    rows = []
+    for pipeline, df in (("interval_join_outer", joined),
+                         ("session_windows", sessions)):
+        progresses = _run_and_observe(df, f"state_metrics_{pipeline}")
+        final: dict[int, dict] = {}
+        updated: dict[int, int] = {}
+        removed: dict[int, int] = {}
+        for p in progresses:
+            for idx, op in enumerate(p.get("stateOperators", [])):
+                final[idx] = op
+                updated[idx] = updated.get(idx, 0) + int(op.get("numRowsUpdated", 0))
+                removed[idx] = removed.get(idx, 0) + int(op.get("numRowsRemoved", 0))
+        for idx in sorted(final):
+            op = final[idx]
+            rows.append((
+                pipeline,
+                str(op.get("operatorName", f"op{idx}")),
+                int(op.get("numRowsTotal", 0)),
+                updated[idx],
+                removed[idx],
+                int(op.get("memoryUsedBytes", 0)),
+            ))
+    schema = StructType([
+        StructField("pipeline", StringType(), False),
+        StructField("operator", StringType(), False),
+        StructField("state_rows_final", LongType(), False),
+        StructField("rows_updated_total", LongType(), False),
+        StructField("rows_removed_total", LongType(), False),
+        StructField("memory_used_bytes_final", LongType(), False),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def q_streaming_state_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_state_metrics(spark, sf_dir)

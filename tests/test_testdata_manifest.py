@@ -81,3 +81,41 @@ def test_events_ts_unit_probe_agrees_with_manifest():
     manifest_ts = json.loads(MANIFEST.read_text())["tables"]["events"]["ts"]
     expected_unit = "us" if "[us" in manifest_ts else "ns"
     assert events_ts_unit(TESTDATA_ROOT / "sf0.001") == expected_unit
+
+
+@pytest.mark.parametrize("sf", SF_DIRS)
+def test_no_error_interval_ends_on_watermark_boundary(sf):
+    """Guard for the streaming_error_orphans oracle's strict-'<' eviction
+    model (streaming/events.py ORACLES): the batch twin hard-codes Spark
+    watermark internals — ms-floored max event time, ``min`` multiple-
+    watermark policy, strict '<' at the eviction boundary.  Those are
+    empirically pinned today but version- and data-dependent: an error
+    event whose +5-minute match-interval end landed EXACTLY on the
+    ms-floored watermark would make null emission depend on which side
+    of the tie the engine takes.  Assert the testdata never produces
+    that tie, so a future flip would be a loud oracle mismatch (parity
+    suite) rather than a silent coin-toss."""
+    import duckdb
+
+    if not (TESTDATA_ROOT / sf).exists():
+        pytest.skip(f"{sf} not present")
+    events = TESTDATA_ROOT / sf / "events.parquet"
+    ties = duckdb.sql(f"""
+        WITH wm AS (
+          SELECT date_trunc('milliseconds',
+                   LEAST((SELECT MAX(ts) FROM '{events}'
+                           WHERE event_type = 'error'),
+                         (SELECT MAX(ts) FROM '{events}'
+                           WHERE event_type IN ('click', 'view'))))
+                 - INTERVAL 2 HOUR AS w
+        )
+        SELECT COUNT(*) FROM '{events}' e, wm
+        WHERE e.event_type = 'error'
+          AND e.ts + INTERVAL 300 SECOND = wm.w
+    """).fetchone()[0]
+    assert ties == 0, (
+        f"{ties} error event(s) end exactly on the ms-floored watermark — "
+        "the streaming_error_orphans oracle's strict-'<' eviction model is "
+        "ambiguous for them; re-pin the boundary against the running Spark "
+        "version before trusting the official record."
+    )
