@@ -3501,10 +3501,16 @@ def _bpe_oracle() -> str:
     parts = ["c0 AS (SELECT text AS t FROM documents)"]
     for k in range(1, BPE_MERGE_ROUNDS + 1):
         parts.append(
+            # per-row series via unnest(generate_series(...)) in the
+            # SELECT list — DuckDB rejects lateral column parameters to
+            # the generate_series TABLE function, but the scalar
+            # list-returning form takes per-row arguments fine (and
+            # yields an empty list, i.e. no rows, when length(t) < 2)
             f"m{k} AS (\n"
             f"  SELECT substr(t, CAST(i AS INTEGER), 2) AS pair,\n"
             f"         CAST(COUNT(*) AS BIGINT) AS cnt\n"
-            f"  FROM c{k - 1}, LATERAL generate_series(1, length(t) - 1) AS g(i)\n"
+            f"  FROM (SELECT t, unnest(generate_series(1, length(t) - 1)) AS i\n"
+            f"        FROM c{k - 1})\n"
             f"  GROUP BY 1 ORDER BY cnt DESC, pair ASC LIMIT 1\n"
             f")"
         )

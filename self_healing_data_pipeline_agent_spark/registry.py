@@ -37,88 +37,80 @@ _MODULES = [
 # (tests/test_oracle_parity.py, which runs ALL pairs) — not the official
 # record — decides what needs the window.
 QUERY_ORDER = [
-    # -- r9 new operators (never-green, must be in-window): the JL
-    #    random-projection ring (map-only 64->32 compression + the
-    #    projected-candidate/exact-rerank ANN), the Morton-vs-linear
-    #    layout study, the Bloom-bitset decontamination prefilter, the
-    #    stream-stream LEFT OUTER interval join (watermark-gated null
-    #    emission under the min multiple-watermark policy), integer-unit
-    #    PageRank, the UniMax epoch waterfill, the cluster-aware
-    #    split-hygiene report, and the real-container audio (RIFF/WAVE)
-    #    and video (concatenated-P6 frame stream) decode kernels --
-    "jl_projection",
+    # -- r10/r11 new operators (never-green, must be in-window): the
+    #    per-region partitioned PageRank fixpoint, the footer-probe-sized
+    #    Bloom decontamination companion (demonstrates the ~10 bits/elem
+    #    sizing rule vs bloom_decontaminate's deliberate saturation), the
+    #    distributed BPE merge-induction loop (count -> argmax -> map-only
+    #    rewrite, merge table checked cross-engine), and the streaming
+    #    state-size observability probe (rows-only: progress metrics have
+    #    no SQL twin) --
+    "graph_pagerank_by_region",
+    "bloom_sized_decontaminate",
+    "bpe_merges",
+    "streaming_state_metrics",
+    # -- changed since last green, fail-closed re-check: ann_jl_rerank's
+    #    docstring edit (16-dim/4x -> 32-dim/2x) sits inside the tracked
+    #    span; behavior is unchanged per local parity, record re-earned --
     "ann_jl_rerank",
-    "zorder_pruning",
-    "bloom_decontaminate",
-    "streaming_error_orphans",
-    "graph_pagerank",
-    "mixture_epochs",
-    "leakage_safe_split",
-    "multimodal_decode_wav",
-    "multimodal_decode_ppm_stream",
-    # -- changed in r9, fail-closed re-check: ann_lsh_topk's candidate
-    #    join/dedup reshaped to move codes instead of embeddings
-    #    (bit-identical per local parity); multimodal_decode_ppm's
-    #    _ppm_header helper gained malformed-input rejections (valid
-    #    payloads decode unchanged, but the helper sits outside the
-    #    tracked spans, so the record is re-earned rather than argued) --
-    "ann_lsh_topk",
-    "multimodal_decode_ppm",
-    # -- the ten r5 records the r8 rotation spilled (committed there as
-    #    r9 MUST-window; after these re-green, no official record is
-    #    older than r6) --
-    "row_count",
-    "null_fractions",
-    "recent_errors",
-    "point_lookup",
-    "status_metrics",
-    "revenue_by_nation",
-    "rollup_summary",
-    "setop_except",
-    "setop_intersect",
-    "order_priority_check",
-    # -- 28 of the 42 r6-aged records, oldest-first rotation.  The 14
-    #    displaced by the forced slots above — format_interchange,
-    #    fulfillment_lag, heavy_hitters_by_lang, histogram_profile,
-    #    lang_guess, ngram_counts, payload_stats, pivot_status_priority,
-    #    quality_gates, small_qty_revenue, source_mix,
-    #    top_supplier_revenue, top_terms, tpch_q1 — are the simplest,
-    #    most change-isolated of the cohort (single-table scans/aggs/
-    #    filter stacks, pivots, footer reads, the self-contained format
-    #    roundtrip, and the grouped twin of in-window heavy_hitters;
-    #    all local-parity green today).  They spill to r10 oldest-first
-    #    per the rotation policy: r10 MUST window these fourteen. --
-    "dup_ngram_coverage",
-    "embedding_norm_stats",
-    "embedding_quant_codebook",
-    "exact_dedup_docs",
-    "funnel_conversion",
-    "heavy_hitters",
-    "kll_quantile_drift",
-    "knn_cosine",
-    "label_centroids",
-    "minhash_lsh_pairs",
-    "mixture_resample",
-    "pack_sequences",
-    "pii_scrub",
-    "referential_orphans",
-    "repetition_ratio",
-    "salted_hot_key_agg",
-    "shard_manifest",
-    "stratified_sample",
-    "streaming_cardinality_profile",
-    "streaming_churn_profile",
-    "streaming_dedup_jittered",
-    "streaming_enriched_counts",
-    "streaming_session_windows",
-    "streaming_sketch_rollup",
-    "text_quality",
-    "token_stats_by_lang",
-    "train_val_split",
-    "vocab_growth",
-    # Below the 50-entry window: everything else carries an r7 or r8
+    # -- the 14 r6-aged records the r9 rotation spilled (committed there
+    #    as r10-MUST-window; r10 was cut short before the rotation landed,
+    #    so the commitment transfers to THIS window.  After these re-green
+    #    no official record predates r7.) --
+    "format_interchange",
+    "fulfillment_lag",
+    "heavy_hitters_by_lang",
+    "histogram_profile",
+    "lang_guess",
+    "ngram_counts",
+    "payload_stats",
+    "pivot_status_priority",
+    "quality_gates",
+    "small_qty_revenue",
+    "source_mix",
+    "top_supplier_revenue",
+    "top_terms",
+    "tpch_q1",
+    # -- 31 of the 46 r7-aged records, oldest-cohort-first (within the
+    #    cohort: alphabetical — all carry the same r7 date, so the order
+    #    inside the cohort is arbitrary and alphabetical is auditable).
+    #    The 15 spilled (scd2_priority_history .. tpch_q7) are r12
+    #    MUST-window; all are local-parity green today.  New operators
+    #    added later this round displace from the TAIL of this block. --
+    "activity_streaks",
+    "ann_int8_rerank",
+    "anomaly_zscore",
+    "approx_quantile_profile",
+    "attribution_asof",
+    "char_lm_doc_counts",
+    "char_lm_model",
+    "chunk_dedup",
+    "corr_profile",
+    "cube_summary",
+    "customer_order_distribution",
+    "decontaminate_docs",
+    "dedup_first_lineitem",
+    "dedup_keep_best",
+    "disjunctive_revenue",
+    "doc_fingerprints",
+    "drift_compare",
+    "duplicate_clusters",
+    "error_context_join",
+    "frequent_items_sketch",
+    "grouped_drift_profile",
+    "incremental_dedup",
+    "key_skew_profile",
+    "mad_outlier_profile",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "normalize_text",
+    "profit_by_nation_year",
+    "psi_drift",
+    "rolling_fingerprints",
+    # Below the 50-entry window: everything else carries an r8 or r9
     # official green against current testdata and unchanged code.
-    # scripts/window_audit.py tracks staleness (spans + fingerprints);
+    # scripts/window_audit.py tracks staleness (contract fingerprints);
     # local parity re-verifies the full surface each session at
     # sf0.001+sf0.01.
 ]
