@@ -145,6 +145,19 @@ HEADLINE = [
     "leakage_safe_split",
     "multimodal_decode_wav",
     "multimodal_decode_ppm_stream",
+    # r10/r11: the per-region PageRank fixpoint, the BPE merge-induction
+    # loop (8 count->argmax->rewrite rounds over the corpus — the
+    # round's iterative work-bound row), the sized-Bloom companion, and
+    # the three TPC-H completions (Q2/Q12/Q20 adaptations — fact-scan
+    # join-aggs, benched like the rest of the X5 family).
+    # streaming_state_metrics is excluded like the other streaming rows:
+    # a bench row would time stream staging, not the operator.
+    "graph_pagerank_by_region",
+    "bpe_merges",
+    "bloom_sized_decontaminate",
+    "min_cost_supplier",
+    "ship_latency_priority",
+    "dominant_part_suppliers",
 ]
 
 

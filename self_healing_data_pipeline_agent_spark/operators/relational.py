@@ -2746,3 +2746,214 @@ FROM (
 ) t JOIN region ON t.regionkey = r_regionkey
 WHERE rn <= {PR_G_TOP}
 """
+
+# --- X5 completion: the last three TPC-H shapes (Q2 / Q12 / Q20) ------------
+#
+# This schema has no partsupp table, no l_shipmode, and no commit/receipt
+# dates (reference ingests a flat CSV star only — selfheal/etl.py:1-40), so
+# the three remaining TPC-H queries are adapted onto what the schema DOES
+# carry: lineitem as the observed part-supplier relation, and the
+# ship-vs-order date lag as the latency dimension.  Each keeps the shape
+# that makes the original query a planner stress test: Q2's correlated
+# per-group MIN, Q12's two-class conditional counting over a fact join,
+# Q20's nested semi-join chain.
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 adapted: for every STANDARD part of size <= 15, the
+    EUROPE supplier(s) with the minimum observed total procurement cost
+    (discounted spend aggregated from lineitem — the schema's stand-in
+    for ps_supplycost).  Correlated-MIN shape: the per-part minimum is
+    computed only among in-region suppliers, then re-joined.
+
+    Scale shape: the part family and the region->nation->supplier chain
+    are broadcast filters, so the fact scans once, aggregates
+    (partkey, suppkey) with map-side combine, and the correlated MIN
+    runs as a window over the tiny grouped frame (|family| x |suppliers|
+    upper bound), never touching the fact again.  Cost compares in
+    exact integer units, so the MIN has no float-tie hazard."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    family = part.filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15)
+    ).select("p_partkey", "p_name")
+    euro_supp = (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost_units = to_units(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    ps = (
+        li.join(F.broadcast(family), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(euro_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.sum(cost_units).alias("cost_units"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        ps.withColumn("min_cost_units", F.min("cost_units").over(w))
+        .filter(F.col("cost_units") == F.col("min_cost_units"))
+        .select(
+            "s_acctbal", "s_name", "n_name",
+            "p_partkey", "p_name",
+            (F.col("cost_units").cast("double") / F.lit(UNIT_SCALE)).alias("supply_cost"),
+        )
+    )
+
+
+ORACLES["min_cost_supplier"] = """
+WITH ps AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+         SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)
+                  AS BIGINT)) AS cost_units
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE p_type = 'STANDARD' AND p_size <= 15 AND r_name = 'EUROPE'
+  GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       CAST(cost_units AS DOUBLE) / 10000.0 AS supply_cost
+FROM (
+  SELECT *, MIN(cost_units) OVER (PARTITION BY p_partkey) AS min_cost_units
+  FROM ps
+) t
+WHERE cost_units = min_cost_units
+"""
+
+
+def q_ship_latency_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adapted: the schema has no l_shipmode, so lineitems are
+    classed by ship latency instead — FAST (shipped within 30 days of
+    the order date) vs SLOW (90+ days) — restricted, like Q12's
+    two-mode IN list, to those two classes and to 1997 ship dates; per
+    class, count lines from critical-priority orders (1-URGENT/2-HIGH)
+    vs the rest.
+
+    Scale shape: the 1997 filter pushes to the lineitem scan; one
+    orderkey shuffle joins orders; the class and the two conditional
+    counts fold into a 2-row map-side-combined aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    cls = F.when(lag <= 30, "FAST").when(lag >= 90, "SLOW")
+    critical = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn("lag_class", cls)
+        .filter(F.col("lag_class").isNotNull())
+        .groupBy("lag_class")
+        .agg(
+            F.sum(F.when(critical, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(critical, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+ORACLES["ship_latency_priority"] = """
+SELECT lag_class,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM (
+  SELECT o_orderpriority,
+         CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 30 THEN 'FAST'
+              WHEN datediff('day', o_orderdate, l_shipdate) >= 90 THEN 'SLOW'
+         END AS lag_class
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+)
+WHERE lag_class IS NOT NULL
+GROUP BY lag_class
+"""
+
+
+DOMINANT_SHARE_PCT = 30  # integer percent: share test stays in exact integers
+
+
+def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted: suppliers in AMERICA who, for at least one
+    'small *' part, shipped more than DOMINANT_SHARE_PCT% of that
+    part's total 1997 volume (the availqty > 0.5 * shipped test of the
+    original, with lineitem standing in for partsupp).  Nested
+    semi-join chain: part-name family -> per-(part,supplier) share ->
+    distinct dominating suppliers -> supplier/nation details.
+
+    Scale shape: family and dims broadcast; the fact scans once with
+    the 1997 + family filters pushed down, aggregates (part, supplier)
+    quantities with map-side combine, and the per-part total is a
+    window over the grouped frame.  The share test cross-multiplies
+    exact integer unit sums (100*q > pct*total) — no float division.
+    The final dedup is a distinct over suppliers only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    family = part.filter(F.col("p_name").startswith("small ")).select("p_partkey")
+    qty_units = to_units(F.col("l_quantity"))
+    ps = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(family), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_partkey", "l_suppkey")
+        .agg(F.sum(qty_units).alias("q_units"))
+    )
+    w = Window.partitionBy("p_partkey")
+    dominating = (
+        ps.withColumn("total_units", F.sum("q_units").over(w))
+        .filter(F.col("q_units") * 100 > F.col("total_units") * DOMINANT_SHARE_PCT)
+        .select("l_suppkey")
+        .distinct()
+    )
+    america = (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "AMERICA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    return america.join(
+        dominating, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name", "n_name")
+
+
+ORACLES["dominant_part_suppliers"] = f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(FLOOR(l_quantity * 10000.0 + 0.5) AS BIGINT)) AS q_units
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small %'
+    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY 1, 2
+),
+dominating AS (
+  SELECT DISTINCT l_suppkey
+  FROM (
+    SELECT *, SUM(q_units) OVER (PARTITION BY l_partkey) AS total_units
+    FROM ps
+  )
+  WHERE q_units * 100 > total_units * {DOMINANT_SHARE_PCT}
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'AMERICA'
+  AND s_suppkey IN (SELECT l_suppkey FROM dominating)
+"""

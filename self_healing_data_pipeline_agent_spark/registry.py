@@ -49,6 +49,13 @@ QUERY_ORDER = [
     "bloom_sized_decontaminate",
     "bpe_merges",
     "streaming_state_metrics",
+    # -- r11 new operators (never-green): the last three TPC-H shapes —
+    #    Q2's correlated per-part MIN, Q12's two-class conditional
+    #    counting, Q20's nested semi-join chain — adapted onto lineitem
+    #    as the observed part-supplier relation (X5 is now 22/22) --
+    "min_cost_supplier",
+    "ship_latency_priority",
+    "dominant_part_suppliers",
     # -- changed since last green, fail-closed re-check: ann_jl_rerank's
     #    docstring edit (16-dim/4x -> 32-dim/2x) sits inside the tracked
     #    span; behavior is unchanged per local parity, record re-earned --
@@ -71,12 +78,13 @@ QUERY_ORDER = [
     "top_supplier_revenue",
     "top_terms",
     "tpch_q1",
-    # -- 31 of the 46 r7-aged records, oldest-cohort-first (within the
+    # -- 28 of the 46 r7-aged records, oldest-cohort-first (within the
     #    cohort: alphabetical — all carry the same r7 date, so the order
-    #    inside the cohort is arbitrary and alphabetical is auditable).
-    #    The 15 spilled (scd2_priority_history .. tpch_q7) are r12
-    #    MUST-window; all are local-parity green today.  New operators
-    #    added later this round displace from the TAIL of this block. --
+    #    inside the cohort is arbitrary and auditable).  The 18 spilled
+    #    (profit_by_nation_year, psi_drift, rolling_fingerprints,
+    #    scd2_priority_history .. tpch_q7) are r12 MUST-window; all are
+    #    local-parity green today.  New operators added later this round
+    #    displace from the TAIL of this block. --
     "activity_streaks",
     "ann_int8_rerank",
     "anomaly_zscore",
@@ -105,9 +113,6 @@ QUERY_ORDER = [
     "multimodal_frame_sample",
     "multimodal_resize",
     "normalize_text",
-    "profit_by_nation_year",
-    "psi_drift",
-    "rolling_fingerprints",
     # Below the 50-entry window: everything else carries an r8 or r9
     # official green against current testdata and unchanged code.
     # scripts/window_audit.py tracks staleness (contract fingerprints);

@@ -810,3 +810,52 @@ def test_graph_pagerank_topk_is_take_ordered(spark, sf_dir):
     simple = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "simple")
     assert "TakeOrderedAndProject" in simple
+
+
+def test_min_cost_supplier_single_fact_scan_broadcast_dims(spark, sf_dir):
+    """Q2 adaptation: the part family and the region->nation->supplier
+    chain must broadcast so the fact is scanned once; the correlated
+    per-part MIN then runs as a window over the grouped frame, never
+    re-touching lineitem."""
+    from self_healing_data_pipeline_agent_spark.operators.relational import (
+        q_min_cost_supplier,
+    )
+
+    df = q_min_cost_supplier(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # one lineitem scan only (the min is a window, not a re-join of the fact)
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_ship_latency_priority_filter_pushed_single_join(spark, sf_dir):
+    """Q12 adaptation: the 1997 ship-date range must reach the lineitem
+    scan, and the only shuffle edges are the orderkey join and the 2-row
+    final aggregate."""
+    from self_healing_data_pipeline_agent_spark.operators.relational import (
+        q_ship_latency_priority,
+    )
+
+    df = q_ship_latency_priority(spark, sf_dir)
+    assert has_pushed_filter(df, "l_shipdate")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    # partial aggregation before the final exchange (map-side combine)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_dominant_part_suppliers_semi_join_no_fact_rejoin(spark, sf_dir):
+    """Q20 adaptation: family and dims broadcast, the share test is a
+    window over the grouped (part, supplier) frame, and the supplier
+    filter is a semi join — lineitem scans exactly once."""
+    from self_healing_data_pipeline_agent_spark.operators.relational import (
+        q_dominant_part_suppliers,
+    )
+
+    df = q_dominant_part_suppliers(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("lineitem.parquet") == 1
+    assert "LeftSemi" in plan
