@@ -158,6 +158,15 @@ HEADLINE = [
     "min_cost_supplier",
     "ship_latency_priority",
     "dominant_part_suppliers",
+    # r11 second wave: the tokenizer APPLY pass (learn loop + one
+    # map-only encode scan into a 5-row agg), and integer-unit Lloyd
+    # k-means (3 rounds of map-only assignment folds + (cid,pos) partial
+    # sums — the clustering counterpart of the PageRank row).
+    "bpe_encode_stats",
+    "kmeans_embeddings",
+    # r11: the distributed Gram build (map-only outer product into a
+    # 4096-cell agg) + driver-side integer power iteration.
+    "embedding_top_pc",
 ]
 
 

@@ -2862,10 +2862,10 @@ def q_ship_latency_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["ship_latency_priority"] = """
 SELECT lag_class,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM (
   SELECT o_orderpriority,
          CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 30 THEN 'FAST'

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.stable import davg
 from ..functions.oracle_sql import sql_davg
@@ -1080,3 +1081,324 @@ SELECT query_id, rn, neighbor_id, cosine FROM (
   JOIN embeddings b ON b.vec_id = p.neighbor_id
 ) WHERE rn <= {TOP_K}
 """
+
+
+# --- X25: integer-unit k-means (Lloyd) over embeddings -----------------------
+#
+# The clustering counterpart of the ranking/CC fixpoints (X24,
+# duplicate_clusters): an ITERATIVE numeric algorithm whose every step is
+# exact integer arithmetic, so the fixpoint is value-hash-checkable
+# cross-engine.  Components quantize to KM_SCALE units (floor(x*1e4+0.5)
+# on the double-widened float — the SQ8 codebook's rounding idiom);
+# squared distances, centroid sums, and the truncating centroid division
+# (Spark `div` == DuckDB `//` == trunc-toward-zero, verified on negative
+# operands) all stay in BIGINT.
+#
+# Scale shape (MLlib Lloyd's): centroids are a K x D model artifact held
+# driver-side and re-broadcast each round as literal arrays — assignment
+# is a MAP-ONLY fold per row (no join, no shuffle), and the only per-round
+# shuffle is the (cid, pos) partial-sum aggregate (K*D = 512 groups,
+# map-side combined).  Driver state is K*D ints — the model itself, the
+# same "the artifact IS the driver state" posture as the BPE merge table.
+
+KM_K = 8
+KM_ITERS = 3
+KM_SCALE = 10000
+KM_DIM = 64
+
+
+def _km_units() -> F.Column:
+    """embedding quantized to BIGINT units of 1/KM_SCALE."""
+    return F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * KM_SCALE + F.lit(0.5)).cast("bigint"),
+    )
+
+
+def _km_best(cents: list[tuple[int, list[int]]]) -> F.Column:
+    """struct(dist, cid) of the nearest centroid (squared-distance
+    argmin, ties to the lowest cid) — array_min over per-centroid fold
+    structs, entirely JVM-side against literal centroid arrays."""
+    structs = []
+    for cid, c in cents:
+        arr = F.array(*[F.lit(int(v)).cast("bigint") for v in c])
+        d = F.aggregate(
+            F.zip_with(F.col("u"), arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        structs.append(
+            F.named_struct(
+                F.lit("dist"), d, F.lit("cid"), F.lit(cid).cast("bigint")
+            )
+        )
+    return F.array_min(F.array(*structs))
+
+
+def _km_tdiv(a: int, b: int) -> int:
+    """trunc-toward-zero integer division (b > 0): Spark's `div` and
+    DuckDB's `//` semantics, which Python's floor-`//` does NOT match on
+    negative numerators."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KM_ITERS Lloyd rounds over the quantized embeddings, K=KM_K seeded
+    from vec_id 0..K-1; per-cluster report under the final centroids:
+    (cid, n_vecs, inertia, centroid_l1) — all exact BIGINTs.  Clusters
+    that lose every member keep their previous centroid (both engines).
+
+    Reference parity: the reference has no clustering; this extends X9's
+    embedding ring (SURVEY §2.B) with the codebook-LEARNING half that
+    q_ann_ivf_topk's fixed hash cells and q_embedding_quant_codebook's
+    min/max grid both presuppose."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", _km_units().alias("u")).cache()
+    init = q.filter(F.col("vec_id") < KM_K).collect()
+    cents: list[tuple[int, list[int]]] = sorted(
+        (int(r["vec_id"]), [int(v) for v in r["u"]]) for r in init
+    )
+    for _ in range(KM_ITERS):
+        best = _km_best(cents)
+        sums = (
+            q.select(best.getField("cid").alias("cid"), F.posexplode("u"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("col").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        acc: dict[int, list[tuple[int, int, int]]] = {}
+        for r in sums:
+            acc.setdefault(int(r["cid"]), []).append(
+                (int(r["pos"]), int(r["s"]), int(r["n"]))
+            )
+        cents = [
+            (
+                cid,
+                [_km_tdiv(s, n) for _pos, s, n in sorted(acc[cid])]
+                if cid in acc
+                else prev,
+            )
+            for cid, prev in cents
+        ]
+    best = _km_best(cents)
+    # centroid_l1 is a K-entry model constant — attach it as a literal
+    # array lookup (cid-indexed), not a join: the report plan is then
+    # pure scan -> agg -> sort with no join operator at all
+    l1 = F.array(
+        *[F.lit(sum(abs(v) for v in c)).cast("bigint") for _cid, c in cents]
+    )
+    return (
+        q.select(
+            best.getField("cid").alias("cid"),
+            best.getField("dist").alias("dist"),
+        )
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.sum("dist").alias("inertia"))
+        .withColumn(
+            "centroid_l1", F.element_at(l1, (F.col("cid") + 1).cast("int"))
+        )
+        .orderBy("cid")
+        .select("cid", "n_vecs", "inertia", "centroid_l1")
+    )
+
+
+def _km_oracle() -> str:
+    pos = f"(SELECT unnest(generate_series(1, {KM_DIM})) AS i) s"
+
+    def assign(cprev: str, aname: str) -> str:
+        return f"""{aname} AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT d.vec_id, d.cid, d.dist,
+           ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                              ORDER BY d.dist, d.cid) AS rn
+    FROM (
+      SELECT q.vec_id, c.cid,
+             CAST(SUM((q.u[s.i] - c.c[s.i]) * (q.u[s.i] - c.c[s.i]))
+                  AS BIGINT) AS dist
+      FROM q, {cprev} c, {pos}
+      GROUP BY q.vec_id, c.cid
+    ) d
+  ) WHERE rn = 1
+)"""
+
+    def update(aname: str, cprev: str, cname: str) -> str:
+        return f"""{cname}_new AS (
+  SELECT cid, list(val ORDER BY pos) AS c FROM (
+    SELECT a.cid, s.i AS pos,
+           CAST(CAST(SUM(q.u[s.i]) AS BIGINT) // COUNT(*) AS BIGINT) AS val
+    FROM {aname} a JOIN q USING (vec_id), {pos}
+    GROUP BY a.cid, s.i
+  ) GROUP BY cid
+),
+{cname} AS (
+  SELECT cid, c FROM {cname}_new
+  UNION ALL
+  SELECT cid, c FROM {cprev}
+  WHERE cid NOT IN (SELECT cid FROM {cname}_new)
+)"""
+
+    parts = [
+        f"""q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {KM_SCALE} + 0.5) AS BIGINT))
+           AS u
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, u AS c FROM q WHERE vec_id < {KM_K})"""
+    ]
+    for k in range(1, KM_ITERS + 1):
+        parts.append(assign(f"c{k - 1}", f"a{k}"))
+        parts.append(update(f"a{k}", f"c{k - 1}", f"c{k}"))
+    parts.append(assign(f"c{KM_ITERS}", "af"))
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT a.cid, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(a.dist) AS BIGINT) AS inertia,
+       l.centroid_l1
+FROM af a
+JOIN (SELECT cid,
+             CAST(list_sum(list_transform(c, x -> abs(x))) AS BIGINT)
+               AS centroid_l1
+      FROM c{KM_ITERS}) l USING (cid)
+GROUP BY a.cid, l.centroid_l1
+ORDER BY cid
+"""
+    )
+
+
+ORACLES["kmeans_embeddings"] = _km_oracle()
+
+
+# --- X26: integer-unit power iteration (dominant principal direction) --------
+#
+# The linear-algebra member of the value-hash-checked fixpoint family
+# (X24 PageRank, X25 k-means, duplicate_clusters CC): the dominant
+# eigenvector of the embeddings' uncentered Gram/second-moment matrix,
+# computed by PC_ITERS power-iteration rounds in exact BIGINT arithmetic.
+#
+# Scale shape: the ONLY distributed pass is the Gram build — a map-only
+# per-row outer product (nested indexed transform, no self-join) feeding
+# one groupBy over DIM^2 = 4096 (i, j) cells, map-side combined (each
+# partition collapses to <= 4096 partial rows: the treeAggregate shape).
+# The 64x64 matrix then iterates driver-side — the model artifact, same
+# posture as the BPE merge table and the k-means centroids.  Rescaling
+# each round divides by (max_abs div PC_SCALE), keeping |v| ~ PC_SCALE
+# and every product inside BIGINT; the oracle's CAST(... AS BIGINT) on
+# each sum is the fail-closed overflow tripwire (at 1e9-row scale you
+# would rescale G by N before iterating — same loop, smaller units).
+
+PC_ITERS = 3
+PC_SCALE = 10000
+
+
+def _pc_gram(emb: DataFrame) -> DataFrame:
+    """(i, j, g): the KM_DIM x KM_DIM integer Gram matrix — a map-only
+    per-row outer product (nested indexed transform, no self-join) into
+    one map-side-combined groupBy over the 4096 cells."""
+    outer = F.flatten(
+        F.transform(
+            F.col("u"),
+            lambda ui, i: F.transform(
+                F.col("u"),
+                lambda uj, j: F.named_struct(
+                    F.lit("i"), i + 1, F.lit("j"), j + 1, F.lit("p"), ui * uj
+                ),
+            ),
+        )
+    )
+    return (
+        emb.select(_km_units().alias("u"))
+        .select(F.explode(outer).alias("c"))
+        .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+        .agg(F.sum("c.p").alias("g"))
+    )
+
+
+def _pc_power(g: dict[tuple[int, int], int]) -> list[list[int]]:
+    """All PC_ITERS power iterates (1-indexed rounds) from the all-ones
+    start vector, every step exact integer."""
+    dim = KM_DIM
+    v = [PC_SCALE] * dim
+    out = []
+    for _ in range(PC_ITERS):
+        w = [sum(g[(i, j)] * v[j - 1] for j in range(1, dim + 1))
+             for i in range(1, dim + 1)]
+        denom = _km_tdiv(max(abs(x) for x in w), PC_SCALE)
+        v = [_km_tdiv(x, denom) for x in w]
+        out.append(v)
+    return out
+
+
+def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension loadings (dim 1..KM_DIM, BIGINT units of 1/PC_SCALE)
+    of the PC_ITERS-th power ITERATE toward the Gram matrix's dominant
+    eigenvector, from the all-ones start — every step exact integer, so
+    the iterate value-hash-matches the oracle's chained CTEs.
+
+    The checked artifact is deliberately the ITERATE, not a converged
+    eigenvector: this synthetic corpus is isotropic (lambda2/lambda1 =
+    0.93-0.98 measured across SFs — near-flat spectrum, power iteration's
+    worst case, the same regime that pins JL/LSH recall floors here), so
+    NO iteration count converges meaningfully and the honest contract is
+    bit-exact reproducibility of the fixpoint step.  On a real embedding
+    corpus with a spectral gap the identical loop converges in
+    O(log(1/eps) / log(l1/l2)) rounds; the Rayleigh-quotient invariants
+    (monotone growth, bounded by lambda_1) are pytest-pinned."""
+    gram_rows = _pc_gram(load_table(spark, sf_dir, "embeddings")).collect()
+    g: dict[tuple[int, int], int] = {
+        (int(r["i"]), int(r["j"])): int(r["g"]) for r in gram_rows
+    }
+    v = _pc_power(g)[-1]
+    schema = T.StructType(
+        [
+            T.StructField("dim", T.LongType(), False),
+            T.StructField("loading", T.LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(
+        [(i + 1, v[i]) for i in range(KM_DIM)], schema
+    )
+
+
+def _pc_oracle() -> str:
+    series = f"(SELECT unnest(generate_series(1, {KM_DIM})) AS i)"
+
+    def rnd(vprev: str, vname: str) -> str:
+        return f"""w{vname} AS (
+  SELECT g.i, CAST(SUM(g.g * v.v) AS BIGINT) AS w
+  FROM g JOIN {vprev} v ON v.i = g.j
+  GROUP BY g.i
+),
+{vname} AS (
+  SELECT i, CAST(w // (SELECT MAX(ABS(w)) // {PC_SCALE} FROM w{vname})
+                AS BIGINT) AS v
+  FROM w{vname}
+)"""
+
+    parts = [
+        f"""u AS (
+  SELECT list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {KM_SCALE} + 0.5) AS BIGINT))
+           AS u
+  FROM embeddings
+),
+g AS (
+  SELECT si.i AS i, sj.i AS j,
+         CAST(SUM(u.u[si.i] * u.u[sj.i]) AS BIGINT) AS g
+  FROM u, {series} si, {series} sj
+  GROUP BY si.i, sj.i
+),
+v0 AS (SELECT i, CAST({PC_SCALE} AS BIGINT) AS v FROM {series} s)"""
+    ]
+    for k in range(1, PC_ITERS + 1):
+        parts.append(rnd(f"v{k - 1}", f"v{k}"))
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT i AS dim, v AS loading FROM v{PC_ITERS} ORDER BY dim
+"""
+    )
+
+
+ORACLES["embedding_top_pc"] = _pc_oracle()

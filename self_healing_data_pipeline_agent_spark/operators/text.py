@@ -3446,20 +3446,12 @@ GROUP BY p.doc_id
 BPE_MERGE_ROUNDS = 8
 
 
-def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First BPE_MERGE_ROUNDS BPE merges over documents.text:
-    (rn, token, cnt) — merge rank, the merged token fully expanded back
-    to the original alphabet, and the pair count that won the round.
-
-    Scale shape: per round, the bigram count shuffles (pair, partial
-    count) pairs only (map-side combine collapses each partition to its
-    distinct-bigram histogram, ~alphabet^2 rows); the argmax is a 1-row
-    TakeOrderedAndProject; the rewrite is a narrow map over the corpus.
-    Driver state is 8 (pair, count) scalars — the merge table itself,
-    which IS the operator's output.  At 100 TB you checkpoint the
-    rewritten corpus every ~50 rounds to cap lineage; the loop shape is
-    unchanged."""
-    docs = load_table(spark, sf_dir, "documents").select(F.col("text").alias("t"))
+def _bpe_learn(docs: DataFrame) -> list[tuple[str, int]]:
+    """Learn the first BPE_MERGE_ROUNDS merges over ``docs.t``; returns
+    [(pair, count)] where later pairs may contain the placeholder symbols
+    chr(1)..chr(k-1) of earlier merges.  Each round: one map-side-combined
+    bigram count (the only shuffle, 2-char keys), a 1-row argmax, and a
+    lazy map-only rewrite stacked onto the lineage."""
     cur = docs
     merges: list[tuple[str, int]] = []
     for k in range(1, BPE_MERGE_ROUNDS + 1):
@@ -3479,6 +3471,24 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = cur.select(
             F.replace(F.col("t"), F.lit(top[0]["pair"]), F.lit(chr(k))).alias("t")
         )
+    return merges
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE_MERGE_ROUNDS BPE merges over documents.text:
+    (rn, token, cnt) — merge rank, the merged token fully expanded back
+    to the original alphabet, and the pair count that won the round.
+
+    Scale shape: per round, the bigram count shuffles (pair, partial
+    count) pairs only (map-side combine collapses each partition to its
+    distinct-bigram histogram, ~alphabet^2 rows); the argmax is a 1-row
+    TakeOrderedAndProject; the rewrite is a narrow map over the corpus.
+    Driver state is 8 (pair, count) scalars — the merge table itself,
+    which IS the operator's output.  At 100 TB you checkpoint the
+    rewritten corpus every ~50 rounds to cap lineage; the loop shape is
+    unchanged."""
+    docs = load_table(spark, sf_dir, "documents").select(F.col("text").alias("t"))
+    merges = _bpe_learn(docs)
     # expand placeholders back to the original alphabet (expansions are
     # placeholder-free, so substitution order cannot matter)
     expanded: dict[int, str] = {}
@@ -3531,3 +3541,69 @@ def _bpe_oracle() -> str:
 
 
 ORACLES["bpe_merges"] = _bpe_oracle()
+
+
+def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY half of the BPE ring: learn the corpus's first
+    BPE_MERGE_ROUNDS merges (same loop as ``bpe_merges``), encode every
+    document by replaying the replace chain, and report per-language
+    compression: (lang, n_docs, total_chars, total_tokens, chars_saved).
+    Every output is an exact BIGINT — each surviving symbol is one
+    token, so token count == encoded string length.
+
+    Scale shape: learning is the ``_bpe_learn`` loop (one 2-char-key
+    shuffle per round); the ENCODE pass is a single map-only scan — the
+    8 replaces fuse into one codegen stage — feeding a 5-row
+    map-side-combined aggregate.  The merge table is driver state by
+    design (it IS the tokenizer artifact, 8 scalars; a 30k-merge
+    production table would broadcast instead)."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = _bpe_learn(docs.select(F.col("text").alias("t")))
+    enc = F.col("text")
+    for k, (pair, _cnt) in enumerate(merges, start=1):
+        enc = F.replace(enc, F.lit(pair), F.lit(chr(k)))
+    return (
+        docs.select(
+            "lang",
+            F.length("text").alias("orig_len"),
+            F.length(enc).alias("enc_len"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("orig_len").alias("total_chars"),
+            F.sum("enc_len").alias("total_tokens"),
+            F.sum(F.col("orig_len") - F.col("enc_len")).alias("chars_saved"),
+        )
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    parts = ["c0 AS (SELECT lang, length(text) AS orig_len, text AS t FROM documents)"]
+    for k in range(1, BPE_MERGE_ROUNDS + 1):
+        parts.append(
+            f"m{k} AS (\n"
+            f"  SELECT substr(t, CAST(i AS INTEGER), 2) AS pair,\n"
+            f"         CAST(COUNT(*) AS BIGINT) AS cnt\n"
+            f"  FROM (SELECT t, unnest(generate_series(1, length(t) - 1)) AS i\n"
+            f"        FROM c{k - 1})\n"
+            f"  GROUP BY 1 ORDER BY cnt DESC, pair ASC LIMIT 1\n"
+            f")"
+        )
+        parts.append(
+            f"c{k} AS (SELECT lang, orig_len,"
+            f" REPLACE(t, (SELECT pair FROM m{k}), chr({k})) AS t"
+            f" FROM c{k - 1})"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(orig_len) AS BIGINT) AS total_chars,
+       CAST(SUM(length(t)) AS BIGINT) AS total_tokens,
+       CAST(SUM(orig_len - length(t)) AS BIGINT) AS chars_saved
+FROM c{BPE_MERGE_ROUNDS} GROUP BY lang
+"""
+    )
+
+
+ORACLES["bpe_encode_stats"] = _bpe_encode_oracle()

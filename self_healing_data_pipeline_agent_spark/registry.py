@@ -56,6 +56,17 @@ QUERY_ORDER = [
     "min_cost_supplier",
     "ship_latency_priority",
     "dominant_part_suppliers",
+    # -- r11 second wave (never-green): the tokenizer APPLY half of the
+    #    BPE ring — encode every document through the learned merge chain
+    #    and report per-language compression in exact BIGINTs — and
+    #    integer-unit Lloyd k-means over the quantized embeddings (the
+    #    clustering fixpoint joining PageRank and connected components in
+    #    the value-hash-checked iterative family) --
+    "bpe_encode_stats",
+    "kmeans_embeddings",
+    # -- and the linear-algebra fixpoint: dominant principal direction
+    #    by integer power iteration over the distributed Gram matrix --
+    "embedding_top_pc",
     # -- changed since last green, fail-closed re-check: ann_jl_rerank's
     #    docstring edit (16-dim/4x -> 32-dim/2x) sits inside the tracked
     #    span; behavior is unchanged per local parity, record re-earned --
@@ -78,13 +89,13 @@ QUERY_ORDER = [
     "top_supplier_revenue",
     "top_terms",
     "tpch_q1",
-    # -- 28 of the 46 r7-aged records, oldest-cohort-first (within the
+    # -- 25 of the 46 r7-aged records, oldest-cohort-first (within the
     #    cohort: alphabetical — all carry the same r7 date, so the order
-    #    inside the cohort is arbitrary and auditable).  The 18 spilled
-    #    (profit_by_nation_year, psi_drift, rolling_fingerprints,
-    #    scd2_priority_history .. tpch_q7) are r12 MUST-window; all are
-    #    local-parity green today.  New operators added later this round
-    #    displace from the TAIL of this block. --
+    #    inside the cohort is arbitrary and auditable).  The 21 spilled
+    #    (multimodal_frame_sample, multimodal_resize, normalize_text,
+    #    profit_by_nation_year, psi_drift .. tpch_q7) are r12
+    #    MUST-window; all are local-parity green today.  New operators
+    #    added later this round displace from the TAIL of this block. --
     "activity_streaks",
     "ann_int8_rerank",
     "anomaly_zscore",
@@ -110,9 +121,6 @@ QUERY_ORDER = [
     "key_skew_profile",
     "mad_outlier_profile",
     "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "normalize_text",
     # Below the 50-entry window: everything else carries an r8 or r9
     # official green against current testdata and unchanged code.
     # scripts/window_audit.py tracks staleness (contract fingerprints);

@@ -898,3 +898,71 @@ def test_ppm_stream_codec_parse():
     with pytest.raises(ValueError, match="truncated"):
         _ppm_stream_decode(f1[:-2])
     assert _ppm_stream_decode(b"") == []
+
+
+def test_kmeans_partitions_corpus_and_tdiv_semantics(spark, sf_dir):
+    """The final report must partition the corpus exactly (cluster sizes
+    sum to the table's row count, every cid in 0..K-1), inertia and
+    centroid_l1 must be positive — and the driver-side truncating
+    division must match the engines' trunc-toward-zero `div`/`//`
+    semantics on NEGATIVE numerators (Python's bare `//` floors, which
+    would silently skew every centroid with a negative component sum)."""
+    from self_healing_data_pipeline_agent_spark.operators.similarity import (
+        KM_K,
+        _km_tdiv,
+        q_kmeans_embeddings,
+    )
+    from self_healing_data_pipeline_agent_spark.sources.tables import (
+        parquet_row_count,
+    )
+
+    assert _km_tdiv(-7, 2) == -3  # == Spark `-7 div 2` == DuckDB `-7//2`
+    assert _km_tdiv(7, 2) == 3
+    assert _km_tdiv(-6, 3) == -2
+    rows = q_kmeans_embeddings(spark, sf_dir).collect()
+    n = parquet_row_count(sf_dir, "embeddings")
+    assert sum(r["n_vecs"] for r in rows) == n
+    assert all(0 <= r["cid"] < KM_K for r in rows)
+    assert all(r["inertia"] > 0 and r["centroid_l1"] > 0 for r in rows)
+
+
+def test_top_pc_rayleigh_invariants(spark, sf_dir):
+    """Power-iteration invariants that hold even on this isotropic
+    worst-case corpus (lambda2/lambda1 = 0.93-0.98 — a converged-
+    eigenvector assertion would be meaningless here): the Rayleigh
+    quotient of the iterates must (a) never exceed numpy's lambda_1 of
+    the same quantized Gram matrix, (b) grow (weakly) monotonically
+    across rounds up to the integer-rescaling tolerance, and (c) the
+    final iterate must equal the operator's output exactly."""
+    import numpy as np
+
+    from self_healing_data_pipeline_agent_spark.operators.similarity import (
+        KM_SCALE,
+        _pc_power,
+        q_embedding_top_pc,
+    )
+    from self_healing_data_pipeline_agent_spark.sources.tables import load_table
+
+    rows = q_embedding_top_pc(spark, sf_dir).collect()
+    out = [r["loading"] for r in sorted(rows, key=lambda r: r["dim"])]
+    emb = np.array(
+        [r["embedding"] for r in
+         load_table(spark, sf_dir, "embeddings").select("embedding").collect()],
+        dtype=np.float64,
+    )
+    u = np.floor(emb * KM_SCALE + 0.5)
+    g_np = u.T @ u
+    g = {(i + 1, j + 1): int(g_np[i, j]) for i in range(64) for j in range(64)}
+    iters = _pc_power(g)
+    assert iters[-1] == out  # operator output IS the final iterate
+    lam1 = float(np.max(np.linalg.eigvalsh(g_np)))
+
+    def rq(v):
+        va = np.array(v, dtype=float)
+        return float(va @ g_np @ va) / float(va @ va)
+
+    qs = [rq(v) for v in iters]
+    for q in qs:
+        assert q <= lam1 * (1 + 1e-9)  # Rayleigh bounded by lambda_1
+    for a, b in zip(qs, qs[1:]):
+        assert b >= a * (1 - 1e-6), f"Rayleigh quotient fell: {a} -> {b}"

@@ -859,3 +859,56 @@ def test_dominant_part_suppliers_semi_join_no_fact_rejoin(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("lineitem.parquet") == 1
     assert "LeftSemi" in plan
+
+
+def test_bpe_encode_stats_encode_pass_is_codegen_single_shuffle(spark, sf_dir):
+    """The tokenizer APPLY pass: after the learn loop (driver-held merge
+    table, 8 scalars), encoding must be a single map-only scan — the 8
+    replace() calls fuse into one codegen Project — feeding a map-side-
+    combined per-language aggregate.  One exchange, zero Python stages."""
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        q_bpe_encode_stats,
+    )
+
+    df = q_bpe_encode_stats(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Python" not in plan  # encode is replace() chains, not a UDF
+    assert count_exchanges(df) == 1  # the 5-row lang aggregate
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "Join" not in plan  # merge table is driver state, never joined
+
+
+def test_kmeans_assignment_map_only_no_join(spark, sf_dir):
+    """Lloyd assignment must fold against LITERAL centroid arrays — a
+    map-only projection, never a centroid join or a Python stage; the
+    K-entry centroid-l1 constants attach as a literal array lookup, so
+    the report plan has NO join operator at all."""
+    from self_healing_data_pipeline_agent_spark.operators.similarity import (
+        q_kmeans_embeddings,
+    )
+
+    df = q_kmeans_embeddings(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Python" not in plan
+    assert "Join" not in plan
+    # report = one agg exchange + the final cid sort; no per-row joins
+    assert count_exchanges(df) <= 2
+    assert plan.count("HashAggregate") >= 2  # map-side combined
+
+
+def test_pc_gram_map_only_single_shuffle(spark, sf_dir):
+    """The Gram build must be a per-row outer product (Generate over a
+    nested indexed transform — map-only, NO self-join) into one
+    map-side-combined aggregate over the 4096 (i, j) cells."""
+    from self_healing_data_pipeline_agent_spark.operators.similarity import (
+        _pc_gram,
+    )
+    from self_healing_data_pipeline_agent_spark.sources.tables import load_table
+
+    df = _pc_gram(load_table(spark, sf_dir, "embeddings"))
+    plan = formatted_plan(df)
+    assert "Python" not in plan
+    assert "Join" not in plan  # outer product is per-row, never a self-join
+    assert re.search(r"\(\d+\) Generate", plan)  # the explode
+    assert count_exchanges(df) == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final
