@@ -1115,10 +1115,11 @@ def _km_units() -> F.Column:
     )
 
 
-def _km_best(cents: list[tuple[int, list[int]]]) -> F.Column:
-    """struct(dist, cid) of the nearest centroid (squared-distance
-    argmin, ties to the lowest cid) — array_min over per-centroid fold
-    structs, entirely JVM-side against literal centroid arrays."""
+def _km_dist_structs(cents: list[tuple[int, list[int]]]) -> F.Column:
+    """array<struct(dist, cid)> of exact integer squared distances from
+    the row's ``u`` to every literal centroid — the per-row distance
+    table both assignment (argmin) and probing (sort + slice) fold over,
+    entirely JVM-side."""
     structs = []
     for cid, c in cents:
         arr = F.array(*[F.lit(int(v)).cast("bigint") for v in c])
@@ -1132,7 +1133,14 @@ def _km_best(cents: list[tuple[int, list[int]]]) -> F.Column:
                 F.lit("dist"), d, F.lit("cid"), F.lit(cid).cast("bigint")
             )
         )
-    return F.array_min(F.array(*structs))
+    return F.array(*structs)
+
+
+def _km_best(cents: list[tuple[int, list[int]]]) -> F.Column:
+    """struct(dist, cid) of the nearest centroid (squared-distance
+    argmin, ties to the lowest cid) — array_min over per-centroid fold
+    structs, entirely JVM-side against literal centroid arrays."""
+    return F.array_min(_km_dist_structs(cents))
 
 
 def _km_tdiv(a: int, b: int) -> int:
@@ -1143,18 +1151,14 @@ def _km_tdiv(a: int, b: int) -> int:
     return q if a >= 0 else -q
 
 
-def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KM_ITERS Lloyd rounds over the quantized embeddings, K=KM_K seeded
-    from vec_id 0..K-1; per-cluster report under the final centroids:
-    (cid, n_vecs, inertia, centroid_l1) — all exact BIGINTs.  Clusters
-    that lose every member keep their previous centroid (both engines).
-
-    Reference parity: the reference has no clustering; this extends X9's
-    embedding ring (SURVEY §2.B) with the codebook-LEARNING half that
-    q_ann_ivf_topk's fixed hash cells and q_embedding_quant_codebook's
-    min/max grid both presuppose."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.select("vec_id", _km_units().alias("u")).cache()
+def _km_learn(q: DataFrame) -> list[tuple[int, list[int]]]:
+    """Run KM_ITERS Lloyd rounds over ``q`` (vec_id, u:array<bigint>);
+    returns the final centroid list [(cid, units)], seeded from
+    vec_id 0..KM_K-1.  Per round: one map-only assignment fold against
+    the literal centroid arrays and one (cid, pos) partial-sum aggregate
+    (K*D = 512 groups, map-side combined) — the K*D-int model lives on
+    the driver between rounds, MLlib's Lloyd shape.  Clusters that lose
+    every member keep their previous centroid (both engines)."""
     init = q.filter(F.col("vec_id") < KM_K).collect()
     cents: list[tuple[int, list[int]]] = sorted(
         (int(r["vec_id"]), [int(v) for v in r["u"]]) for r in init
@@ -1181,6 +1185,22 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for cid, prev in cents
         ]
+    return cents
+
+
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KM_ITERS Lloyd rounds over the quantized embeddings, K=KM_K seeded
+    from vec_id 0..K-1; per-cluster report under the final centroids:
+    (cid, n_vecs, inertia, centroid_l1) — all exact BIGINTs.  Clusters
+    that lose every member keep their previous centroid (both engines).
+
+    Reference parity: the reference has no clustering; this extends X9's
+    embedding ring (SURVEY §2.B) with the codebook-LEARNING half that
+    q_ann_ivf_topk's fixed hash cells and q_embedding_quant_codebook's
+    min/max grid both presuppose."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", _km_units().alias("u")).cache()
+    cents = _km_learn(q)
     best = _km_best(cents)
     # centroid_l1 is a K-entry model constant — attach it as a literal
     # array lookup (cid-indexed), not a join: the report plan is then
@@ -1203,11 +1223,13 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _km_oracle() -> str:
-    pos = f"(SELECT unnest(generate_series(1, {KM_DIM})) AS i) s"
+_KM_POS = f"(SELECT unnest(generate_series(1, {KM_DIM})) AS i) s"
 
-    def assign(cprev: str, aname: str) -> str:
-        return f"""{aname} AS (
+
+def _km_assign_cte(cprev: str, aname: str) -> str:
+    """CTE assigning each q row its nearest `cprev` centroid by exact
+    integer squared distance (ties to the lowest cid)."""
+    return f"""{aname} AS (
   SELECT vec_id, cid, dist FROM (
     SELECT d.vec_id, d.cid, d.dist,
            ROW_NUMBER() OVER (PARTITION BY d.vec_id
@@ -1216,18 +1238,19 @@ def _km_oracle() -> str:
       SELECT q.vec_id, c.cid,
              CAST(SUM((q.u[s.i] - c.c[s.i]) * (q.u[s.i] - c.c[s.i]))
                   AS BIGINT) AS dist
-      FROM q, {cprev} c, {pos}
+      FROM q, {cprev} c, {_KM_POS}
       GROUP BY q.vec_id, c.cid
     ) d
   ) WHERE rn = 1
 )"""
 
-    def update(aname: str, cprev: str, cname: str) -> str:
-        return f"""{cname}_new AS (
+
+def _km_update_cte(aname: str, cprev: str, cname: str) -> str:
+    return f"""{cname}_new AS (
   SELECT cid, list(val ORDER BY pos) AS c FROM (
     SELECT a.cid, s.i AS pos,
            CAST(CAST(SUM(q.u[s.i]) AS BIGINT) // COUNT(*) AS BIGINT) AS val
-    FROM {aname} a JOIN q USING (vec_id), {pos}
+    FROM {aname} a JOIN q USING (vec_id), {_KM_POS}
     GROUP BY a.cid, s.i
   ) GROUP BY cid
 ),
@@ -1238,6 +1261,11 @@ def _km_oracle() -> str:
   WHERE cid NOT IN (SELECT cid FROM {cname}_new)
 )"""
 
+
+def _km_lloyd_parts() -> list[str]:
+    """The shared Lloyd CTE chain: q (quantized corpus), c0 (seeds),
+    a1/c1 .. a{KM_ITERS}/c{KM_ITERS} — ends with the final centroid
+    table c{KM_ITERS}."""
     parts = [
         f"""q AS (
   SELECT vec_id,
@@ -1249,9 +1277,14 @@ def _km_oracle() -> str:
 c0 AS (SELECT vec_id AS cid, u AS c FROM q WHERE vec_id < {KM_K})"""
     ]
     for k in range(1, KM_ITERS + 1):
-        parts.append(assign(f"c{k - 1}", f"a{k}"))
-        parts.append(update(f"a{k}", f"c{k - 1}", f"c{k}"))
-    parts.append(assign(f"c{KM_ITERS}", "af"))
+        parts.append(_km_assign_cte(f"c{k - 1}", f"a{k}"))
+        parts.append(_km_update_cte(f"a{k}", f"c{k - 1}", f"c{k}"))
+    return parts
+
+
+def _km_oracle() -> str:
+    parts = _km_lloyd_parts()
+    parts.append(_km_assign_cte(f"c{KM_ITERS}", "af"))
     return (
         "WITH " + ",\n".join(parts) + f"""
 SELECT a.cid, CAST(COUNT(*) AS BIGINT) AS n_vecs,
@@ -1402,3 +1435,128 @@ SELECT i AS dim, v AS loading FROM v{PC_ITERS} ORDER BY dim
 
 
 ORACLES["embedding_top_pc"] = _pc_oracle()
+
+
+# --- X9 + X25 composed: IVF over LEARNED centroids ---------------------------
+#
+# q_ann_ivf_topk's cells are the first IVF_CELLS corpus vectors (a
+# training-free codebook); this variant closes the loop the way FAISS
+# does it — train the coarse quantizer with k-means, then assign/probe
+# against the learned cells.  Because the codebook AND the cell
+# assignment live in exact integer arithmetic (the _km_* ring), the
+# index structure is bit-identical cross-engine; floats appear only in
+# the final exact rerank, whose fold order is already pinned.
+
+KMIVF_NPROBE = 3  # of KM_K=8 learned cells probed per query
+
+
+def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k over a k-means-trained IVF index: run the X25 Lloyd
+    loop (KM_K cells, KM_ITERS rounds, integer units), assign every
+    corpus vector to its nearest learned cell, probe the KMIVF_NPROBE
+    nearest cells per query, exact-rerank by cosine inside them.
+    Output: (query_id, rn, neighbor_id, cosine) — the same contract as
+    knn_cosine/ann_ivf_topk, so recall is directly comparable.
+
+    Scale shape: training touches only K*D driver ints per round (one
+    512-group partial-sum shuffle each); assignment and probing are
+    NARROW MAPS against the broadcast literal codebook — a row's cell
+    and a query's probe list come from folding one in-row distance
+    table, no crossJoin, no window shuffle (q_ann_ivf_topk needs a
+    per-vector argmax window; here argmin/sort-slice happen inside the
+    row).  The only shuffles left are the probe-cell candidate join
+    (broadcast probes, corpus streams by untouched) and the final
+    per-query top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_units = emb.select("vec_id", _km_units().alias("u")).cache()
+    cents = _km_learn(q_units)
+    dists = _km_dist_structs(cents)
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        l2_norm(F.col("embedding")).alias("c_norm"),
+        _km_units().alias("u"),
+    ).select(
+        "neighbor_id", "c_emb", "c_norm",
+        F.array_min(dists).getField("cid").alias("cell"),
+    )
+    probes = (
+        q_units.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                F.slice(F.array_sort(dists), 1, KMIVF_NPROBE)
+            ).alias("pc"),
+        )
+        .select("query_id", F.col("pc.cid").alias("cell"))
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_norm"),
+    )
+    sim = dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.col("q_norm") * F.col("c_norm")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(corpus, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id", F.col("rn").cast("bigint").alias("rn"),
+            "neighbor_id", "cosine",
+        )
+    )
+
+
+def _kmivf_oracle() -> str:
+    parts = _km_lloyd_parts()
+    parts.append(_km_assign_cte(f"c{KM_ITERS}", "af"))
+    parts.append(
+        f"""probes AS (
+  SELECT vec_id AS query_id, cid AS cell FROM (
+    SELECT d.vec_id, d.cid,
+           ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                              ORDER BY d.dist, d.cid) AS rn
+    FROM (
+      SELECT q.vec_id, c.cid,
+             CAST(SUM((q.u[s.i] - c.c[s.i]) * (q.u[s.i] - c.c[s.i]))
+                  AS BIGINT) AS dist
+      FROM q, c{KM_ITERS} c, {_KM_POS}
+      WHERE q.vec_id < {N_QUERY_VECS}
+      GROUP BY q.vec_id, c.cid
+    ) d
+  ) WHERE rn <= {KMIVF_NPROBE}
+)"""
+    )
+    parts.append(
+        """cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN af a ON p.cell = a.cid AND a.vec_id <> p.query_id
+)"""
+    )
+    return (
+        "WITH " + ",\n".join(parts) + f""",
+scored AS (
+  SELECT cd.query_id, cd.neighbor_id, {_DUCK_COS} AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY cd.query_id
+                            ORDER BY {_DUCK_COS} DESC, cd.neighbor_id ASC) AS rn
+  FROM cand cd
+  JOIN embeddings a ON a.vec_id = cd.query_id
+  JOIN embeddings b ON b.vec_id = cd.neighbor_id
+)
+SELECT query_id, rn, neighbor_id, cosine FROM scored WHERE rn <= {TOP_K}
+"""
+    )
+
+
+ORACLES["ann_ivf_kmeans_topk"] = _kmivf_oracle()

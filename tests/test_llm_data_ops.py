@@ -89,6 +89,31 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
         assert ivf[pair] == exact[pair]  # same cosine bits on shared pairs
 
 
+def test_ivf_kmeans_recall_vs_exact(spark, sf_dir):
+    """k-means-trained IVF (nprobe=3/8 learned cells) must recover most
+    exact neighbors — measured 0.92/0.92/0.82 at sf0.001/0.01/0.1 —
+    beating the training-free q_ann_ivf_topk codebook (0.5 floor) because
+    Lloyd cells carve the corpus where the mass actually sits.  Shared
+    pairs must carry bit-identical true cosines (subset property)."""
+    from self_healing_data_pipeline_agent_spark.operators.similarity import (
+        q_ann_ivf_kmeans_topk,
+    )
+
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in q_knn_cosine(spark, sf_dir).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in q_ann_ivf_kmeans_topk(spark, sf_dir).collect()
+    }
+    assert ivf, "kmeans-IVF returned nothing"
+    recall = len(set(exact) & set(ivf)) / len(exact)
+    assert recall > 0.7, f"recall {recall:.2f} too low"
+    for pair in set(exact) & set(ivf):
+        assert ivf[pair] == exact[pair]  # same cosine bits on shared pairs
+
+
 def test_jl_recall_vs_exact(spark, sf_dir):
     """JL projection + exact rerank must recover most exact neighbors on
     this corpus — which is JL's WORST case (uniform random vectors, true

@@ -912,3 +912,25 @@ def test_pc_gram_map_only_single_shuffle(spark, sf_dir):
     assert re.search(r"\(\d+\) Generate", plan)  # the explode
     assert count_exchanges(df) == 1
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_ivf_kmeans_probe_map_only_broadcast_rerank(spark, sf_dir):
+    """The learned-IVF index must keep assignment AND probing as narrow
+    maps against the literal codebook: no Python stage anywhere, the
+    probe list from an in-row sort+slice (never a crossJoin against a
+    centroid table — q_ann_ivf_topk pays one; the learned variant must
+    not), and both rerank joins broadcast (probes and the query side are
+    tiny; the corpus must stream by without shuffling)."""
+    from self_healing_data_pipeline_agent_spark.operators.similarity import (
+        q_ann_ivf_kmeans_topk,
+    )
+
+    df = q_ann_ivf_kmeans_topk(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    # formatted mode renders each node twice (tree + details): 2 joins
+    assert plan.count("BroadcastHashJoin") == 4  # probes->corpus, +query
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # the only shuffle is the final per-query top-k window
+    assert count_exchanges(df) == 1
