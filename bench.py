@@ -169,8 +169,11 @@ HEADLINE = [
     "embedding_top_pc",
     # r11 third wave: the learned-codebook IVF index (Lloyd train ->
     # map-only assign/probe -> broadcast exact rerank, recall 0.82 vs
-    # exact at sf0.1 probing 3/8 cells).
+    # exact at sf0.1 probing 3/8 cells), and DSIR importance weights
+    # (one corpus explode -> hashed-bucket counts -> broadcast 256-row
+    # model -> per-doc BIGINT dot product).
     "ann_ivf_kmeans_topk",
+    "dsir_weights",
 ]
 
 

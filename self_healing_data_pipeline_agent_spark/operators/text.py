@@ -3607,3 +3607,230 @@ FROM c{BPE_MERGE_ROUNDS} GROUP BY lang
 
 
 ORACLES["bpe_encode_stats"] = _bpe_encode_oracle()
+
+
+# --- DSIR: Data Selection via Importance Resampling ---------------------------
+#
+# Public method (Xie et al. 2023, "Data Selection for Language Models
+# via Importance Resampling"): score every raw document by the
+# log-likelihood ratio of a TARGET vs RAW bag-of-hashed-ngrams model,
+# then keep the top slice.  Here the target distribution is the English
+# sub-corpus (lang = 'en' as the in-domain proxy) and raw is the whole
+# corpus; features are word unigrams + bigrams hashed into 256 buckets
+# keyed by their md5 hex prefix (a string key both engines compute
+# identically — no hex->int conversion anywhere).  Each bucket's
+# log-ratio is quantized ONCE to integer 1e-6 units (the char-LM ring's
+# move), so every per-doc score is an exact BIGINT dot product and the
+# whole ring — model, weights, selection — is value-hash-checkable.
+
+DSIR_NB = 256  # hashed feature buckets (md5 hex prefix length 2)
+DSIR_TARGET_LANG = "en"
+DSIR_SELECT_DIV = 5  # keep the top 1/5 of scored docs
+# quantization-boundary tripwire margin (see the pytest): no bucket's
+# pre-floor ln-ratio may sit within this of a rounding boundary at any
+# test SF, so a few-ulp libm difference can never flip an lw_units.
+DSIR_EDGE_EPS = 1e-4
+
+
+def _dsir_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, b, tf): per-document hashed-feature term
+    frequencies — words = maximal [a-z]+ runs of the lowercased text,
+    features = unigrams + adjacent-word bigrams, bucket = md5 hex
+    prefix.  One explode of the corpus into feature instances feeding
+    one partial-aggregated (doc_id, b) count — the ring's only
+    fact-scale shuffle; everything downstream is bucket-bounded
+    (<= DSIR_NB rows) or doc-keyed."""
+    df = load_table(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda w: w != ""
+    )
+    n = F.size(ws)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(ws, 1, n - 1),
+            F.slice(ws, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = df.select(
+        "doc_id", "lang", F.explode(F.concat(ws, bigrams)).alias("feat")
+    )
+    return (
+        feats.select(
+            "doc_id", "lang", F.substring(F.md5("feat"), 1, 2).alias("b")
+        )
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .cache()
+    )
+
+
+def _dsir_model(tf: DataFrame) -> DataFrame:
+    """(b, lw_units): per-bucket quantized log importance ratio
+    floor((ln((ct+1)/(T+NB)) - ln((cr+1)/(R+NB))) * 1e6 + 0.5) under
+    add-one smoothing — ct/cr are the bucket's target/raw instance
+    counts, T/R the totals.  Bucket-bounded: <= DSIR_NB rows, broadcast
+    back to the corpus for scoring."""
+    braw = tf.groupBy("b").agg(F.sum("tf").alias("cr"))
+    btgt = (
+        tf.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.sum("tf").alias("ct"))
+    )
+    tots = tf.agg(
+        F.sum("tf").alias("rtot"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("tf")).otherwise(
+                F.lit(0)
+            )
+        ).alias("ttot"),
+    )
+    nb = F.lit(float(DSIR_NB))
+    lw = F.floor(
+        (
+            F.log(
+                (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                / (F.col("ttot") + nb)
+            )
+            - F.log((F.col("cr") + F.lit(1.0)) / (F.col("rtot") + nb))
+        )
+        * F.lit(1e6)
+        + F.lit(0.5)
+    )
+    return (
+        braw.join(btgt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select("b", lw.alias("lw_units"))
+    )
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance weight: (doc_id, lang, n_feats,
+    dsir_units) where dsir_units = sum over the doc's hashed features of
+    tf * lw_units — the paper's log importance weight in exact integer
+    1e-6 units (positive = the doc looks more target than raw).  Docs
+    with zero [a-z]+ words carry no features and drop (both engines).
+
+    Scale shape: one corpus explode -> (doc_id, b) partial agg
+    [shuffle 1]; the model is bucket-bounded (<= 256 rows) and
+    BROADCAST back, so scoring is a map-side join + per-doc agg
+    [shuffle 2, on doc_id].  The fact stream never joins anything
+    larger than the broadcast model — the same two-shuffle layout as
+    char_lm_perplexity."""
+    tf = _dsir_tf(spark, sf_dir)
+    model = _dsir_model(tf)
+    return (
+        tf.join(F.broadcast(model), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("tf").alias("n_feats"),
+            F.sum(F.col("tf") * F.col("lw_units")).alias("dsir_units"),
+        )
+    )
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resampling half of DSIR: keep the top 1/DSIR_SELECT_DIV of
+    scored docs by (dsir_units DESC, doc_id) and report the mixture
+    shift per language: (lang, n_docs, n_selected, sel_units).  With the
+    target model trained on lang='en', English must be over-selected —
+    the report IS the evidence the weights steer the mixture.
+
+    Scale shape: ranking is a global top-N — Spark plans it as
+    WindowGroupLimit (per-partition partial top-N before the single
+    merge), and at 100 TB you'd swap the exact rank for a weight
+    THRESHOLD from an approx quantile of dsir_units, turning selection
+    into a stateless map; the summary is a 5-row agg either way."""
+    scored = q_dsir_weights(spark, sf_dir)
+    tot = scored.agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("dsir_units"), F.asc("doc_id"))
+    sel = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("rn") <= F.expr(f"n div {DSIR_SELECT_DIV}"))
+        .select("doc_id", F.lit(1).alias("is_sel"))
+    )
+    return (
+        scored.join(F.broadcast(sel), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("is_sel"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_selected"),
+            F.sum(
+                F.when(F.col("is_sel") == 1, F.col("dsir_units")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("sel_units"),
+        )
+    )
+
+
+# Shared model CTEs: the quantization tripwire pytest derives its margin
+# sweep from THESE strings (the char-LM convention), so a change to the
+# tokenization/smoothing/bucketing re-guards automatically.
+DSIR_MODEL_CTES = f"""
+WITH words AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     w -> w <> '') AS ws
+  FROM documents
+), feats AS (
+  SELECT doc_id, lang, unnest(ws) AS feat FROM words
+  UNION ALL
+  SELECT doc_id, lang, ws[i] || ' ' || ws[i + 1] AS feat
+  FROM (SELECT doc_id, lang, ws,
+               unnest(generate_series(1, len(ws) - 1)) AS i
+        FROM words)
+), tf AS (
+  SELECT doc_id, lang, substr(md5(feat), 1, 2) AS b,
+         CAST(COUNT(*) AS BIGINT) AS tf
+  FROM feats GROUP BY 1, 2, 3
+), braw AS (
+  SELECT b, CAST(SUM(tf) AS BIGINT) AS cr FROM tf GROUP BY b
+), btgt AS (
+  SELECT b, CAST(SUM(tf) AS BIGINT) AS ct FROM tf
+  WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b
+), tots AS (
+  SELECT CAST(SUM(tf) AS BIGINT) AS rtot,
+         CAST(SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN tf ELSE 0 END)
+              AS BIGINT) AS ttot
+  FROM tf
+), model AS (
+  SELECT braw.b,
+         CAST(FLOOR((LN((COALESCE(ct, 0) + 1.0) / (ttot + {float(DSIR_NB)}))
+                   - LN((cr + 1.0) / (rtot + {float(DSIR_NB)})))
+                    * 1000000.0 + 0.5) AS BIGINT) AS lw_units
+  FROM braw LEFT JOIN btgt USING (b), tots
+), scored AS (
+  SELECT tf.doc_id, tf.lang,
+         CAST(SUM(tf.tf) AS BIGINT) AS n_feats,
+         CAST(SUM(tf.tf * m.lw_units) AS BIGINT) AS dsir_units
+  FROM tf JOIN model m USING (b)
+  GROUP BY tf.doc_id, tf.lang
+)"""
+
+ORACLES["dsir_weights"] = f"""{DSIR_MODEL_CTES}
+SELECT doc_id, lang, n_feats, dsir_units FROM scored
+"""
+
+ORACLES["dsir_select"] = f"""{DSIR_MODEL_CTES},
+ranked AS (
+  SELECT doc_id, dsir_units,
+         ROW_NUMBER() OVER (ORDER BY dsir_units DESC, doc_id) AS rn
+  FROM scored
+), sel AS (
+  SELECT doc_id FROM ranked, (SELECT COUNT(*) AS n FROM scored) t
+  WHERE rn <= n // {DSIR_SELECT_DIV}
+)
+SELECT sc.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN sel.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_selected,
+       CAST(SUM(CASE WHEN sel.doc_id IS NOT NULL THEN sc.dsir_units ELSE 0 END)
+            AS BIGINT) AS sel_units
+FROM scored sc LEFT JOIN sel ON sc.doc_id = sel.doc_id
+GROUP BY sc.lang
+"""

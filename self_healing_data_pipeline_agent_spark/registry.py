@@ -72,6 +72,13 @@ QUERY_ORDER = [
     #    exact rerank), assignment/probing as narrow maps against the
     #    integer codebook, recall 0.92 vs exact at sf0.001/0.01 --
     "ann_ivf_kmeans_topk",
+    # -- and the DSIR ring (Xie et al. 2023, never-green): hashed-ngram
+    #    importance weights (target = lang 'en' vs raw corpus, md5-prefix
+    #    buckets, log-ratio quantized once to 1e-6 units — exact BIGINT
+    #    per-doc scores) and the top-1/5 resampling report showing the
+    #    mixture shift toward the target language --
+    "dsir_weights",
+    "dsir_select",
     # -- changed since last green, fail-closed re-check: ann_jl_rerank's
     #    docstring edit (16-dim/4x -> 32-dim/2x) sits inside the tracked
     #    span; behavior is unchanged per local parity, record re-earned --
@@ -94,12 +101,13 @@ QUERY_ORDER = [
     "top_supplier_revenue",
     "top_terms",
     "tpch_q1",
-    # -- 24 of the 46 r7-aged records, oldest-cohort-first (within the
+    # -- 22 of the 46 r7-aged records, oldest-cohort-first (within the
     #    cohort: alphabetical — all carry the same r7 date, so the order
-    #    inside the cohort is arbitrary and auditable).  The 22 spilled
-    #    (multimodal_features, multimodal_frame_sample, multimodal_resize,
-    #    normalize_text, profit_by_nation_year, psi_drift .. tpch_q7) are
-    #    r12 MUST-window; all are local-parity green today.  New operators
+    #    inside the cohort is arbitrary and auditable).  The 24 spilled
+    #    (key_skew_profile, mad_outlier_profile, multimodal_features,
+    #    multimodal_frame_sample, multimodal_resize, normalize_text,
+    #    profit_by_nation_year, psi_drift .. tpch_q7) are r12
+    #    MUST-window; all are local-parity green today.  New operators
     #    added later this round displace from the TAIL of this block. --
     "activity_streaks",
     "ann_int8_rerank",
@@ -123,8 +131,6 @@ QUERY_ORDER = [
     "frequent_items_sketch",
     "grouped_drift_profile",
     "incremental_dedup",
-    "key_skew_profile",
-    "mad_outlier_profile",
     # Below the 50-entry window: everything else carries an r8 or r9
     # official green against current testdata and unchanged code.
     # scripts/window_audit.py tracks staleness (contract fingerprints);

@@ -991,3 +991,70 @@ def test_top_pc_rayleigh_invariants(spark, sf_dir):
         assert q <= lam1 * (1 + 1e-9)  # Rayleigh bounded by lambda_1
     for a, b in zip(qs, qs[1:]):
         assert b >= a * (1 - 1e-6), f"Rayleigh quotient fell: {a} -> {b}"
+
+
+def test_dsir_quantization_tripwire():
+    """DSIR's per-bucket log-ratio quantization input must sit >=
+    DSIR_EDGE_EPS from its floor(y+0.5) rounding boundary at all three
+    SFs (the char-LM model tripwire, applied to the importance-weight
+    model), so a few-ulp libm ln() difference can never flip an
+    lw_units value.  Built from the same shared CTE string as the
+    oracle.  Measured min margin: 1.6e-3/1.4e-3/1.9e-3."""
+    import math
+
+    import duckdb
+
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        DSIR_EDGE_EPS,
+        DSIR_MODEL_CTES,
+        DSIR_NB,
+    )
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'/root/testdata/{sf}/documents.parquet'"
+        )
+        rows = con.sql(
+            f"{DSIR_MODEL_CTES} "
+            f"SELECT braw.b,"
+            f" (LN((COALESCE(ct, 0) + 1.0) / (ttot + {float(DSIR_NB)}))"
+            f" - LN((cr + 1.0) / (rtot + {float(DSIR_NB)})))"
+            " * 1000000.0 + 0.5 AS y"
+            " FROM braw LEFT JOIN btgt USING (b), tots"
+        ).fetchall()
+        con.close()
+        assert rows, f"{sf}: empty model"
+        bad = [
+            (b, y)
+            for b, y in rows
+            if min(y - math.floor(y), math.ceil(y) - y) < DSIR_EDGE_EPS
+        ]
+        assert not bad, (
+            f"{sf}: {len(bad)} buckets within {DSIR_EDGE_EPS} of the "
+            f"lw_units rounding boundary (first 3: {bad[:3]})"
+        )
+
+
+def test_dsir_select_shifts_mixture_toward_target(spark, sf_dir):
+    """With the target model trained on lang='en', the selected slice
+    must over-represent English relative to its corpus share — the
+    whole point of importance resampling.  Also: exactly
+    total//DSIR_SELECT_DIV docs selected, and every per-lang selection
+    count is bounded by the lang's doc count."""
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        DSIR_SELECT_DIV,
+        q_dsir_select,
+    )
+
+    rows = {r["lang"]: r for r in q_dsir_select(spark, sf_dir).collect()}
+    total = sum(r["n_docs"] for r in rows.values())
+    n_sel = sum(r["n_selected"] for r in rows.values())
+    assert n_sel == total // DSIR_SELECT_DIV
+    for r in rows.values():
+        assert 0 <= r["n_selected"] <= r["n_docs"]
+    en = rows["en"]
+    assert en["n_selected"] / n_sel > en["n_docs"] / total, (
+        "selection did not shift the mixture toward the target language"
+    )

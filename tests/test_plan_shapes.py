@@ -934,3 +934,20 @@ def test_ivf_kmeans_probe_map_only_broadcast_rerank(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     # the only shuffle is the final per-query top-k window
     assert count_exchanges(df) == 1
+
+
+def test_dsir_weights_broadcast_model_two_shuffles(spark, sf_dir):
+    """The DSIR score must never shuffle the corpus against the model:
+    the bucket-bounded (<= 256 rows) model BROADCASTS back, leaving two
+    fact-scale shuffles — the (doc_id, b) feature count and the per-doc
+    score agg (plus bucket-bounded model-side exchanges, which AQE
+    collapses at these sizes).  No Python stage anywhere."""
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        q_dsir_weights,
+    )
+
+    df = q_dsir_weights(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Python" not in plan
+    assert "BroadcastHashJoin" in plan  # tf x model
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
