@@ -19,7 +19,7 @@ from pyspark.sql import types as T
 from ..functions.stable import davg
 from ..functions.oracle_sql import sql_davg
 from ..functions.vectors import cosine_similarity, dot, l2_norm
-from ..sources.tables import load_table, parquet_row_count
+from ..sources.tables import load_table, parquet_row_count, spread
 
 ORACLES: dict[str, str] = {}
 
@@ -1119,21 +1119,34 @@ def _km_dist_structs(cents: list[tuple[int, list[int]]]) -> F.Column:
     """array<struct(dist, cid)> of exact integer squared distances from
     the row's ``u`` to every literal centroid — the per-row distance
     table both assignment (argmin) and probing (sort + slice) fold over,
-    entirely JVM-side."""
-    structs = []
-    for cid, c in cents:
-        arr = F.array(*[F.lit(int(v)).cast("bigint") for v in c])
-        d = F.aggregate(
-            F.zip_with(F.col("u"), arr, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
+    entirely JVM-side.
+
+    Built as one ``transform`` over a single 2-D literal array rather
+    than K unrolled per-centroid folds: the unrolled form generated so
+    much Java that whole-stage codegen spent ~9 s COMPILING each round's
+    plan (measured at sf0.1 — the r11 bench regression; execution was
+    fast, compilation wasn't).  As one HOF over one array literal the
+    codebook is a single constant object reference in the generated
+    code, the fold body compiles once, and the whole Lloyd round plans
+    in milliseconds.  Field order (dist, cid) is preserved, so
+    array_min/array_sort compare identically; ``cid`` comes from the
+    transform index, which equals the centroid id because the model
+    list stays ordered by cid 0..K-1 (asserted)."""
+    assert [cid for cid, _ in cents] == list(range(len(cents)))
+    lit2d = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{int(v)}L" for v in c) + ")"
+            for _cid, c in cents
         )
-        structs.append(
-            F.named_struct(
-                F.lit("dist"), d, F.lit("cid"), F.lit(cid).cast("bigint")
-            )
-        )
-    return F.array(*structs)
+        + ")"
+    )
+    return F.expr(
+        f"transform({lit2d}, (c, i) -> named_struct("
+        "'dist', aggregate(zip_with(u, c, (a, b) -> (a - b) * (a - b)),"
+        " 0L, (acc, x) -> acc + x), "
+        "'cid', cast(i AS bigint)))"
+    )
 
 
 def _km_best(cents: list[tuple[int, list[int]]]) -> F.Column:
@@ -1155,36 +1168,39 @@ def _km_learn(q: DataFrame) -> list[tuple[int, list[int]]]:
     """Run KM_ITERS Lloyd rounds over ``q`` (vec_id, u:array<bigint>);
     returns the final centroid list [(cid, units)], seeded from
     vec_id 0..KM_K-1.  Per round: one map-only assignment fold against
-    the literal centroid arrays and one (cid, pos) partial-sum aggregate
-    (K*D = 512 groups, map-side combined) — the K*D-int model lives on
+    the literal codebook and one K-row aggregate of D per-dimension sum
+    columns + a count (map-side combined) — the K*D-int model lives on
     the driver between rounds, MLlib's Lloyd shape.  Clusters that lose
-    every member keep their previous centroid (both engines)."""
+    every member keep their previous centroid (both engines).
+
+    The update deliberately sums ``element_at(u, i)`` COLUMNS instead of
+    posexploding (u, pos) pairs: a Generate above the assignment fold
+    made Spark re-evaluate the fold once per EXPLODED row — a 64x
+    amplification of the most expensive expression in the plan, worth
+    ~7 s/round at sf0.1 (the r11 bench regression) — and the explode
+    also multiplies the shuffled row count by D for no reason."""
     init = q.filter(F.col("vec_id") < KM_K).collect()
     cents: list[tuple[int, list[int]]] = sorted(
         (int(r["vec_id"]), [int(v) for v in r["u"]]) for r in init
     )
+    dim_sums = [
+        F.sum(F.element_at("u", i + 1)).alias(f"s{i}") for i in range(KM_DIM)
+    ]
     for _ in range(KM_ITERS):
         best = _km_best(cents)
-        sums = (
-            q.select(best.getField("cid").alias("cid"), F.posexplode("u"))
-            .groupBy("cid", "pos")
-            .agg(F.sum("col").alias("s"), F.count(F.lit(1)).alias("n"))
+        rows = (
+            q.select(best.getField("cid").alias("cid"), "u")
+            .groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("n"), *dim_sums)
             .collect()
         )
-        acc: dict[int, list[tuple[int, int, int]]] = {}
-        for r in sums:
-            acc.setdefault(int(r["cid"]), []).append(
-                (int(r["pos"]), int(r["s"]), int(r["n"]))
-            )
-        cents = [
-            (
-                cid,
-                [_km_tdiv(s, n) for _pos, s, n in sorted(acc[cid])]
-                if cid in acc
-                else prev,
-            )
-            for cid, prev in cents
-        ]
+        upd = {
+            int(r["cid"]): [
+                _km_tdiv(int(r[f"s{i}"]), int(r["n"])) for i in range(KM_DIM)
+            ]
+            for r in rows
+        }
+        cents = [(cid, upd.get(cid, prev)) for cid, prev in cents]
     return cents
 
 
@@ -1198,7 +1214,7 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding ring (SURVEY §2.B) with the codebook-LEARNING half that
     q_ann_ivf_topk's fixed hash cells and q_embedding_quant_codebook's
     min/max grid both presuppose."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     q = emb.select("vec_id", _km_units().alias("u")).cache()
     cents = _km_learn(q)
     best = _km_best(cents)
@@ -1379,7 +1395,11 @@ def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus with a spectral gap the identical loop converges in
     O(log(1/eps) / log(l1/l2)) rounds; the Rayleigh-quotient invariants
     (monotone growth, bounded by lambda_1) are pytest-pinned."""
-    gram_rows = _pc_gram(load_table(spark, sf_dir, "embeddings")).collect()
+    # spread: the 4096-cell outer product is pure map work — 1-core on
+    # the one-row-group test parquet without it
+    gram_rows = _pc_gram(
+        spread(load_table(spark, sf_dir, "embeddings"))
+    ).collect()
     g: dict[tuple[int, int], int] = {
         (int(r["i"]), int(r["j"])): int(r["g"]) for r in gram_rows
     }
@@ -1467,7 +1487,9 @@ def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     row).  The only shuffles left are the probe-cell candidate join
     (broadcast probes, corpus streams by untouched) and the final
     per-query top-k."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread: assignment folds and the rerank's cosine map work are the
+    # hot path and must not run 1-core on the one-row-group test parquet
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     q_units = emb.select("vec_id", _km_units().alias("u")).cache()
     cents = _km_learn(q_units)
     dists = _km_dist_structs(cents)

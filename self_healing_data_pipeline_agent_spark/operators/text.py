@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 
 ORACLES: dict[str, str] = {}
 
@@ -3452,8 +3452,26 @@ def _bpe_learn(docs: DataFrame) -> list[tuple[str, int]]:
     chr(1)..chr(k-1) of earlier merges.  Each round: one map-side-combined
     bigram count (the only shuffle, 2-char keys), a 1-row argmax, and a
     lazy map-only rewrite stacked onto the lineage."""
-    cur = docs
+    cur = spread(docs)  # single-file testdata -> 1 scan partition;
+    # the per-round explode+count is map-heavy and must not run 1-core
     merges: list[tuple[str, int]] = []
+    # `substring(t, i, 2)` above the explode is safe ONLY because `t`
+    # is a plain column at every round (parquet in round 1, the cached
+    # rewrite afterwards): with the rewrite chain inlined instead,
+    # every exploded position re-ran all k replaces — O(len^2) replace
+    # work per doc, a measured 2x bench regression.  The codegen'd
+    # substring also beats a transform()-built pair array (HOF lambdas
+    # evaluate interpreted per element; the char-LM ring documents the
+    # same finding).
+    # Each round CACHES its rewrite so round k reads round k-1's
+    # materialized corpus and applies ONE replace — without this the
+    # lazy lineage re-runs the whole k-deep replace chain from parquet
+    # every round (O(rounds^2) replace passes; the local analog of the
+    # every-~50-rounds checkpoint the 100 TB loop needs).  Only the
+    # previous round's cache is held at a time, and the final rewrite
+    # (whose count nobody takes) is never built.
+    done: DataFrame | None = None  # materialized cache no round still reads
+    live: DataFrame | None = None  # cache the NEXT count will materialize
     for k in range(1, BPE_MERGE_ROUNDS + 1):
         top = (
             cur.filter(F.length("t") >= 2)
@@ -3465,12 +3483,24 @@ def _bpe_learn(docs: DataFrame) -> list[tuple[str, int]]:
             .limit(1)
             .collect()
         )
+        # this count just materialized `live` (== cur); the round before
+        # it is no longer an input to anything and can be dropped
+        if done is not None:
+            done.unpersist()
+        done, live = live, None
         if not top:
             break
         merges.append((top[0]["pair"], int(top[0]["cnt"])))
-        cur = cur.select(
-            F.replace(F.col("t"), F.lit(top[0]["pair"]), F.lit(chr(k))).alias("t")
-        )
+        if k < BPE_MERGE_ROUNDS:
+            cur = cur.select(
+                F.replace(
+                    F.col("t"), F.lit(top[0]["pair"]), F.lit(chr(k))
+                ).alias("t")
+            ).cache()
+            live = cur
+    for df in (done, live):
+        if df is not None:
+            df.unpersist()
     return merges
 
 
@@ -3557,7 +3587,9 @@ def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined aggregate.  The merge table is driver state by
     design (it IS the tokenizer artifact, 8 scalars; a 30k-merge
     production table would broadcast instead)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: the encode pass is a pure map (8 fused replaces + two
+    # lengths) — on the one-row-group test parquet it would run 1-core
+    docs = spread(load_table(spark, sf_dir, "documents"))
     merges = _bpe_learn(docs.select(F.col("text").alias("t")))
     enc = F.col("text")
     for k, (pair, _cnt) in enumerate(merges, start=1):
@@ -3639,8 +3671,10 @@ def _dsir_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix.  One explode of the corpus into feature instances feeding
     one partial-aggregated (doc_id, b) count — the ring's only
     fact-scale shuffle; everything downstream is bucket-bounded
-    (<= DSIR_NB rows) or doc-keyed."""
-    df = load_table(spark, sf_dir, "documents")
+    (<= DSIR_NB rows) or doc-keyed.  The corpus is spread() first: the
+    tokenize+md5 map work dominates and must not run single-core on the
+    one-row-group test parquet."""
+    df = spread(load_table(spark, sf_dir, "documents"))
     ws = F.filter(
         F.split(F.lower(F.col("text")), "[^a-z]+"), lambda w: w != ""
     )
@@ -3834,3 +3868,157 @@ SELECT sc.lang,
 FROM scored sc LEFT JOIN sel ON sc.doc_id = sel.doc_id
 GROUP BY sc.lang
 """
+
+
+# --- In-engine model training: integer batch perceptron ----------------------
+#
+# The third member of the driver-loop fixpoint family (PageRank, Lloyd
+# k-means) is a TRAINED MODEL: a batch perceptron over the DSIR hashed
+# feature space, classifying lang='en' vs rest.  Updates are the batch
+# rule w += sum over misclassified docs of y * tf — a pure integer SUM,
+# so unlike the sequential online perceptron the round is
+# order-independent under any partitioning and the whole training
+# trajectory value-hash-matches the oracle's chained CTEs exactly.
+# Zero floats anywhere: no quantization step, no tripwire needed.
+
+PERC_ROUNDS = 3
+
+
+def _perc_w_expr(w: dict[str, int]) -> F.Column:
+    """Per-row margin contribution lookup: the current weight vector as
+    ONE parsed literal map (the Lloyd-codebook lesson: building 256
+    literals through individual py4j calls is driver-bound), missing
+    buckets -> 0."""
+    if not w:
+        return F.lit(0).cast("bigint")
+    entries = ", ".join(f"'{b}', {int(v)}L" for b, v in sorted(w.items()))
+    return F.expr(f"coalesce(element_at(map({entries}), b), 0L)")
+
+
+def q_perceptron_lang_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a batch perceptron in-engine and return its exact training
+    trajectory: (rnd, n_mistakes, w_l1) for rnd 0..PERC_ROUNDS, where
+    n_mistakes counts docs misclassified under w_rnd (y * margin <= 0;
+    at w_0 = 0 every doc is a mistake by convention) and w_l1 is the
+    weight vector's L1 norm.  Features are the DSIR hashed unigram+
+    bigram buckets; y = +1 for the target language, -1 otherwise.
+
+    Scale shape per round: margins are ONE broadcast-free pass — the
+    weight vector is a 256-entry literal map folded into the (doc_id, b)
+    frame, then a per-doc agg [shuffle on doc_id]; the update is a
+    semi-join of the feature frame against the misclassified doc set
+    into a 256-group partial sum.  Driver state is the 256-int model —
+    the artifact itself, re-broadcast each round (MLlib's iterative
+    shape).  The trajectory, not a converged model, is the contract:
+    batch perceptron need not converge, but it must be bit-reproducible.
+
+    Reference parity: the reference has no trainable component; this
+    extends the capability surface the way X25 (Lloyd) extends X9 —
+    the quality-classifier stage of a curation pipeline (fastText-style
+    hashed linear model), trained where the data lives."""
+    tf = _dsir_tf(spark, sf_dir)
+    y = F.when(F.col("lang") == DSIR_TARGET_LANG, F.lit(1)).otherwise(
+        F.lit(-1)
+    ).cast("bigint")
+    w: dict[str, int] = {}
+    traj: list[tuple[int, int, int]] = []
+    for rnd in range(PERC_ROUNDS + 1):
+        margins = (
+            tf.select(
+                "doc_id",
+                y.alias("y"),
+                (F.col("tf") * _perc_w_expr(w)).alias("c"),
+            )
+            .groupBy("doc_id", "y")
+            .agg(F.sum("c").alias("margin"))
+        )
+        mis = margins.filter(
+            F.col("y") * F.col("margin") <= 0
+        ).select("doc_id", "y")
+        n_mis = mis.count()
+        traj.append((rnd, n_mis, sum(abs(v) for v in w.values())))
+        if rnd == PERC_ROUNDS:
+            break
+        upd = (
+            tf.join(F.broadcast(mis), "doc_id")
+            .groupBy("b")
+            .agg(F.sum(F.col("y") * F.col("tf")).alias("g"))
+            .collect()
+        )
+        for r in upd:
+            w[r["b"]] = w.get(r["b"], 0) + int(r["g"])
+            if w[r["b"]] == 0:
+                del w[r["b"]]
+    return spark.createDataFrame(
+        traj, "rnd bigint, n_mistakes bigint, w_l1 bigint"
+    )
+
+
+def _perc_oracle() -> str:
+    """Chained CTEs replaying the exact batch updates: m{t} = margins
+    under w{t}, mis{t}, upd{t}, w{t+1} = merged weights.  w0 is the
+    empty relation (all weights 0)."""
+    # same words/feats tokenization as DSIR_MODEL_CTES, with the label
+    # folded into tf (the perceptron's tf carries y, DSIR's carries lang)
+    parts = [
+        f"""words AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     w -> w <> '') AS ws
+  FROM documents
+), feats AS (
+  SELECT doc_id, lang, unnest(ws) AS feat FROM words
+  UNION ALL
+  SELECT doc_id, lang, ws[i] || ' ' || ws[i + 1] AS feat
+  FROM (SELECT doc_id, lang, ws,
+               unnest(generate_series(1, len(ws) - 1)) AS i
+        FROM words)
+), tf AS (
+  SELECT doc_id,
+         CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE -1 END AS y,
+         substr(md5(feat), 1, 2) AS b,
+         CAST(COUNT(*) AS BIGINT) AS tf
+  FROM feats GROUP BY 1, 2, 3
+),
+w0 AS (SELECT NULL AS b, CAST(NULL AS BIGINT) AS w WHERE FALSE)"""
+    ]
+    for t in range(PERC_ROUNDS):
+        parts.append(
+            f"""m{t} AS (
+  SELECT tf.doc_id, tf.y,
+         CAST(SUM(tf.tf * COALESCE(w{t}.w, 0)) AS BIGINT) AS margin
+  FROM tf LEFT JOIN w{t} ON tf.b = w{t}.b
+  GROUP BY tf.doc_id, tf.y
+),
+mis{t} AS (SELECT doc_id, y FROM m{t} WHERE y * margin <= 0),
+upd{t} AS (
+  SELECT tf.b, CAST(SUM(tf.y * tf.tf) AS BIGINT) AS g
+  FROM tf JOIN mis{t} USING (doc_id)
+  GROUP BY tf.b
+),
+w{t + 1} AS (
+  SELECT COALESCE(w.b, u.b) AS b,
+         CAST(COALESCE(w.w, 0) + COALESCE(u.g, 0) AS BIGINT) AS w
+  FROM w{t} w FULL JOIN upd{t} u ON w.b = u.b
+  WHERE COALESCE(w.w, 0) + COALESCE(u.g, 0) <> 0
+)"""
+        )
+    parts.append(
+        f"""m{PERC_ROUNDS} AS (
+  SELECT tf.doc_id, tf.y,
+         CAST(SUM(tf.tf * COALESCE(w{PERC_ROUNDS}.w, 0)) AS BIGINT) AS margin
+  FROM tf LEFT JOIN w{PERC_ROUNDS} ON tf.b = w{PERC_ROUNDS}.b
+  GROUP BY tf.doc_id, tf.y
+)"""
+    )
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT CAST({t} AS BIGINT) AS rnd,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM m{t} WHERE y * margin <= 0)
+         AS n_mistakes,
+       (SELECT CAST(COALESCE(SUM(ABS(w)), 0) AS BIGINT) FROM w{t}) AS w_l1"""
+        for t in range(PERC_ROUNDS + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + rows
+
+
+ORACLES["perceptron_lang_clf"] = _perc_oracle()

@@ -24,16 +24,23 @@ def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Number of SHUFFLE exchanges in the physical plan (broadcasts are
-    excluded — they're the cheap kind).  Counted in simple mode where each
-    node renders exactly once."""
+    """Number of SEMANTIC shuffle exchanges in the physical plan.
+    Excluded as the cheap/deliberate kind: broadcasts, and explicit
+    round-robin rebalances (``spread()``'s REPARTITION_BY_NUM — a
+    data-independent fan-out that exists only because the one-file
+    test parquet starts every scan at 1 partition; it also renders
+    multiple times once a cached relation embeds it, so counting it
+    would measure plan printing, not data movement).  Counted in simple
+    mode where each semantic node renders exactly once."""
     simple = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
         df._jdf.queryExecution(), "simple"
     )
     return sum(
         1
         for line in simple.splitlines()
-        if "Exchange" in line and "BroadcastExchange" not in line
+        if "Exchange" in line
+        and "BroadcastExchange" not in line
+        and "RoundRobinPartitioning" not in line
     )
 
 

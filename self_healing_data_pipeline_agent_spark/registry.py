@@ -79,6 +79,13 @@ QUERY_ORDER = [
     #    mixture shift toward the target language --
     "dsir_weights",
     "dsir_select",
+    # -- and the in-engine TRAINED MODEL (never-green): a batch
+    #    perceptron over the DSIR feature space (lang='en' vs rest),
+    #    updates = integer sums over misclassified docs, so the whole
+    #    training trajectory is order-independent and value-hash-exact
+    #    (no floats anywhere — the third driver-loop fixpoint family
+    #    member after PageRank and Lloyd) --
+    "perceptron_lang_clf",
     # -- changed since last green, fail-closed re-check: ann_jl_rerank's
     #    docstring edit (16-dim/4x -> 32-dim/2x) sits inside the tracked
     #    span; behavior is unchanged per local parity, record re-earned --
@@ -101,14 +108,15 @@ QUERY_ORDER = [
     "top_supplier_revenue",
     "top_terms",
     "tpch_q1",
-    # -- 22 of the 46 r7-aged records, oldest-cohort-first (within the
+    # -- 21 of the 46 r7-aged records, oldest-cohort-first (within the
     #    cohort: alphabetical — all carry the same r7 date, so the order
-    #    inside the cohort is arbitrary and auditable).  The 24 spilled
-    #    (key_skew_profile, mad_outlier_profile, multimodal_features,
-    #    multimodal_frame_sample, multimodal_resize, normalize_text,
-    #    profit_by_nation_year, psi_drift .. tpch_q7) are r12
-    #    MUST-window; all are local-parity green today.  New operators
-    #    added later this round displace from the TAIL of this block. --
+    #    inside the cohort is arbitrary and auditable).  The 25 spilled
+    #    (incremental_dedup, key_skew_profile, mad_outlier_profile,
+    #    multimodal_features, multimodal_frame_sample, multimodal_resize,
+    #    normalize_text, profit_by_nation_year, psi_drift .. tpch_q7)
+    #    are r12 MUST-window; all are local-parity green today.  New
+    #    operators added later this round displace from the TAIL of
+    #    this block. --
     "activity_streaks",
     "ann_int8_rerank",
     "anomaly_zscore",
@@ -130,7 +138,6 @@ QUERY_ORDER = [
     "error_context_join",
     "frequent_items_sketch",
     "grouped_drift_profile",
-    "incremental_dedup",
     # Below the 50-entry window: everything else carries an r8 or r9
     # official green against current testdata and unchanged code.
     # scripts/window_audit.py tracks staleness (contract fingerprints);

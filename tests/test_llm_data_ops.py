@@ -1058,3 +1058,30 @@ def test_dsir_select_shifts_mixture_toward_target(spark, sf_dir):
     assert en["n_selected"] / n_sel > en["n_docs"] / total, (
         "selection did not shift the mixture toward the target language"
     )
+
+
+def test_perceptron_learns_and_trajectory_invariants(spark, sf_dir):
+    """The batch perceptron must actually LEARN on this corpus: the
+    final round's mistake count must be well below round 0 (= all
+    scored docs, by the y*0 <= 0 convention), every count must be
+    bounded by the corpus, and w_l1 must be 0 at round 0 and positive
+    afterwards (the all-misclassified first update cannot cancel to an
+    empty model on a real corpus)."""
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        PERC_ROUNDS,
+        q_perceptron_lang_clf,
+    )
+
+    rows = {
+        r["rnd"]: r for r in q_perceptron_lang_clf(spark, sf_dir).collect()
+    }
+    assert sorted(rows) == list(range(PERC_ROUNDS + 1))
+    n_docs = rows[0]["n_mistakes"]  # w=0: every scored doc is a mistake
+    assert rows[0]["w_l1"] == 0
+    for rnd, r in rows.items():
+        assert 0 <= r["n_mistakes"] <= n_docs
+        if rnd > 0:
+            assert r["w_l1"] > 0
+    assert rows[PERC_ROUNDS]["n_mistakes"] < n_docs // 2, (
+        "perceptron failed to beat the all-mistakes baseline by 2x"
+    )

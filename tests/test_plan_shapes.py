@@ -865,7 +865,9 @@ def test_bpe_encode_stats_encode_pass_is_codegen_single_shuffle(spark, sf_dir):
     """The tokenizer APPLY pass: after the learn loop (driver-held merge
     table, 8 scalars), encoding must be a single map-only scan — the 8
     replace() calls fuse into one codegen Project — feeding a map-side-
-    combined per-language aggregate.  One exchange, zero Python stages."""
+    combined per-language aggregate.  One semantic exchange (the 5-row
+    lang aggregate; spread()'s round-robin rebalance is excluded by
+    count_exchanges), zero Python stages."""
     from self_healing_data_pipeline_agent_spark.operators.text import (
         q_bpe_encode_stats,
     )
@@ -892,6 +894,7 @@ def test_kmeans_assignment_map_only_no_join(spark, sf_dir):
     assert "Python" not in plan
     assert "Join" not in plan
     # report = one agg exchange + the final cid sort; no per-row joins
+    # (spread()'s rebalance is excluded by count_exchanges)
     assert count_exchanges(df) <= 2
     assert plan.count("HashAggregate") >= 2  # map-side combined
 
@@ -932,7 +935,7 @@ def test_ivf_kmeans_probe_map_only_broadcast_rerank(spark, sf_dir):
     # formatted mode renders each node twice (tree + details): 2 joins
     assert plan.count("BroadcastHashJoin") == 4  # probes->corpus, +query
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
-    # the only shuffle is the final per-query top-k window
+    # the only semantic shuffle is the final per-query top-k window
     assert count_exchanges(df) == 1
 
 
