@@ -176,8 +176,10 @@ HEADLINE = [
     "dsir_weights",
     # r11: the in-engine trained model — batch perceptron over the DSIR
     # feature space (3 rounds: broadcast-map margins -> mistake
-    # semi-join -> 256-group update sums).
+    # semi-join -> 256-group update sums) — and the CCNet perplexity
+    # tiers (char-LM scoring + one per-lang NTILE window).
     "perceptron_lang_clf",
+    "ccnet_ppl_buckets",
 ]
 
 

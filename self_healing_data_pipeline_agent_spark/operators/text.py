@@ -3973,7 +3973,7 @@ def _perc_oracle() -> str:
   FROM (SELECT doc_id, lang, ws,
                unnest(generate_series(1, len(ws) - 1)) AS i
         FROM words)
-), tf AS (
+), tf AS MATERIALIZED (
   SELECT doc_id,
          CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE -1 END AS y,
          substr(md5(feat), 1, 2) AS b,
@@ -3984,19 +3984,19 @@ w0 AS (SELECT NULL AS b, CAST(NULL AS BIGINT) AS w WHERE FALSE)"""
     ]
     for t in range(PERC_ROUNDS):
         parts.append(
-            f"""m{t} AS (
+            f"""m{t} AS MATERIALIZED (
   SELECT tf.doc_id, tf.y,
          CAST(SUM(tf.tf * COALESCE(w{t}.w, 0)) AS BIGINT) AS margin
   FROM tf LEFT JOIN w{t} ON tf.b = w{t}.b
   GROUP BY tf.doc_id, tf.y
 ),
-mis{t} AS (SELECT doc_id, y FROM m{t} WHERE y * margin <= 0),
-upd{t} AS (
+mis{t} AS MATERIALIZED (SELECT doc_id, y FROM m{t} WHERE y * margin <= 0),
+upd{t} AS MATERIALIZED (
   SELECT tf.b, CAST(SUM(tf.y * tf.tf) AS BIGINT) AS g
   FROM tf JOIN mis{t} USING (doc_id)
   GROUP BY tf.b
 ),
-w{t + 1} AS (
+w{t + 1} AS MATERIALIZED (
   SELECT COALESCE(w.b, u.b) AS b,
          CAST(COALESCE(w.w, 0) + COALESCE(u.g, 0) AS BIGINT) AS w
   FROM w{t} w FULL JOIN upd{t} u ON w.b = u.b
@@ -4022,3 +4022,85 @@ w{t + 1} AS (
 
 
 ORACLES["perceptron_lang_clf"] = _perc_oracle()
+
+
+# --- CCNet head/middle/tail perplexity buckets --------------------------------
+
+CCNET_NTILES = 3
+
+
+def q_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's quality tiers (Wenzek et al. 2020): split each language's
+    documents into head/middle/tail TERCILES of LM perplexity and report
+    the tier composition: (lang, bucket, n_docs, tok_mass, min_q, max_q)
+    — bucket 1 = head (lowest perplexity).  The ranking key is the exact
+    integer milli-units of negative log-prob per bigram,
+    q = (-lp_sum_units * 1000) div n_bigrams, so tier assignment is
+    deterministic cross-engine (ties broken by doc_id; NTILE's
+    remainder-to-leading-tiles rule agrees between engines).
+
+    Scale shape: scoring is the char-LM two-shuffle layout (corpus
+    bigram agg + broadcast model); tiering is ONE window shuffle
+    partitioned by lang.  At 100 TB you'd replace the exact per-lang
+    NTILE with two approx-quantile thresholds per lang (a broadcast map
+    + stateless filter — CCNet itself uses fixed thresholds from a
+    sample); the report is a 15-row agg either way.
+
+    Reference parity: no LM anywhere in the reference; extends the X18
+    curation ring with the selection rule the char_lm trio's scores
+    exist to drive."""
+    tf = _char_lm_tf_df(spark, sf_dir)
+    model = _char_lm_model_df(tf).select("bg", "lp_units")
+    scored = (
+        tf.join(F.broadcast(model), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("lp_units")).alias("lp_sum_units"),
+        )
+        .withColumn(
+            "ppl_q",
+            F.expr("(-lp_sum_units * 1000) div n_bigrams"),
+        )
+    )
+    lang = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy("ppl_q", "doc_id")
+    return (
+        scored.join(lang, "doc_id")
+        .withColumn("bucket", F.ntile(CCNET_NTILES).over(w).cast("bigint"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").alias("tok_mass"),
+            F.min("ppl_q").alias("min_q"),
+            F.max("ppl_q").alias("max_q"),
+        )
+    )
+
+
+ORACLES["ccnet_ppl_buckets"] = f"""
+{CHAR_LM_MODEL_CTES},
+scored AS (
+  SELECT doc_id,
+         CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+         CAST(SUM(tf * lp_units) AS BIGINT) AS lp_sum_units
+  FROM tf JOIN model USING (bg)
+  GROUP BY doc_id
+),
+tiered AS (
+  SELECT d.lang, s.n_bigrams,
+         CAST((-s.lp_sum_units * 1000) // s.n_bigrams AS BIGINT) AS ppl_q,
+         NTILE({CCNET_NTILES}) OVER (
+           PARTITION BY d.lang
+           ORDER BY (-s.lp_sum_units * 1000) // s.n_bigrams, s.doc_id
+         ) AS bucket
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_bigrams) AS BIGINT) AS tok_mass,
+       CAST(MIN(ppl_q) AS BIGINT) AS min_q,
+       CAST(MAX(ppl_q) AS BIGINT) AS max_q
+FROM tiered
+GROUP BY lang, bucket
+"""

@@ -86,6 +86,11 @@ QUERY_ORDER = [
     #    (no floats anywhere — the third driver-loop fixpoint family
     #    member after PageRank and Lloyd) --
     "perceptron_lang_clf",
+    # -- and the selection rule the char-LM scores exist to drive
+    #    (never-green): CCNet head/middle/tail perplexity terciles per
+    #    language, ranked on the exact integer milli-units-per-bigram
+    #    key so tier assignment is deterministic cross-engine --
+    "ccnet_ppl_buckets",
     # -- changed since last green, fail-closed re-check: ann_jl_rerank's
     #    docstring edit (16-dim/4x -> 32-dim/2x) sits inside the tracked
     #    span; behavior is unchanged per local parity, record re-earned --
@@ -108,15 +113,15 @@ QUERY_ORDER = [
     "top_supplier_revenue",
     "top_terms",
     "tpch_q1",
-    # -- 21 of the 46 r7-aged records, oldest-cohort-first (within the
+    # -- 20 of the 46 r7-aged records, oldest-cohort-first (within the
     #    cohort: alphabetical — all carry the same r7 date, so the order
-    #    inside the cohort is arbitrary and auditable).  The 25 spilled
-    #    (incremental_dedup, key_skew_profile, mad_outlier_profile,
-    #    multimodal_features, multimodal_frame_sample, multimodal_resize,
-    #    normalize_text, profit_by_nation_year, psi_drift .. tpch_q7)
-    #    are r12 MUST-window; all are local-parity green today.  New
-    #    operators added later this round displace from the TAIL of
-    #    this block. --
+    #    inside the cohort is arbitrary and auditable).  The 26 spilled
+    #    (grouped_drift_profile, incremental_dedup, key_skew_profile,
+    #    mad_outlier_profile, multimodal_features,
+    #    multimodal_frame_sample, multimodal_resize, normalize_text,
+    #    profit_by_nation_year, psi_drift .. tpch_q7) are r12
+    #    MUST-window; all are local-parity green today.  New operators
+    #    added later this round displace from the TAIL of this block. --
     "activity_streaks",
     "ann_int8_rerank",
     "anomaly_zscore",
@@ -137,7 +142,6 @@ QUERY_ORDER = [
     "duplicate_clusters",
     "error_context_join",
     "frequent_items_sketch",
-    "grouped_drift_profile",
     # Below the 50-entry window: everything else carries an r8 or r9
     # official green against current testdata and unchanged code.
     # scripts/window_audit.py tracks staleness (contract fingerprints);

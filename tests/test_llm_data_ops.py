@@ -1085,3 +1085,28 @@ def test_perceptron_learns_and_trajectory_invariants(spark, sf_dir):
     assert rows[PERC_ROUNDS]["n_mistakes"] < n_docs // 2, (
         "perceptron failed to beat the all-mistakes baseline by 2x"
     )
+
+
+def test_ccnet_buckets_balanced_and_ordered(spark, sf_dir):
+    """CCNet tier invariants: every language gets buckets 1..3, NTILE
+    balance (tile sizes differ by at most 1, larger tiles first), and
+    the perplexity key ranges are disjoint and ordered — head's max_q <=
+    middle's min_q <= tail's min_q (equality only possible on ties,
+    which the doc_id tie-break resolves deterministically)."""
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        CCNET_NTILES,
+        q_ccnet_ppl_buckets,
+    )
+
+    rows = q_ccnet_ppl_buckets(spark, sf_dir).collect()
+    by_lang: dict[str, dict[int, dict]] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = r
+    for lang, tiers in by_lang.items():
+        assert sorted(tiers) == list(range(1, CCNET_NTILES + 1)), lang
+        sizes = [tiers[b]["n_docs"] for b in sorted(tiers)]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        assert sizes == sorted(sizes, reverse=True), (lang, sizes)
+        for b in range(1, CCNET_NTILES):
+            assert tiers[b]["max_q"] <= tiers[b + 1]["min_q"], lang
+            assert tiers[b]["min_q"] <= tiers[b]["max_q"], lang
