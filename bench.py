@@ -180,6 +180,9 @@ HEADLINE = [
     # tiers (char-LM scoring + one per-lang NTILE window).
     "perceptron_lang_clf",
     "ccnet_ppl_buckets",
+    # r11: the LSH banding study (one cached signature build feeding
+    # three carvings' candidate joins + the exact truth-set join).
+    "minhash_band_tuning",
 ]
 
 
@@ -192,6 +195,7 @@ TABLES = (
 # (CPU steal / noisy neighbor), not the engine — take extra samples.
 NOISE_RATIO = 2.0
 MAX_RUNS = 4
+DUCK_QUERY_TIMEOUT_S = 120  # watchdog cap per oracle execution
 
 # Per-query entries kept in the archived JSON line (the most expensive
 # ones); the rest fold into oq_n/oq_sum.  Sized so the worst-case line
@@ -233,6 +237,14 @@ def _bench_duckdb(names: list[str], sf_dir: str) -> dict[str, float]:
         print(f"# duckdb comparison unavailable: {exc}", file=sys.stderr)
         return {}
     timings: dict[str, float] = {}
+    # Per-oracle watchdog: a single runaway oracle (e.g. an inlined-CTE
+    # blowup before the MATERIALIZED hints landed) used to hang the
+    # whole bench past the round driver's budget — losing the ROUND'S
+    # ENTIRE BENCH RECORD, which is worse than one missing comparison
+    # cell.  con.interrupt() from a timer thread aborts just that query;
+    # the oracle is then reported failed and the sweep continues.
+    import threading
+
     for name in names:
         sql = oracles.get(name)
         if sql is None:
@@ -242,7 +254,12 @@ def _bench_duckdb(names: list[str], sf_dir: str) -> dict[str, float]:
             runs = []
             while len(runs) < MAX_RUNS:
                 t0 = time.perf_counter()
-                con.sql(sql).fetchall()
+                watchdog = threading.Timer(DUCK_QUERY_TIMEOUT_S, con.interrupt)
+                watchdog.start()
+                try:
+                    con.sql(sql).fetchall()
+                finally:
+                    watchdog.cancel()
                 runs.append(time.perf_counter() - t0)
                 best = min(runs)
                 if len(runs) >= 2 and max(runs[-2:]) <= NOISE_RATIO * best:

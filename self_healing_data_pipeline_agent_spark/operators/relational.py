@@ -2559,7 +2559,11 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pr_iter_sql(prev: str, out: str) -> str:
-    return f"""{out} AS (
+    # MATERIALIZED: DuckDB inlines CTEs, and each iteration references
+    # the previous one plus edges_deg — without the hint the chain
+    # re-expands the whole edge build per reference (measured >30 s at
+    # sf0.1 for the by-region variant; ~2 s materialized)
+    return f"""{out} AS MATERIALIZED (
   SELECT e.dst AS node,
          CAST({int(0.15 * PR_SCALE)} + (850 * SUM(r.r // e.d)) // 1000
               AS BIGINT) AS r
@@ -2569,17 +2573,17 @@ def _pr_iter_sql(prev: str, out: str) -> str:
 
 
 ORACLES["graph_pagerank"] = f"""
-WITH pairs AS (
+WITH pairs AS MATERIALIZED (
   SELECT DISTINCT l_suppkey * 2 AS s, o_custkey * 2 + 1 AS c
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT s AS src, c AS dst FROM pairs
   UNION ALL
   SELECT c AS src, s AS dst FROM pairs
 ),
-deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
-edges_deg AS (SELECT e.src, e.dst, d.d FROM edges e JOIN deg d ON d.src = e.src),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+edges_deg AS MATERIALIZED (SELECT e.src, e.dst, d.d FROM edges e JOIN deg d ON d.src = e.src),
 r0 AS (SELECT src AS node, CAST({PR_SCALE} AS BIGINT) AS r FROM deg),
 {_pr_iter_sql("r0", "r1")},
 {_pr_iter_sql("r1", "r2")},
@@ -2709,7 +2713,7 @@ cust AS (
   SELECT c_custkey, n_regionkey AS c_reg
   FROM customer JOIN nation ON c_nationkey = n_nationkey
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT DISTINCT s_reg AS regionkey,
          l_suppkey * 2 AS s, o_custkey * 2 + 1 AS c
   FROM lineitem
@@ -2718,16 +2722,16 @@ pairs AS (
   JOIN cust ON o_custkey = c_custkey
   WHERE s_reg = c_reg
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT regionkey, s AS src, c AS dst FROM pairs
   UNION ALL
   SELECT regionkey, c AS src, s AS dst FROM pairs
 ),
-deg AS (
+deg AS MATERIALIZED (
   SELECT src, COUNT(*) AS d, MIN(regionkey) AS regionkey
   FROM edges GROUP BY src
 ),
-edges_deg AS (
+edges_deg AS MATERIALIZED (
   SELECT e.src, e.dst, d.d FROM edges e JOIN deg d ON d.src = e.src
 ),
 r0 AS (SELECT src AS node, CAST({PR_SCALE} AS BIGINT) AS r FROM deg),

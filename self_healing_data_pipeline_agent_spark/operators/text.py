@@ -469,8 +469,8 @@ def _sig_chunk(s: int) -> tuple[str, int]:
     return f"h{s // 8}", (s % 8) * 4 + 1
 
 
-def _minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, band, band_sig): banded MinHash signatures.
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig0..sig15): the MinHash signature table.
 
     All NUM_HASHES min-wise signatures come from ONE groupBy(doc_id) with
     16 min-aggregates (map-side partials; no exploded seed shuffle), and
@@ -479,10 +479,9 @@ def _minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hashing is the hot loop — 8x fewer digests than one-md5-per-seed).
     The min of a uniform hash chunk over a doc's shingle set is a valid
     min-wise signature; fixed-width hex-string min == numeric min, and is
-    engine-portable (no murmur dependency).  16-bit chunks only generate
-    candidates — exact Jaccard verification follows, so chunk collisions
-    cost recall nothing and precision only candidate-set size.  Band key
-    = '|'-concat of the band's 4 signatures (64-bit effective key)."""
+    engine-portable (no murmur dependency).  Cached: the production
+    banding and the band-tuning study both consume it — at scale this is
+    the per-snapshot signature table you'd persist."""
     sh = _shingle_df(spark, sf_dir)
     hashed = sh.select(
         "doc_id",
@@ -493,17 +492,33 @@ def _minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.substring(F.col(_sig_chunk(s)[0]), _sig_chunk(s)[1], 4)).alias(f"sig{s}")
         for s in range(NUM_HASHES)
     ]
-    sigs = hashed.groupBy("doc_id").agg(*sig_aggs)
-    bands = F.array(*[
+    return hashed.groupBy("doc_id").agg(*sig_aggs).cache()
+
+
+def _band_array(bands: int, rows_per_band: int) -> F.Column:
+    """array<struct(band, band_sig)> carving the NUM_HASHES signatures
+    into ``bands`` bands of ``rows_per_band`` rows ('|'-concat key)."""
+    return F.array(*[
         F.struct(
             F.lit(band).alias("band"),
             F.concat_ws("|", *[
-                F.col(f"sig{band * ROWS_PER_BAND + r}")
-                for r in range(ROWS_PER_BAND)
+                F.col(f"sig{band * rows_per_band + r}")
+                for r in range(rows_per_band)
             ]).alias("band_sig"),
         )
-        for band in range(BANDS)
+        for band in range(bands)
     ])
+
+
+def _minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, band_sig): banded MinHash signatures at the
+    production setting (BANDS x ROWS_PER_BAND).  16-bit chunks only
+    generate candidates — exact Jaccard verification follows, so chunk
+    collisions cost recall nothing and precision only candidate-set
+    size.  Band key = '|'-concat of the band's 4 signatures (64-bit
+    effective key)."""
+    sigs = _minhash_sigs(spark, sf_dir)
+    bands = _band_array(BANDS, ROWS_PER_BAND)
     # cached like the shingle set: the signature build (md5 + 16 min-aggs)
     # is the hot loop, and both the pair query and the clustering query
     # consume the identical plan — CacheManager shares one materialization.
@@ -3538,7 +3553,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_oracle() -> str:
-    parts = ["c0 AS (SELECT text AS t FROM documents)"]
+    parts = ["c0 AS MATERIALIZED (SELECT text AS t FROM documents)"]
     for k in range(1, BPE_MERGE_ROUNDS + 1):
         parts.append(
             # per-row series via unnest(generate_series(...)) in the
@@ -3546,7 +3561,7 @@ def _bpe_oracle() -> str:
             # the generate_series TABLE function, but the scalar
             # list-returning form takes per-row arguments fine (and
             # yields an empty list, i.e. no rows, when length(t) < 2)
-            f"m{k} AS (\n"
+            f"m{k} AS MATERIALIZED (\n"
             f"  SELECT substr(t, CAST(i AS INTEGER), 2) AS pair,\n"
             f"         CAST(COUNT(*) AS BIGINT) AS cnt\n"
             f"  FROM (SELECT t, unnest(generate_series(1, length(t) - 1)) AS i\n"
@@ -3555,7 +3570,8 @@ def _bpe_oracle() -> str:
             f")"
         )
         parts.append(
-            f"c{k} AS (SELECT REPLACE(t, (SELECT pair FROM m{k}), chr({k})) AS t "
+            f"c{k} AS MATERIALIZED (SELECT"
+            f" REPLACE(t, (SELECT pair FROM m{k}), chr({k})) AS t "
             f"FROM c{k - 1})"
         )
     for k in range(1, BPE_MERGE_ROUNDS + 1):
@@ -3611,10 +3627,13 @@ def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_encode_oracle() -> str:
-    parts = ["c0 AS (SELECT lang, length(text) AS orig_len, text AS t FROM documents)"]
+    parts = [
+        "c0 AS MATERIALIZED"
+        " (SELECT lang, length(text) AS orig_len, text AS t FROM documents)"
+    ]
     for k in range(1, BPE_MERGE_ROUNDS + 1):
         parts.append(
-            f"m{k} AS (\n"
+            f"m{k} AS MATERIALIZED (\n"
             f"  SELECT substr(t, CAST(i AS INTEGER), 2) AS pair,\n"
             f"         CAST(COUNT(*) AS BIGINT) AS cnt\n"
             f"  FROM (SELECT t, unnest(generate_series(1, length(t) - 1)) AS i\n"
@@ -3623,7 +3642,7 @@ def _bpe_encode_oracle() -> str:
             f")"
         )
         parts.append(
-            f"c{k} AS (SELECT lang, orig_len,"
+            f"c{k} AS MATERIALIZED (SELECT lang, orig_len,"
             f" REPLACE(t, (SELECT pair FROM m{k}), chr({k})) AS t"
             f" FROM c{k - 1})"
         )
@@ -4104,3 +4123,167 @@ SELECT lang, CAST(bucket AS BIGINT) AS bucket,
 FROM tiered
 GROUP BY lang, bucket
 """
+
+
+# --- X8d: the banding decision, measured --------------------------------------
+#
+# zorder_pruning's posture applied to the LSH index: don't ASSERT that
+# 4 bands x 4 rows is right — MEASURE the S-curve.  For each carving of
+# the 16 signatures, the same signature table yields a different
+# candidate set; against the exact-Jaccard truth set the three counts
+# (candidates, hits, misses) ARE the precision/recall tradeoff the
+# banding formula P(candidate) = 1 - (1 - j^rows)^bands predicts.
+
+BAND_CONFIGS = [(8, 2), (4, 4), (2, 8)]
+
+
+def q_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH banding study: for each (bands, rows_per_band) carving of
+    the NUM_HASHES MinHash signatures, report (bands, rows_per_band,
+    n_candidates, n_hits, n_misses) against the exact Jaccard>=0.5 truth
+    set — wider bands (more rows each) raise precision and lose recall,
+    the S-curve every LSH deployment tunes.  All counts exact BIGINTs.
+
+    Scale shape: ONE signature build (cached — the persisted per-
+    snapshot signature table) feeds all three carvings; each candidate
+    join moves only (doc_id, band, band_sig) rows; the truth set is the
+    one quadratic piece and exists only because the study needs ground
+    truth — a production sweep would sample docs instead.  The three
+    metric rows assemble lazily in one union plan (no driver loop
+    actions)."""
+    sigs = _minhash_sigs(spark, sf_dir)
+    truth = (
+        q_jaccard_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b", F.lit(1).alias("is_true"))
+        .cache()
+    )
+    metrics = []
+    for bands, rows in BAND_CONFIGS:
+        banded = (
+            sigs.select("doc_id", F.explode(_band_array(bands, rows)).alias("b"))
+            .select("doc_id", "b.band", "b.band_sig")
+        )
+        a, b = banded.alias("a"), banded.alias("b")
+        cand = (
+            a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_sig") == F.col("b.band_sig"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+            .withColumn("is_cand", F.lit(1))
+        )
+        m = (
+            cand.join(truth, ["doc_a", "doc_b"], "full")
+            .agg(
+                F.sum(F.coalesce(F.col("is_cand"), F.lit(0)))
+                .cast("bigint").alias("n_candidates"),
+                F.sum(
+                    F.coalesce(F.col("is_cand"), F.lit(0))
+                    * F.coalesce(F.col("is_true"), F.lit(0))
+                ).cast("bigint").alias("n_hits"),
+                F.sum(
+                    F.when(F.col("is_cand").isNull(), 1).otherwise(0)
+                ).cast("bigint").alias("n_misses"),
+            )
+            .select(
+                F.lit(bands).cast("bigint").alias("bands"),
+                F.lit(rows).cast("bigint").alias("rows_per_band"),
+                "n_candidates", "n_hits", "n_misses",
+            )
+        )
+        metrics.append(m)
+    out = metrics[0]
+    for m in metrics[1:]:
+        out = out.unionAll(m)
+    return out
+
+
+def _band_tuning_oracle() -> str:
+    parts = [f"""{_DUCK_SHINGLE_CTE},
+hashed AS (
+  SELECT doc_id, md5('a:' || shingle) AS h0, md5('b:' || shingle) AS h1
+  FROM shingles
+),
+sigs AS MATERIALIZED (
+  SELECT doc_id,
+  {_DUCK_SIG_AGGS}
+  FROM hashed GROUP BY doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id),
+truth AS MATERIALIZED (
+  SELECT doc_a, doc_b, 1 AS is_true FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+    FROM shingles a JOIN shingles b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+  ) i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter)
+        >= {JACCARD_THRESHOLD}
+)"""]
+    selects = []
+    for bands, rows in BAND_CONFIGS:
+        band_union = "\n  UNION ALL\n  ".join(
+            "SELECT doc_id, {band} AS band, {concat} AS band_sig FROM sigs".format(
+                band=band,
+                concat=" || '|' || ".join(
+                    f"sig{band * rows + r}" for r in range(rows)
+                ),
+            )
+            for band in range(bands)
+        )
+        parts.append(f"""banded_{bands}_{rows} AS (
+  {band_union}
+),
+cand_{bands}_{rows} AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, 1 AS is_cand
+  FROM banded_{bands}_{rows} a JOIN banded_{bands}_{rows} b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+)""")
+        selects.append(f"""SELECT CAST({bands} AS BIGINT) AS bands,
+       CAST({rows} AS BIGINT) AS rows_per_band,
+       CAST(SUM(COALESCE(is_cand, 0)) AS BIGINT) AS n_candidates,
+       CAST(SUM(COALESCE(is_cand, 0) * COALESCE(is_true, 0)) AS BIGINT)
+         AS n_hits,
+       CAST(SUM(CASE WHEN is_cand IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_misses
+FROM cand_{bands}_{rows} FULL JOIN truth USING (doc_a, doc_b)""")
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+ORACLES["minhash_band_tuning"] = _band_tuning_oracle()
+
+
+def _materialize_ctes(sql: str, names: list[str]) -> str:
+    """Insert DuckDB MATERIALIZED hints on the named CTEs of an oracle.
+
+    DuckDB inlines CTEs by default, so a chain whose members are
+    referenced more than once (the LSH pipeline under the RECURSIVE
+    connected-components walk re-reads ``edges`` at every iteration)
+    re-evaluates its whole prefix per reference — duplicate_clusters and
+    leakage_safe_split ran >20 s at sf0.1 against ~3 s materialized.
+    Applied per-oracle (never to the shared CTE strings) so only the
+    queries that need the hint see their contract fingerprint change."""
+    import re as _re
+
+    for n in names:
+        sql = _re.sub(
+            rf"(?<![A-Za-z0-9_]){n} AS \(",
+            f"{n} AS MATERIALIZED (",
+            sql,
+            count=1,
+        )
+    return sql
+
+
+_LSH_HEAVY_CTES = [
+    "shingles", "hashed", "sigs", "banded", "candidates", "sizes",
+    "inter", "pairs", "edges",
+]
+for _n in ("duplicate_clusters", "leakage_safe_split"):
+    ORACLES[_n] = _materialize_ctes(ORACLES[_n], _LSH_HEAVY_CTES)

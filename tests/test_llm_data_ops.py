@@ -1110,3 +1110,29 @@ def test_ccnet_buckets_balanced_and_ordered(spark, sf_dir):
         for b in range(1, CCNET_NTILES):
             assert tiers[b]["max_q"] <= tiers[b + 1]["min_q"], lang
             assert tiers[b]["min_q"] <= tiers[b]["max_q"], lang
+
+
+def test_band_tuning_s_curve_monotone(spark, sf_dir):
+    """The banding S-curve must behave: with rows-per-band increasing
+    (bands decreasing), the candidate set can only SHRINK (an AND of
+    more signatures) and the missed-truth count can only GROW; hits
+    never exceed candidates or the truth size; and the production
+    (4, 4) carving must catch every truth pair at sf<=0.01 (pinned by
+    minhash_lsh_pairs' green history)."""
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        q_minhash_band_tuning,
+    )
+
+    rows = {
+        (r["bands"], r["rows_per_band"]): r
+        for r in q_minhash_band_tuning(spark, sf_dir).collect()
+    }
+    assert set(rows) == {(8, 2), (4, 4), (2, 8)}
+    truth_n = {r["n_hits"] + r["n_misses"] for r in rows.values()}
+    assert len(truth_n) == 1  # same truth set for every carving
+    ordered = [rows[(8, 2)], rows[(4, 4)], rows[(2, 8)]]
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["n_candidates"] >= b["n_candidates"]
+        assert a["n_misses"] <= b["n_misses"]
+    for r in rows.values():
+        assert 0 <= r["n_hits"] <= r["n_candidates"]
