@@ -181,8 +181,11 @@ HEADLINE = [
     "perceptron_lang_clf",
     "ccnet_ppl_buckets",
     # r11: the LSH banding study (one cached signature build feeding
-    # three carvings' candidate joins + the exact truth-set join).
+    # three carvings' candidate joins + the exact truth-set join), and
+    # the PQ-ADC ring (4 per-block Lloyd trainings + the map-only
+    # LUT-sum candidate scan + broadcast rerank).
     "minhash_band_tuning",
+    "ann_pq_adc_topk",
 ]
 
 

@@ -59,6 +59,13 @@ EXPECTED = {
     "bloom_decontaminate": "shuffles: cached shingle set feeds bitset build + probe verdict + exact verify; the candidate TEST itself is the broadcast bloom join (map-only)",
     "mixture_epochs": "BNLJ = two 1-row broadcasts (budget, leftover pool); shuffles: per-lang token agg + the k-row waterfill window stages over |languages| rows",
     "leakage_safe_split": "BNLJ = 1-row crossing-count broadcast; shuffles: the LSH pair pipeline + iterative CC rounds (cached pairs feed clustering AND the crossing count) + two doc_id-keyed assignment joins",
+    # r10/r11 operators
+    "bloom_sized_decontaminate": "shuffles: bloom_decontaminate's shape (cached shingle set feeds bitset build + probe verdict + exact verify) with the footer-probe sizing adding no data pass",
+    "graph_pagerank_by_region": "shuffles: graph_pagerank's iterative fixpoint (2/round over the cached edge frame, lineage re-inlined per round in the rendered count) + the region-labeled degree build + the PARTITIONED per-region top-k window",
+    "dsir_weights": "BNLJ = 1-row feature-totals broadcast crossJoin; shuffles: (doc_id,b) tf agg + bucket-bounded model aggs + per-doc score agg — the rendered count re-inlines the cached tf frame per consumer",
+    "dsir_select": "BNLJ = two 1-row broadcasts (feature totals, scored-doc count); shuffles: dsir_weights' pipeline + the global top-N rank + the 5-row mixture agg, with the cached tf lineage re-inlined per consumer in the rendered count",
+    "ccnet_ppl_buckets": "shuffles: the char-LM two-shuffle scoring + the doc_id lang join + ONE per-lang NTILE window + the 15-row tier agg",
+    "minhash_band_tuning": "shuffles: three band-carving candidate joins + the exact-Jaccard truth pipeline + three FULL-JOIN metric aggs composed in ONE union plan; cached sigs/truth frames re-inline per rendering — runtime stages dedupe via the caches, and every join key is (band_sig) or (doc_a, doc_b), never all-pairs",
 }
 
 STREAMING = {"streaming_hourly_counts", "streaming_dq_profile", "stateful_sessions"}

@@ -1115,9 +1115,11 @@ def _km_units() -> F.Column:
     )
 
 
-def _km_dist_structs(cents: list[tuple[int, list[int]]]) -> F.Column:
+def _km_dist_structs(
+    cents: list[tuple[int, list[int]]], col: str = "u"
+) -> F.Column:
     """array<struct(dist, cid)> of exact integer squared distances from
-    the row's ``u`` to every literal centroid — the per-row distance
+    the row's ``col`` array to every literal centroid — the per-row distance
     table both assignment (argmin) and probing (sort + slice) fold over,
     entirely JVM-side.
 
@@ -1143,7 +1145,7 @@ def _km_dist_structs(cents: list[tuple[int, list[int]]]) -> F.Column:
     )
     return F.expr(
         f"transform({lit2d}, (c, i) -> named_struct("
-        "'dist', aggregate(zip_with(u, c, (a, b) -> (a - b) * (a - b)),"
+        f"'dist', aggregate(zip_with({col}, c, (a, b) -> (a - b) * (a - b)),"
         " 0L, (acc, x) -> acc + x), "
         "'cid', cast(i AS bigint)))"
     )
@@ -1164,10 +1166,15 @@ def _km_tdiv(a: int, b: int) -> int:
     return q if a >= 0 else -q
 
 
-def _km_learn(q: DataFrame) -> list[tuple[int, list[int]]]:
-    """Run KM_ITERS Lloyd rounds over ``q`` (vec_id, u:array<bigint>);
-    returns the final centroid list [(cid, units)], seeded from
-    vec_id 0..KM_K-1.  Per round: one map-only assignment fold against
+def _km_learn(
+    q: DataFrame,
+    k: int = KM_K,
+    iters: int = KM_ITERS,
+    dim: int = KM_DIM,
+) -> list[tuple[int, list[int]]]:
+    """Run ``iters`` Lloyd rounds over ``q`` (vec_id, u:array<bigint>
+    of length ``dim``); returns the final centroid list [(cid, units)],
+    seeded from vec_id 0..k-1.  Per round: one map-only assignment fold against
     the literal codebook and one K-row aggregate of D per-dimension sum
     columns + a count (map-side combined) — the K*D-int model lives on
     the driver between rounds, MLlib's Lloyd shape.  Clusters that lose
@@ -1179,14 +1186,14 @@ def _km_learn(q: DataFrame) -> list[tuple[int, list[int]]]:
     amplification of the most expensive expression in the plan, worth
     ~7 s/round at sf0.1 (the r11 bench regression) — and the explode
     also multiplies the shuffled row count by D for no reason."""
-    init = q.filter(F.col("vec_id") < KM_K).collect()
+    init = q.filter(F.col("vec_id") < k).collect()
     cents: list[tuple[int, list[int]]] = sorted(
         (int(r["vec_id"]), [int(v) for v in r["u"]]) for r in init
     )
     dim_sums = [
-        F.sum(F.element_at("u", i + 1)).alias(f"s{i}") for i in range(KM_DIM)
+        F.sum(F.element_at("u", i + 1)).alias(f"s{i}") for i in range(dim)
     ]
-    for _ in range(KM_ITERS):
+    for _ in range(iters):
         best = _km_best(cents)
         rows = (
             q.select(best.getField("cid").alias("cid"), "u")
@@ -1196,7 +1203,7 @@ def _km_learn(q: DataFrame) -> list[tuple[int, list[int]]]:
         )
         upd = {
             int(r["cid"]): [
-                _km_tdiv(int(r[f"s{i}"]), int(r["n"])) for i in range(KM_DIM)
+                _km_tdiv(int(r[f"s{i}"]), int(r["n"])) for i in range(dim)
             ]
             for r in rows
         }
@@ -1582,3 +1589,330 @@ SELECT query_id, rn, neighbor_id, cosine FROM scored WHERE rn <= {TOP_K}
 
 
 ORACLES["ann_ivf_kmeans_topk"] = _kmivf_oracle()
+
+
+# --- X31: Product Quantization + ADC top-k ------------------------------------
+#
+# The third FAISS index family (after IVF and the flat scan): split the
+# 64-dim vectors into PQ_M sub-blocks, Lloyd-learn a tiny codebook PER
+# BLOCK (X25's integer loop at dim=16), code every vector as its M
+# nearest-centroid ids, and answer queries by Asymmetric Distance
+# Computation — per query, a 16-entry integer lookup table per block,
+# candidate distance = sum of M table lookups.  Because the codebooks,
+# the codes, AND the ADC distances are all exact BIGINTs, the entire
+# index — training, encoding, scan — is value-hash-checkable; floats
+# appear only in the final exact rerank (fold order already pinned).
+
+PQ_M = 4        # sub-vector blocks
+PQ_SUBDIM = KM_DIM // PQ_M
+PQ_K = 8        # centroids per block codebook (PQ_K^PQ_M = 4096 codes)
+PQ_ITERS = 2
+PQ_CAND = 100   # ADC candidates per query before the exact rerank
+
+
+def _pq_models(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[list[tuple[int, list[int]]]]]:
+    """(spread embeddings frame, per-block Lloyd codebooks).  Training
+    cost: PQ_M independent Lloyd runs at dim=PQ_SUBDIM — each round one
+    map-only assignment fold + a PQ_K-row aggregate, the X25 shape."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    models = []
+    for m in range(PQ_M):
+        qm = emb.select(
+            "vec_id",
+            F.slice(_km_units(), m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("u"),
+        ).cache()
+        models.append(_km_learn(qm, k=PQ_K, iters=PQ_ITERS, dim=PQ_SUBDIM))
+    return emb, models
+
+
+def _pq_codes(emb: DataFrame, models) -> DataFrame:
+    """(neighbor_id, c_emb, c_norm, c0..c{M-1}): the PQ code table —
+    encoding is M map-only argmin folds against the literal codebooks.
+    CACHED: this is the index artifact a deployment persists (2 bits x 4
+    blocks = 1 byte per vector here; 8-64 bytes in production), and the
+    ADC generator above it must read plain columns, not re-fold."""
+    blocks = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        l2_norm(F.col("embedding")).alias("c_norm"),
+        *[
+            F.slice(_km_units(), m * PQ_SUBDIM + 1, PQ_SUBDIM).alias(f"u{m}")
+            for m in range(PQ_M)
+        ],
+    )
+    return blocks.select(
+        "neighbor_id", "c_emb", "c_norm",
+        *[
+            F.array_min(_km_dist_structs(models[m], col=f"u{m}"))
+            .getField("cid").alias(f"c{m}")
+            for m in range(PQ_M)
+        ],
+    ).cache()
+
+
+def q_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ index report: (block, cid, n_vecs, centroid_l1) — how the
+    corpus distributes over each block's learned codebook, all exact
+    BIGINTs.  The encode pass is M map-only folds into one 16-group
+    aggregate; centroid L1 norms attach as a literal 2-D array lookup
+    (model constants, never joined)."""
+    emb, models = _pq_models(spark, sf_dir)
+    codes = _pq_codes(emb, models)
+    assigns = F.array(*[
+        F.named_struct(
+            F.lit("block"), F.lit(m).cast("bigint"),
+            F.lit("cid"), F.col(f"c{m}"),
+        )
+        for m in range(PQ_M)
+    ])
+    l1_2d = F.expr(
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(
+                str(sum(abs(v) for v in c)) + "L" for _cid, c in models[m]
+            ) + ")"
+            for m in range(PQ_M)
+        )
+        + ")"
+    )
+    return (
+        codes.select(F.explode(assigns).alias("a"))
+        .select(F.col("a.block").alias("block"), F.col("a.cid").alias("cid"))
+        .groupBy("block", "cid")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .withColumn(
+            "centroid_l1",
+            F.element_at(
+                F.element_at(l1_2d, (F.col("block") + 1).cast("int")),
+                (F.col("cid") + 1).cast("int"),
+            ),
+        )
+    )
+
+
+def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC top-k: code the corpus once, then per query scan CODES
+    ONLY — a 4-lookup integer sum against that query's distance table —
+    keep the PQ_CAND best, exact-rerank by cosine.  Output (query_id,
+    rn, neighbor_id, cosine), the shared ANN contract.
+
+    Scale shape: this is FAISS's ADC scan as a dataflow — the candidate
+    pass touches 1 byte/vector of code plus a 64-entry LUT that lives in
+    the instruction stream (the N_QUERY_VECS LUTs are driver-computed
+    exact ints and inlined as literal arrays; a large query batch would
+    broadcast a LUT table and join on code instead).  No join anywhere
+    before the rerank: codes explode against the per-query adist structs
+    map-only, then one per-query WindowGroupLimit; the rerank joins
+    broadcast-tiny sides only."""
+    emb, models = _pq_models(spark, sf_dir)
+    codes = _pq_codes(emb, models)
+    qrows = (
+        emb.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select("vec_id", _km_units().alias("u"))
+        .collect()
+    )
+    # per-query exact integer LUTs: lut[m][k] = ||q_block_m - cent_mk||^2
+    structs = []
+    for r in sorted(qrows, key=lambda r: int(r["vec_id"])):
+        qid, uq = int(r["vec_id"]), [int(v) for v in r["u"]]
+        ad = None
+        for m in range(PQ_M):
+            lut = [
+                sum(
+                    (uq[m * PQ_SUBDIM + i] - c[i]) ** 2
+                    for i in range(PQ_SUBDIM)
+                )
+                for _cid, c in models[m]
+            ]
+            arr = "array(" + ", ".join(f"{v}L" for v in lut) + ")"
+            term = F.expr(f"element_at({arr}, cast(c{m} AS int) + 1)")
+            ad = term if ad is None else ad + term
+        structs.append(
+            F.named_struct(
+                F.lit("query_id"), F.lit(qid).cast("bigint"),
+                F.lit("adist"), ad,
+            )
+        )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("neighbor_id")
+    )
+    cand = (
+        codes.select(
+            "neighbor_id", "c_emb", "c_norm",
+            F.explode(F.array(*structs)).alias("qa"),
+        )
+        .select(
+            "neighbor_id", "c_emb", "c_norm",
+            F.col("qa.query_id").alias("query_id"),
+            F.col("qa.adist").alias("adist"),
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("arn", F.row_number().over(w_adc))
+        .filter(F.col("arn") <= PQ_CAND)
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_norm"),
+    )
+    sim = dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.col("q_norm") * F.col("c_norm")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        cand.join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id", F.col("rn").cast("bigint").alias("rn"),
+            "neighbor_id", "cosine",
+        )
+    )
+
+
+def _pq_lloyd_parts() -> list[str]:
+    """Per-block Lloyd CTE chains (MATERIALIZED: each chain member is
+    referenced by both the next assignment and the next update — the
+    inlined-CTE doubling this file's other iterative oracles hit)."""
+    pos = f"(SELECT unnest(generate_series(1, {PQ_SUBDIM})) AS i) s"
+    parts = [
+        f"""qall AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {KM_SCALE} + 0.5) AS BIGINT))
+           AS u
+  FROM embeddings
+)"""
+    ]
+    for m in range(PQ_M):
+        lo, hi = m * PQ_SUBDIM + 1, (m + 1) * PQ_SUBDIM
+        parts.append(
+            f"q{m} AS MATERIALIZED ("
+            f"SELECT vec_id, u[{lo}:{hi}] AS u FROM qall)"
+        )
+        parts.append(
+            f"b{m}c0 AS (SELECT vec_id AS cid, u AS c FROM q{m}"
+            f" WHERE vec_id < {PQ_K})"
+        )
+        for t in range(1, PQ_ITERS + 1):
+            parts.append(f"""b{m}a{t} AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT d.vec_id, d.cid,
+           ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                              ORDER BY d.dist, d.cid) AS rn
+    FROM (
+      SELECT q.vec_id, c.cid,
+             CAST(SUM((q.u[s.i] - c.c[s.i]) * (q.u[s.i] - c.c[s.i]))
+                  AS BIGINT) AS dist
+      FROM q{m} q, b{m}c{t - 1} c, {pos}
+      GROUP BY q.vec_id, c.cid
+    ) d
+  ) WHERE rn = 1
+)""")
+            parts.append(f"""b{m}c{t}_new AS (
+  SELECT cid, list(val ORDER BY pos) AS c FROM (
+    SELECT a.cid, s.i AS pos,
+           CAST(CAST(SUM(q.u[s.i]) AS BIGINT) // COUNT(*) AS BIGINT) AS val
+    FROM b{m}a{t} a JOIN q{m} q USING (vec_id), {pos}
+    GROUP BY a.cid, s.i
+  ) GROUP BY cid
+),
+b{m}c{t} AS MATERIALIZED (
+  SELECT cid, c FROM b{m}c{t}_new
+  UNION ALL
+  SELECT cid, c FROM b{m}c{t - 1}
+  WHERE cid NOT IN (SELECT cid FROM b{m}c{t}_new)
+)""")
+        parts.append(f"""b{m}af AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT d.vec_id, d.cid,
+           ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                              ORDER BY d.dist, d.cid) AS rn
+    FROM (
+      SELECT q.vec_id, c.cid,
+             CAST(SUM((q.u[s.i] - c.c[s.i]) * (q.u[s.i] - c.c[s.i]))
+                  AS BIGINT) AS dist
+      FROM q{m} q, b{m}c{PQ_ITERS} c, {pos}
+      GROUP BY q.vec_id, c.cid
+    ) d
+  ) WHERE rn = 1
+)""")
+    return parts
+
+
+ORACLES["pq_codebook"] = (
+    "WITH " + ",\n".join(_pq_lloyd_parts()) + "\n"
+    + "\nUNION ALL\n".join(
+        f"""SELECT CAST({m} AS BIGINT) AS block, a.cid,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs, l.centroid_l1
+FROM b{m}af a
+JOIN (SELECT cid,
+             CAST(list_sum(list_transform(c, x -> abs(x))) AS BIGINT)
+               AS centroid_l1
+      FROM b{m}c{PQ_ITERS}) l USING (cid)
+GROUP BY a.cid, l.centroid_l1"""
+        for m in range(PQ_M)
+    )
+)
+
+
+def _pq_adc_oracle() -> str:
+    pos = f"(SELECT unnest(generate_series(1, {PQ_SUBDIM})) AS i) s"
+    parts = _pq_lloyd_parts()
+    code_joins = " ".join(
+        f"JOIN b{m}af a{m} USING (vec_id)" for m in range(1, PQ_M)
+    )
+    parts.append(
+        "codes AS MATERIALIZED (SELECT vec_id, "
+        + ", ".join(f"a{m}.cid AS c{m}" for m in range(PQ_M))
+        + " FROM b0af a0 " + code_joins + ")"
+    )
+    for m in range(PQ_M):
+        parts.append(f"""lut{m} AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.cid,
+         CAST(SUM((q.u[s.i] - c.c[s.i]) * (q.u[s.i] - c.c[s.i]))
+              AS BIGINT) AS d
+  FROM q{m} q, b{m}c{PQ_ITERS} c, {pos}
+  WHERE q.vec_id < {N_QUERY_VECS}
+  GROUP BY 1, 2
+)""")
+    lut_joins = " ".join(
+        f"JOIN lut{m} l{m} ON l{m}.cid = v.c{m}"
+        + (f" AND l{m}.query_id = l0.query_id" if m else "")
+        for m in range(PQ_M)
+    )
+    adist = " + ".join(f"l{m}.d" for m in range(PQ_M))
+    parts.append(f"""adc AS (
+  SELECT l0.query_id, v.vec_id AS neighbor_id, {adist} AS adist
+  FROM codes v {lut_joins}
+  WHERE v.vec_id <> l0.query_id
+),
+cand AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adist, neighbor_id) AS arn
+    FROM adc
+  ) WHERE arn <= {PQ_CAND}
+)""")
+    return (
+        "WITH " + ",\n".join(parts) + f""",
+scored AS (
+  SELECT cd.query_id, cd.neighbor_id, {_DUCK_COS} AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY cd.query_id
+                            ORDER BY {_DUCK_COS} DESC, cd.neighbor_id ASC) AS rn
+  FROM cand cd
+  JOIN embeddings a ON a.vec_id = cd.query_id
+  JOIN embeddings b ON b.vec_id = cd.neighbor_id
+)
+SELECT query_id, rn, neighbor_id, cosine FROM scored WHERE rn <= {TOP_K}
+"""
+    )
+
+
+ORACLES["ann_pq_adc_topk"] = _pq_adc_oracle()

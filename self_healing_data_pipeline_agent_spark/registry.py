@@ -91,6 +91,12 @@ QUERY_ORDER = [
     #    language, ranked on the exact integer milli-units-per-bigram
     #    key so tier assignment is deterministic cross-engine --
     "ccnet_ppl_buckets",
+    # -- the PQ ring (never-green): per-block integer Lloyd codebooks
+    #    (X25 at dim=16), 12-bit PQ codes, and the FAISS ADC scan — a
+    #    map-only integer LUT-sum candidate pass + exact rerank; the
+    #    whole index (training, encoding, scan) value-hash-checkable --
+    "pq_codebook",
+    "ann_pq_adc_topk",
     # -- the LSH banding study (never-green): zorder_pruning's measured
     #    posture applied to the MinHash index — candidates/hits/misses
     #    per (bands, rows) carving vs the exact-Jaccard truth set, the
@@ -131,17 +137,17 @@ QUERY_ORDER = [
     "top_supplier_revenue",
     "top_terms",
     "tpch_q1",
-    # -- 16 of the 46 r7-aged records, oldest-cohort-first (within the
+    # -- 13 of the 46 r7-aged records, oldest-cohort-first (within the
     #    cohort: alphabetical — all carry the same r7 date, so the order
-    #    inside the cohort is arbitrary and auditable).  The 29 spilled
-    #    (doc_fingerprints, drift_compare, error_context_join,
-    #    frequent_items_sketch,
+    #    inside the cohort is arbitrary and auditable).  The 33 spilled
+    #    (dedup_keep_best, disjunctive_revenue, doc_fingerprints,
+    #    drift_compare, error_context_join, frequent_items_sketch,
     #    grouped_drift_profile, incremental_dedup, key_skew_profile,
     #    mad_outlier_profile, multimodal_features,
     #    multimodal_frame_sample, multimodal_resize, normalize_text,
-    #    profit_by_nation_year, psi_drift .. tpch_q7 — 30 in all) are
-    #    r12 MUST-window; all are local-parity green today.  New
-    #    operators added later this round displace from the TAIL. --
+    #    profit_by_nation_year, psi_drift .. tpch_q7) are r12
+    #    MUST-window; all are local-parity green today.  New operators
+    #    added later this round displace from the TAIL. --
     "activity_streaks",
     "ann_int8_rerank",
     "anomaly_zscore",
@@ -155,8 +161,6 @@ QUERY_ORDER = [
     "customer_order_distribution",
     "decontaminate_docs",
     "dedup_first_lineitem",
-    "dedup_keep_best",
-    "disjunctive_revenue",
     "duplicate_clusters",
     # Below the 50-entry window: everything else carries an r8 or r9
     # official green against current testdata and unchanged code.
