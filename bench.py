@@ -186,6 +186,14 @@ HEADLINE = [
     # LUT-sum candidate scan + broadcast rerank).
     "minhash_band_tuning",
     "ann_pq_adc_topk",
+    # r12: the index SERVING twins — first run builds and persists the
+    # artifact (sources/index_store), later runs serve from the stored
+    # table, so best-of-N reports the steady-state serving cost the
+    # build-inline rows above cannot show (they re-train per run).
+    "ann_lsh_serve",
+    "ann_jl_serve",
+    "ann_ivf_kmeans_serve",
+    "ann_pq_serve",
 ]
 
 
@@ -201,11 +209,15 @@ MAX_RUNS = 4
 DUCK_QUERY_TIMEOUT_S = 120  # watchdog cap per oracle execution
 
 # Per-query entries kept in the archived JSON line (the most expensive
-# ones); the rest fold into oq_n/oq_sum.  Sized so the worst-case line
-# (every value at the 999.99 clamp, longest names winning ties) stays
-# well under the driver's 2000-char tail with headroom for name growth —
-# pinned by tests/test_tooling.py.
-TOP_K = 45
+# ones); the rest fold into oq_n/oq_sum.  Since r12 the SAME top names
+# also carry their DuckDB oracle time (``duck_queries``) so a future
+# per-query regression is adjudicable from the archived artifact alone
+# (the r09->r11 noise adjudication needed BENCH.md regenerated on a
+# quiet host because the archive had only Spark numbers).  Two maps at
+# K entries each, worst-case 999.99-clamped values and the longest
+# names, must stay well under the driver's 2000-char tail — pinned by
+# tests/test_tooling.py.
+TOP_K = 22
 
 
 def _time_spark(queries, name, spark, sf_dir) -> float:
@@ -255,13 +267,35 @@ def _bench_duckdb(names: list[str], sf_dir: str) -> dict[str, float]:
         try:
             best = float("inf")
             runs = []
+            spurious = 0
             while len(runs) < MAX_RUNS:
                 t0 = time.perf_counter()
-                watchdog = threading.Timer(DUCK_QUERY_TIMEOUT_S, con.interrupt)
+                # Watchdog race guard (r11 ADVICE): if the timer fires just
+                # as fetchall() completes, cancel() cannot undo the already-
+                # fired con.interrupt(), which then aborts the NEXT query on
+                # this connection.  Two-layer defense: the callback checks a
+                # completion Event before interrupting (closes all but a
+                # microsecond window), and an InterruptException landing FAR
+                # from this run's own timeout is treated as that stale
+                # interrupt and retried, not reported as an oracle failure.
+                done = threading.Event()
+                watchdog = threading.Timer(
+                    DUCK_QUERY_TIMEOUT_S,
+                    lambda d=done: None if d.is_set() else con.interrupt(),
+                )
                 watchdog.start()
                 try:
                     con.sql(sql).fetchall()
+                except duckdb.InterruptException:
+                    if (
+                        time.perf_counter() - t0 < DUCK_QUERY_TIMEOUT_S - 1
+                        and spurious < 2
+                    ):
+                        spurious += 1
+                        continue
+                    raise
                 finally:
+                    done.set()
                     watchdog.cancel()
                 runs.append(time.perf_counter() - t0)
                 best = min(runs)
@@ -349,13 +383,15 @@ def main() -> None:
             errors=errors,
             duck_total=duck_total,
             ratio=round(spark_common / duck_total, 3) if duck_total else None,
+            duck_timings=duck_timings,
         )
     )
     spark.stop()
 
 
 def _result_line(
-    *, total, sf, timings, noisy, errors, duck_total, ratio
+    *, total, sf, timings, noisy, errors, duck_total, ratio,
+    duck_timings=None,
 ) -> str:
     """One-line JSON result sized to survive the driver's 2000-char TAIL
     keep whole: the Spark per-query dict is the FINAL key (r4 lost it to
@@ -395,6 +431,7 @@ def _result_line(
     top = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP_K]
     top_names = {n for n, _ in top}
     rest = [v for n, v in timings.items() if n not in top_names]
+    duck_timings = duck_timings or {}
     return json.dumps(
         {
             "metric": "headline_queries_total_wall",
@@ -408,6 +445,14 @@ def _result_line(
             "spark_vs_duckdb_ratio": ratio,
             "oq_n": len(rest),
             "oq_sum": round(sum(rest), 2),
+            # oracle times for the SAME top names (adjudication column:
+            # a per-query Spark regression with a flat duck twin is a
+            # plan problem; both moving together is host noise)
+            "duck_queries": {
+                n: round(min(duck_timings[n], 999.99), 2)
+                for n, _ in top
+                if n in duck_timings
+            },
             # centisecond resolution: an order of magnitude below host
             # jitter; with the 999.99 clamp this pins each entry's width
             "queries": {n: round(min(v, 999.99), 2) for n, v in top},

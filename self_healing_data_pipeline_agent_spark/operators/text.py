@@ -3569,9 +3569,15 @@ def _bpe_oracle() -> str:
             f"  GROUP BY 1 ORDER BY cnt DESC, pair ASC LIMIT 1\n"
             f")"
         )
+        # COALESCE to '': if the corpus yields fewer than BPE_MERGE_ROUNDS
+        # merges, m{k} is EMPTY and the scalar subquery is NULL — REPLACE
+        # with a NULL needle would NULL the whole chain, while REPLACE with
+        # '' is identity (verified), mirroring the Spark side's early break
+        # out of _bpe_learn.  Unreachable on the test corpora; latent
+        # parity trap otherwise (r11 ADVICE).
         parts.append(
             f"c{k} AS MATERIALIZED (SELECT"
-            f" REPLACE(t, (SELECT pair FROM m{k}), chr({k})) AS t "
+            f" REPLACE(t, COALESCE((SELECT pair FROM m{k}), ''), chr({k})) AS t "
             f"FROM c{k - 1})"
         )
     for k in range(1, BPE_MERGE_ROUNDS + 1):
@@ -3641,9 +3647,12 @@ def _bpe_encode_oracle() -> str:
             f"  GROUP BY 1 ORDER BY cnt DESC, pair ASC LIMIT 1\n"
             f")"
         )
+        # COALESCE-to-'' for the fewer-merges-than-rounds edge, as in
+        # _bpe_oracle (REPLACE with '' is identity; NULL would poison the
+        # chain while Spark's _bpe_learn just breaks early).
         parts.append(
             f"c{k} AS MATERIALIZED (SELECT lang, orig_len,"
-            f" REPLACE(t, (SELECT pair FROM m{k}), chr({k})) AS t"
+            f" REPLACE(t, COALESCE((SELECT pair FROM m{k}), ''), chr({k})) AS t"
             f" FROM c{k - 1})"
         )
     return (

@@ -25,22 +25,31 @@ def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
 
 def count_exchanges(df: DataFrame) -> int:
     """Number of SEMANTIC shuffle exchanges in the physical plan.
-    Excluded as the cheap/deliberate kind: broadcasts, and explicit
-    round-robin rebalances (``spread()``'s REPARTITION_BY_NUM — a
-    data-independent fan-out that exists only because the one-file
-    test parquet starts every scan at 1 partition; it also renders
-    multiple times once a cached relation embeds it, so counting it
-    would measure plan printing, not data movement).  Counted in simple
-    mode where each semantic node renders exactly once."""
+    Excluded as the cheap/deliberate kind: broadcasts, and ``spread()``'s
+    round-robin rebalance — a data-independent fan-out that exists only
+    because the one-file test parquet starts every scan at 1 partition;
+    it also renders multiple times once a cached relation embeds it, so
+    counting it would measure plan printing, not data movement.
+
+    The exclusion is SCOPED to spread()'s signature (r11 ADVICE): a
+    round-robin exchange is skipped only when its partition count equals
+    ``defaultParallelism`` — the count spread() always asks for — so a
+    stray ``repartition(200)`` / ``repartition()`` (shuffle.partitions)
+    regression still counts.  Residual blind spot: an unintended
+    repartition that happens to pick exactly defaultParallelism.
+    Counted in simple mode where each semantic node renders exactly
+    once."""
     simple = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
         df._jdf.queryExecution(), "simple"
     )
+    _dp = df.sparkSession.sparkContext.defaultParallelism
+    spread_sig = f"roundrobinpartitioning({_dp}),"
     return sum(
         1
         for line in simple.splitlines()
         if "Exchange" in line
         and "BroadcastExchange" not in line
-        and "RoundRobinPartitioning" not in line
+        and spread_sig not in line.lower()
     )
 
 

@@ -145,6 +145,48 @@ def test_oracle_nonempty_at_driver_sf(vacuity_duck, name):
     )
 
 
+def test_dominant_part_suppliers_share_test_is_selective(vacuity_duck):
+    """Non-degeneracy for the Q20 adaptation (r11 ADVICE): at sf0.001 the
+    query returns 0 rows, so the smallest-SF parity green is trivial.  At
+    the driver's sf0.01 the result must be non-empty (vacuity test above)
+    AND the dominance share test must actually EXCLUDE suppliers — i.e.
+    dominating suppliers are a proper subset of all suppliers that shipped
+    a 'small %' part in 1997.  DuckDB-only; built on the oracle SQL so a
+    constant change re-guards automatically."""
+    from self_healing_data_pipeline_agent_spark.operators.relational import (
+        DOMINANT_SHARE_PCT,
+    )
+
+    base = """
+    SELECT l_partkey, l_suppkey,
+           SUM(CAST(FLOOR(l_quantity * 10000.0 + 0.5) AS BIGINT)) AS q_units
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'small %'
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2
+    """
+    n_all, n_dom = vacuity_duck.sql(
+        f"""
+        WITH ps AS ({base}),
+        shared AS (
+          SELECT *, SUM(q_units) OVER (PARTITION BY l_partkey) AS total_units
+          FROM ps
+        )
+        SELECT COUNT(DISTINCT l_suppkey),
+               COUNT(DISTINCT CASE WHEN q_units * 100
+                                        > total_units * {DOMINANT_SHARE_PCT}
+                                   THEN l_suppkey END)
+        FROM shared
+        """
+    ).fetchone()
+    assert n_dom >= 1, "share test matched no supplier at sf0.01"
+    assert n_dom < n_all, (
+        f"share test excluded nobody ({n_dom}/{n_all}) — the dominance "
+        "predicate is degenerate at sf0.01; lower DOMINANT_SHARE_PCT"
+    )
+
+
 def test_every_query_has_coverage():
     """Every declared query must run; oracle-less entries get a smoke run."""
     queries = entry_mod.queries()

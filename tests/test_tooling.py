@@ -115,6 +115,7 @@ def test_bench_result_line_queries_survive_tail_truncation():
         total=99999.999, sf=0.1, timings=timings,
         noisy=list(bench.HEADLINE), errors=list(bench.HEADLINE),
         duck_total=99999.999, ratio=999.999,
+        duck_timings={n: 87654.321 for n in bench.HEADLINE},
     )
     # the ENTIRE line fits in the 2000-char tail: queries (last key) and
     # value (first) both survive.  All values tie here, so the TOP_K
@@ -127,6 +128,9 @@ def test_bench_result_line_queries_survive_tail_truncation():
     assert parsed["value"] == 99999.999
     assert len(parsed["queries"]) == min(bench.TOP_K, len(timings))
     assert all(v == 999.99 for v in parsed["queries"].values())
+    # the r12 adjudication column: same names as the Spark map, clamped
+    assert set(parsed["duck_queries"]) == set(parsed["queries"])
+    assert all(v == 999.99 for v in parsed["duck_queries"].values())
     # the fold-away remainder is fully accounted for
     assert parsed["oq_n"] == len(timings) - len(parsed["queries"])
     assert parsed["n_queries"] == len(timings)
@@ -140,6 +144,8 @@ def test_bench_result_line_queries_survive_tail_truncation():
     )
     parsed2 = json.loads(line2)
     assert parsed2["queries"]["tpch_q1"] == 1.23
+    # no duck timings -> empty map, never a crash
+    assert parsed2["duck_queries"] == {}
     assert abs(
         parsed2["oq_sum"] - 0.1 * parsed2["oq_n"]
     ) < 0.01 * parsed2["oq_n"] + 1e-6
