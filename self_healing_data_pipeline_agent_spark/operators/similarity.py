@@ -19,6 +19,7 @@ from pyspark.sql import types as T
 from ..functions.stable import davg
 from ..functions.oracle_sql import sql_davg
 from ..functions.vectors import cosine_similarity, dot, l2_norm
+from ..sources.index_store import ensure_index, ensure_model
 from ..sources.tables import load_table, parquet_row_count, spread
 
 ORACLES: dict[str, str] = {}
@@ -1916,3 +1917,292 @@ SELECT query_id, rn, neighbor_id, cosine FROM scored WHERE rn <= {TOP_K}
 
 
 ORACLES["ann_pq_adc_topk"] = _pq_adc_oracle()
+
+
+# --- X32: index SERVING — the build-once / serve-many split ------------------
+#
+# Every ANN family above re-derives its index (projections, signatures,
+# codebooks, codes, cell assignments) inside the query — correct, but the
+# benchmark then times TRAINING, which a deployment amortizes across a
+# corpus snapshot (r11 verdict #1; FAISS writes an index file once and
+# serves millions of queries from it).  These ``*_serve`` twins persist
+# the artifact via ``sources/index_store`` and answer the SAME query
+# contract from the stored table: the first call after a corpus/params
+# change builds (identical arithmetic, so results are bit-identical to
+# the build-inline variant and share its oracle); every later call is a
+# parquet scan + the per-query work — the number a serving cluster pays.
+#
+# 100 TB shape: the artifact tables are exactly what a production index
+# job writes to the warehouse (codes are ~1-12 bytes/vector, signatures
+# 12-byte rows, projections JL_DIM doubles); the serve plan reads ONLY
+# the artifact for candidate generation and touches raw vectors just for
+# the Q x CAND exact rerank.
+
+INDEX_VERSION = 1  # bump to invalidate every stored ANN artifact
+
+
+def _serve_fp(*parts: object) -> str:
+    return "|".join(str(p) for p in (INDEX_VERSION, *parts))
+
+
+def _rerank_topk(emb: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(query_id, neighbor_id) candidate pairs -> the shared ANN output
+    contract (query_id, rn, neighbor_id, cosine): exact-cosine rerank,
+    per-query top-k.  Query side broadcast; the neighbor side is left
+    unhinted so Catalyst can pick SMJ on vec_id at scale."""
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_norm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        l2_norm(F.col("embedding")).alias("c_norm"),
+    )
+    sim = dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.col("q_norm") * F.col("c_norm")
+    )
+    scored = (
+        pairs.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id", F.col("rn").cast("bigint").alias("rn"),
+            "neighbor_id", "cosine",
+        )
+    )
+
+
+def q_ann_lsh_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``q_ann_lsh_topk`` from a STORED signature table: the 12-byte
+    (vec_id, table, code) rows are the persisted index; serving is a
+    broadcast-query candidate join over the stored codes + the exact
+    rerank.  The 32 hyperplane folds run only in the build pass."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    coded = ensure_index(
+        spark, sf_dir, "lsh_codes", _serve_fp(LSH_TABLES, LSH_BITS),
+        lambda: _lsh_coded(emb, 64).select("vec_id", "table", "code"),
+    )
+    qcodes = coded.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), "table", "code"
+    )
+    candidates = (
+        F.broadcast(qcodes)
+        .join(
+            coded.select(F.col("vec_id").alias("neighbor_id"), "table", "code"),
+            ["table", "code"],
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id")
+    )
+    return _rerank_topk(emb, candidates)
+
+
+ORACLES["ann_lsh_serve"] = _lsh_oracle_sql()
+
+
+def q_ann_jl_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``q_ann_jl_rerank`` from a STORED projection table — the shape the
+    operator's own doc promises ("computes it ONCE per corpus snapshot
+    and stores it").  Serving scans JL_DIM doubles per vector for the
+    candidate pass; the 32 sign-fold projections run only at build."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = ensure_index(
+        spark, sf_dir, "jl_proj", _serve_fp(JL_DIM),
+        lambda: emb.select("vec_id", _jl_project().alias("parr")),
+    )
+    q = proj.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("parr").alias("q_parr"),
+        l2_norm(F.col("parr")).alias("q_pnorm"),
+    )
+    c = proj.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("parr").alias("c_parr"),
+        l2_norm(F.col("parr")).alias("c_pnorm"),
+    )
+    pscore = dot(F.col("q_parr"), F.col("c_parr")) / (
+        F.col("q_pnorm") * F.col("c_pnorm")
+    )
+    cand = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", pscore.alias("pscore"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("pscore"), F.asc("neighbor_id")
+    )
+    pool = (
+        cand.withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") <= JL_CAND)
+        .select("query_id", "neighbor_id")
+    )
+    return _rerank_topk(emb, pool)
+
+
+ORACLES["ann_jl_serve"] = ORACLES["ann_jl_rerank"]
+
+
+def _stored_kmivf_cents(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, list[int]]]:
+    """The k-means coarse quantizer from the model store (trains once per
+    corpus snapshot; JSON-roundtripped back to the exact integer lists)."""
+
+    def _train() -> list:
+        q_units = (
+            spread(load_table(spark, sf_dir, "embeddings"))
+            .select("vec_id", _km_units().alias("u"))
+            .cache()
+        )
+        try:
+            return _km_learn(q_units)
+        finally:
+            q_units.unpersist()
+
+    model = ensure_model(
+        sf_dir, "kmivf_centroids",
+        _serve_fp(KM_K, KM_ITERS, KM_SCALE, KM_DIM), _train,
+    )
+    return [(int(cid), [int(v) for v in c]) for cid, c in model]
+
+
+def q_ann_ivf_kmeans_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``q_ann_ivf_kmeans_topk`` from STORED artifacts: the learned
+    centroids (model JSON — the K*D-int driver state) and the cell
+    assignment table (vec_id, cell).  Serving probes the stored cells:
+    one map-only fold over the 10 query vectors picks probe cells, the
+    candidate join streams the assignment table by, and only the probed
+    candidates hit the exact rerank.  The KM_ITERS Lloyd rounds and the
+    corpus-wide assignment run only at build."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _stored_kmivf_cents(spark, sf_dir)
+    dists = _km_dist_structs(cents)
+    assign = ensure_index(
+        spark, sf_dir, "kmivf_assign",
+        _serve_fp(KM_K, KM_ITERS, KM_SCALE, KM_DIM),
+        lambda: spread(emb)
+        .select("vec_id", _km_units().alias("u"))
+        .select(
+            "vec_id", F.array_min(dists).getField("cid").alias("cell")
+        ),
+    )
+    probes = (
+        emb.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select("vec_id", _km_units().alias("u"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                F.slice(F.array_sort(dists), 1, KMIVF_NPROBE)
+            ).alias("pc"),
+        )
+        .select("query_id", F.col("pc.cid").alias("cell"))
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(
+            assign.select(F.col("vec_id").alias("neighbor_id"), "cell"),
+            "cell",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    return _rerank_topk(emb, cand)
+
+
+ORACLES["ann_ivf_kmeans_serve"] = _kmivf_oracle()
+
+
+def q_ann_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``q_ann_pq_adc_topk`` from STORED artifacts: the per-block Lloyd
+    codebooks (model JSON) and the PQ code table (neighbor_id, c0..c3 —
+    the production 1-byte-per-vector artifact).  Serving computes the 10
+    query LUTs (driver ints against the stored codebooks), scans CODES
+    ONLY for the ADC candidate pass, and reranks the PQ_CAND survivors
+    against raw vectors.  The 4 Lloyd trainings and the corpus encode
+    run only at build."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    fp = _serve_fp(PQ_M, PQ_K, PQ_ITERS, KM_SCALE)
+
+    def _train() -> list:
+        _emb, models = _pq_models(spark, sf_dir)
+        return models
+
+    model = ensure_model(sf_dir, "pq_codebooks", fp, _train)
+    models = [
+        [(int(cid), [int(v) for v in c]) for cid, c in block]
+        for block in model
+    ]
+
+    def _encode() -> DataFrame:
+        blocks = spread(emb).select(
+            F.col("vec_id").alias("neighbor_id"),
+            *[
+                F.slice(_km_units(), m * PQ_SUBDIM + 1, PQ_SUBDIM).alias(f"u{m}")
+                for m in range(PQ_M)
+            ],
+        )
+        return blocks.select(
+            "neighbor_id",
+            *[
+                F.array_min(_km_dist_structs(models[m], col=f"u{m}"))
+                .getField("cid").alias(f"c{m}")
+                for m in range(PQ_M)
+            ],
+        )
+
+    codes = ensure_index(spark, sf_dir, "pq_codes", fp, _encode)
+    qrows = (
+        emb.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select("vec_id", _km_units().alias("u"))
+        .collect()
+    )
+    structs = []
+    for r in sorted(qrows, key=lambda r: int(r["vec_id"])):
+        qid, uq = int(r["vec_id"]), [int(v) for v in r["u"]]
+        ad = None
+        for m in range(PQ_M):
+            lut = [
+                sum(
+                    (uq[m * PQ_SUBDIM + i] - c[i]) ** 2
+                    for i in range(PQ_SUBDIM)
+                )
+                for _cid, c in models[m]
+            ]
+            arr = "array(" + ", ".join(f"{v}L" for v in lut) + ")"
+            term = F.expr(f"element_at({arr}, cast(c{m} AS int) + 1)")
+            ad = term if ad is None else ad + term
+        structs.append(
+            F.named_struct(
+                F.lit("query_id"), F.lit(qid).cast("bigint"),
+                F.lit("adist"), ad,
+            )
+        )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("neighbor_id")
+    )
+    pool = (
+        codes.select("neighbor_id", F.explode(F.array(*structs)).alias("qa"))
+        .select(
+            "neighbor_id",
+            F.col("qa.query_id").alias("query_id"),
+            F.col("qa.adist").alias("adist"),
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("arn", F.row_number().over(w_adc))
+        .filter(F.col("arn") <= PQ_CAND)
+        .select("query_id", "neighbor_id")
+    )
+    return _rerank_topk(emb, pool)
+
+
+ORACLES["ann_pq_serve"] = _pq_adc_oracle()

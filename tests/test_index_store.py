@@ -1,0 +1,99 @@
+"""Unit tests for sources/index_store: build-once/serve-many caching,
+params- and source-staleness invalidation, and model JSON roundtrip
+exactness (the serve queries' correctness rides on the stored artifact
+being bit-identical to a fresh build)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+from pathlib import Path
+
+import pytest
+
+from self_healing_data_pipeline_agent_spark.sources import index_store as ist
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture
+def store_dir(tmp_path, monkeypatch):
+    d = tmp_path / "indexes"
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(d))
+    return d
+
+
+def test_ensure_index_builds_once_then_serves(spark, store_dir):
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(5).selectExpr("id", "id * 2 AS v")
+
+    a = ist.ensure_index(spark, SF_DIR, "t1", "fp1", build)
+    b = ist.ensure_index(spark, SF_DIR, "t1", "fp1", build)
+    assert len(calls) == 1, "second call must serve from the store"
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_ensure_index_fingerprint_change_rebuilds_and_prunes(spark, store_dir):
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(3).selectExpr("id")
+
+    ist.ensure_index(spark, SF_DIR, "t2", "fpA", build)
+    ist.ensure_index(spark, SF_DIR, "t2", "fpB", build)
+    assert len(calls) == 2, "a params change must invalidate"
+    slots = [p for p in (store_dir / "t2").iterdir() if p.is_dir()]
+    assert len(slots) == 1, "superseded digest dirs must be pruned"
+
+
+def test_ensure_index_source_staleness_rebuilds(spark, store_dir, tmp_path):
+    src = tmp_path / "sf"
+    src.mkdir()
+    shutil.copy(Path(SF_DIR) / "region.parquet", src / "region.parquet")
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(2).selectExpr("id")
+
+    ist.ensure_index(spark, src, "t3", "fp", build, source_table="region")
+    # a corpus refresh = new mtime -> new digest -> rebuild
+    os.utime(src / "region.parquet", ns=(1, 1))
+    ist.ensure_index(spark, src, "t3", "fp", build, source_table="region")
+    assert len(calls) == 2
+
+
+def test_ensure_model_roundtrip_is_exact(store_dir):
+    model = [[0, [10**17, -3, 0]], [1, [7, 8, 9]]]
+    calls = []
+
+    def build():
+        calls.append(1)
+        return model
+
+    first = ist.ensure_model(SF_DIR, "m1", "fp", build)
+    second = ist.ensure_model(SF_DIR, "m1", "fp", build)
+    assert len(calls) == 1
+    # JSON roundtrip must preserve big ints exactly (no float coercion)
+    assert second == model
+    assert first == model
+    assert isinstance(second[0][1][0], int)
+
+
+def test_missing_meta_triggers_rebuild(spark, store_dir):
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(1).selectExpr("id")
+
+    ist.ensure_index(spark, SF_DIR, "t4", "fp", build)
+    # simulate a crash between parquet write and meta commit
+    for meta in (store_dir / "t4").glob("*/meta.json"):
+        meta.unlink()
+    ist.ensure_index(spark, SF_DIR, "t4", "fp", build)
+    assert len(calls) == 2
