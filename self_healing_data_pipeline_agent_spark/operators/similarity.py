@@ -1352,24 +1352,33 @@ PC_SCALE = 10000
 
 def _pc_gram(emb: DataFrame) -> DataFrame:
     """(i, j, g): the KM_DIM x KM_DIM integer Gram matrix — a map-only
-    per-row outer product (nested indexed transform, no self-join) into
-    one map-side-combined groupBy over the 4096 cells."""
+    per-row outer product (nested transform, no self-join) into one
+    map-side-combined groupBy over the 4096 cells.
+
+    r12 reshape (the r11-verdict adjudication of the 9.29 s driver-bench
+    outlier): the per-cell rows used to be named_structs built by an
+    indexed double-transform; flattening to a PLAIN product array and
+    recovering (i, j) from the posexplode position on the 4096-row
+    aggregate drops the per-cell struct boxing from the hot loop —
+    measured 0.87-0.96 -> 0.63-0.78 s steady at sf0.1, identical cell
+    values.  (The outlier itself adjudicated as cold-start x host steal:
+    cold 4.6 s / steady 1.2 s on a quiet host with the OLD shape.)"""
     outer = F.flatten(
         F.transform(
             F.col("u"),
-            lambda ui, i: F.transform(
-                F.col("u"),
-                lambda uj, j: F.named_struct(
-                    F.lit("i"), i + 1, F.lit("j"), j + 1, F.lit("p"), ui * uj
-                ),
-            ),
+            lambda ui: F.transform(F.col("u"), lambda uj: ui * uj),
         )
     )
     return (
         emb.select(_km_units().alias("u"))
-        .select(F.explode(outer).alias("c"))
-        .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
-        .agg(F.sum("c.p").alias("g"))
+        .select(F.posexplode(outer).alias("pos", "p"))
+        .groupBy("pos")
+        .agg(F.sum("p").alias("g"))
+        .select(
+            (F.col("pos") / KM_DIM + 1).cast("int").alias("i"),
+            (F.col("pos") % KM_DIM + 1).cast("int").alias("j"),
+            "g",
+        )
     )
 
 
@@ -1463,6 +1472,153 @@ SELECT i AS dim, v AS loading FROM v{PC_ITERS} ORDER BY dim
 
 
 ORACLES["embedding_top_pc"] = _pc_oracle()
+
+
+# --- X26b: second principal direction by integer-exact deflation --------------
+#
+# Embedding-visualization pipelines project onto the top TWO components;
+# this extends the power-iteration ring with a Hotelling-style deflation
+# that never leaves BIGINT.  Classic deflation subtracts the rank-one
+# projection (w.v1 / v1.v1) * v1 — a division that breaks exactness.
+# Power iteration is SCALE-INVARIANT, so multiply through instead:
+#
+#     o = (v1.v1) * w_hat - (w_hat.v1) * v1
+#
+# is exactly orthogonal-to-v1 up to the later trunc-div rescale, and every
+# term is a product of two bounded ints (w_hat, v1 ~ PC_SCALE units after
+# their own rescale; v1.v1 <= 64 * (~PC_SCALE)^2 — intermediate magnitude
+# ~6.4e13, far inside BIGINT; the pytest tripwire pins the bound).  Each
+# deflated round is therefore: multiply by G, rescale, orthogonalize,
+# rescale — all trunc-toward-zero integer ops both engines share.
+
+def _pc_deflated_power(
+    g: dict[tuple[int, int], int], v1: list[int]
+) -> list[int]:
+    """PC_ITERS deflated power rounds toward the SECOND dominant
+    direction, from the alternating ±PC_SCALE start (deterministic and
+    not parallel to v1); exact integers throughout."""
+    dim = KM_DIM
+    x = [PC_SCALE if i % 2 == 0 else -PC_SCALE for i in range(dim)]
+    v1v1 = sum(a * a for a in v1)
+    for _ in range(PC_ITERS):
+        w = [sum(g[(i, j)] * x[j - 1] for j in range(1, dim + 1))
+             for i in range(1, dim + 1)]
+        denom = _km_tdiv(max(abs(a) for a in w), PC_SCALE)
+        wh = [_km_tdiv(a, denom) for a in w]
+        wv1 = sum(wh[i] * v1[i] for i in range(dim))
+        o = [v1v1 * wh[i] - wv1 * v1[i] for i in range(dim)]
+        denom2 = _km_tdiv(max(abs(a) for a in o), PC_SCALE)
+        x = [_km_tdiv(a, denom2) for a in o]
+    return x
+
+
+def q_embedding_top2_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(dim, loading1, loading2): the checked power ITERATE toward the
+    dominant eigenvector (as ``embedding_top_pc``) plus the deflated
+    iterate toward the second — the 2-D projection basis an embedding-
+    visualization pipeline stores.  One distributed Gram pass feeds both
+    driver-side loops; same exact-BIGINT contract, same isotropic-corpus
+    honesty (the artifact is the iterate, not a converged eigenvector).
+    Near-orthogonality of the two iterates is pytest-pinned."""
+    gram_rows = _pc_gram(
+        spread(load_table(spark, sf_dir, "embeddings"))
+    ).collect()
+    g: dict[tuple[int, int], int] = {
+        (int(r["i"]), int(r["j"])): int(r["g"]) for r in gram_rows
+    }
+    v1 = _pc_power(g)[-1]
+    v2 = _pc_deflated_power(g, v1)
+    schema = T.StructType(
+        [
+            T.StructField("dim", T.LongType(), False),
+            T.StructField("loading1", T.LongType(), False),
+            T.StructField("loading2", T.LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(
+        [(i + 1, v1[i], v2[i]) for i in range(KM_DIM)], schema
+    )
+
+
+def _pc2_oracle() -> str:
+    """DuckDB twin of the two-component ring.  ``g`` and every iterate
+    CTE are MATERIALIZED: the deflation chain references g six times and
+    v{PC_ITERS} in every round — inlined re-expansion would replay the
+    full corpus x 4096 Gram scan per reference (this file's iterative
+    oracles hit exactly that blowup before the hints landed)."""
+    series = f"(SELECT unnest(generate_series(1, {KM_DIM})) AS i)"
+    parts = [
+        f"""u AS MATERIALIZED (
+  SELECT list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {KM_SCALE} + 0.5) AS BIGINT))
+           AS u
+  FROM embeddings
+),
+g AS MATERIALIZED (
+  SELECT si.i AS i, sj.i AS j,
+         CAST(SUM(u.u[si.i] * u.u[sj.i]) AS BIGINT) AS g
+  FROM u, {series} si, {series} sj
+  GROUP BY si.i, sj.i
+),
+v0 AS (SELECT i, CAST({PC_SCALE} AS BIGINT) AS v FROM {series} s)"""
+    ]
+    for k in range(1, PC_ITERS + 1):
+        parts.append(f"""wv{k} AS (
+  SELECT g.i, CAST(SUM(g.g * v.v) AS BIGINT) AS w
+  FROM g JOIN v{k - 1} v ON v.i = g.j
+  GROUP BY g.i
+),
+v{k} AS MATERIALIZED (
+  SELECT i, CAST(w // (SELECT MAX(ABS(w)) // {PC_SCALE} FROM wv{k})
+                AS BIGINT) AS v
+  FROM wv{k}
+)""")
+    parts.append(
+        f"""x0 AS (
+  SELECT i, CAST(CASE WHEN i % 2 = 1 THEN {PC_SCALE}
+                      ELSE -{PC_SCALE} END AS BIGINT) AS v
+  FROM {series} s
+),
+n1 AS MATERIALIZED (
+  SELECT CAST(SUM(v * v) AS BIGINT) AS v1v1 FROM v{PC_ITERS}
+)"""
+    )
+    for k in range(1, PC_ITERS + 1):
+        parts.append(f"""wx{k} AS (
+  SELECT g.i, CAST(SUM(g.g * x.v) AS BIGINT) AS w
+  FROM g JOIN x{k - 1} x ON x.i = g.j
+  GROUP BY g.i
+),
+wh{k} AS MATERIALIZED (
+  SELECT i, CAST(w // (SELECT MAX(ABS(w)) // {PC_SCALE} FROM wx{k})
+                AS BIGINT) AS v
+  FROM wx{k}
+),
+d{k} AS MATERIALIZED (
+  SELECT CAST(SUM(w.v * v1.v) AS BIGINT) AS wv1
+  FROM wh{k} w JOIN v{PC_ITERS} v1 ON v1.i = w.i
+),
+o{k} AS (
+  SELECT w.i,
+         CAST((SELECT v1v1 FROM n1) * w.v
+              - (SELECT wv1 FROM d{k}) * v1.v AS BIGINT) AS o
+  FROM wh{k} w JOIN v{PC_ITERS} v1 ON v1.i = w.i
+),
+x{k} AS MATERIALIZED (
+  SELECT i, CAST(o // (SELECT MAX(ABS(o)) // {PC_SCALE} FROM o{k})
+                AS BIGINT) AS v
+  FROM o{k}
+)""")
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT v1.i AS dim, v1.v AS loading1, x.v AS loading2
+FROM v{PC_ITERS} v1 JOIN x{PC_ITERS} x ON x.i = v1.i
+ORDER BY dim
+"""
+    )
+
+
+ORACLES["embedding_top2_pc"] = _pc2_oracle()
 
 
 # --- X9 + X25 composed: IVF over LEARNED centroids ---------------------------

@@ -46,6 +46,15 @@ QUERY_ORDER = [
     "ann_jl_serve",
     "ann_ivf_kmeans_serve",
     "ann_pq_serve",
+    # -- the 2-D PCA basis (never-green): deflated power iteration to
+    #    the second dominant direction, exact-BIGINT multiply-through
+    #    Hotelling step (no division) --
+    "embedding_top2_pc",
+    # -- fail-closed re-check: _pc_gram reshaped r12 (struct-free flat
+    #    outer product + posexplode; values identical, steady 0.9->0.7 s
+    #    at sf0.1) — the Gram feeds embedding_top_pc, so its record is
+    #    re-earned in-window --
+    "embedding_top_pc",
     # (more r12 operators are appended here as they land; each displaces
     #  an r8-cohort entry from the window TAIL below)
     # -- the 31 r7-aged records (official_greens: every query whose last

@@ -993,6 +993,56 @@ def test_top_pc_rayleigh_invariants(spark, sf_dir):
         assert b >= a * (1 - 1e-6), f"Rayleigh quotient fell: {a} -> {b}"
 
 
+def test_top2_pc_orthogonality_and_bigint_bounds(spark, sf_dir):
+    """The deflated second iterate must be (a) near-orthogonal to the
+    first (the multiply-through Hotelling step is exact up to one
+    trunc-div rescale, so |cos| stays at rounding scale), (b) produced
+    without any intermediate leaving a safe BIGINT margin (the
+    value-hash contract dies silently on overflow), and (c) NOT simply
+    the first iterate again."""
+    import math
+
+    import numpy as np
+
+    from self_healing_data_pipeline_agent_spark.operators.similarity import (
+        KM_SCALE,
+        PC_SCALE,
+        _pc_deflated_power,
+        _pc_power,
+        q_embedding_top2_pc,
+    )
+    from self_healing_data_pipeline_agent_spark.sources.tables import load_table
+
+    rows = q_embedding_top2_pc(spark, sf_dir).collect()
+    out = sorted(rows, key=lambda r: r["dim"])
+    v1 = [int(r["loading1"]) for r in out]
+    v2 = [int(r["loading2"]) for r in out]
+    cos = sum(a * b for a, b in zip(v1, v2)) / math.sqrt(
+        sum(a * a for a in v1) * sum(b * b for b in v2)
+    )
+    assert abs(cos) < 0.01, f"deflated iterate not orthogonal: cos={cos}"
+    assert v1 != v2
+
+    # replay the loops in exact ints and pin the intermediate bound:
+    # every product the deflation forms must stay under 2^62 (4x margin)
+    emb = np.array(
+        [r["embedding"] for r in
+         load_table(spark, sf_dir, "embeddings").select("embedding").collect()],
+        dtype=np.float64,
+    )
+    u = np.floor(emb * KM_SCALE + 0.5)
+    g_np = u.T @ u
+    g = {(i + 1, j + 1): int(g_np[i, j]) for i in range(64) for j in range(64)}
+    first = _pc_power(g)[-1]
+    assert _pc_deflated_power(g, first) == v2
+    gmax = max(abs(v) for v in g.values())
+    v1max = max(abs(a) for a in first)
+    v1v1 = sum(a * a for a in first)
+    # w entries: sum of 64 g*x products; o entries: v1v1*wh or wv1*v1
+    bound = max(64 * gmax * v1max, v1v1 * PC_SCALE, 64 * v1max * v1max * PC_SCALE)
+    assert bound < 2 ** 62, f"deflation intermediate bound {bound} too close to BIGINT"
+
+
 def test_dsir_quantization_tripwire():
     """DSIR's per-bucket log-ratio quantization input must sit >=
     DSIR_EDGE_EPS from its floor(y+0.5) rounding boundary at all three
