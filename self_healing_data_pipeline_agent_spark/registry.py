@@ -55,6 +55,28 @@ QUERY_ORDER = [
     #    at sf0.1) — the Gram feeds embedding_top_pc, so its record is
     #    re-earned in-window --
     "embedding_top_pc",
+    # -- the at-scale threshold variants the r11 docs promise (never-
+    #    green): DSIR selection and CCNet tiering from DETERMINISTIC
+    #    md5-sample quantile cuts — the stateless-map production shape,
+    #    still value-hash-exact --
+    "dsir_select_threshold",
+    "ccnet_ppl_thresholds",
+    # -- the embedding-LSH carving study (never-green): candidates/
+    #    hits/misses per (tables, bits) carving of the 32 shared
+    #    hyperplane bits + a single-bit-flip multi-probe variant —
+    #    converts embedding_near_dup_lsh's prose recall argument into
+    #    measured data --
+    "embedding_lsh_tuning",
+    # -- the first COMPRESSED real-container codec (never-green): PNG
+    #    via stdlib zlib — chunk walk + CRC32 + multi-IDAT inflate + all
+    #    five unfilters, round-trip-checked in the kernel --
+    "multimodal_decode_png",
+    # -- the dedup family's serving twin (never-green): minhash_lsh_pairs
+    #    answered from the persisted signature table --
+    "minhash_lsh_serve",
+    # -- the tokenizer ring's serving twin (never-green): bpe_encode_stats
+    #    from the stored merge table — encode-only steady state --
+    "bpe_encode_serve",
     # (more r12 operators are appended here as they land; each displaces
     #  an r8-cohort entry from the window TAIL below)
     # -- the 31 r7-aged records (official_greens: every query whose last
@@ -101,14 +123,11 @@ QUERY_ORDER = [
     "large_volume_customers",
     "merge_upsert_orders",
     "order_lag_lead",
-    "promo_revenue_share",
-    "quantile_profile",
-    "regional_supplier_volume",
-    "rolling_order_totals",
-    "semi_join_open_orders",
-    "shipping_priority",
-    "distinct_event_types",
-    "hourly_windows",
+    # (promo_revenue_share, quantile_profile, regional_supplier_volume,
+    #  rolling_order_totals, semi_join_open_orders, shipping_priority,
+    #  distinct_event_types, hourly_windows spilled from the filler as
+    #  r12 operators landed — r13 MUST-window with the rest of the r8
+    #  cohort)
     # Below the 50-entry window: everything else carries an r8-r11
     # official green against current testdata and unchanged code.
     # scripts/window_audit.py tracks staleness (contract fingerprints);
