@@ -77,6 +77,12 @@ QUERY_ORDER = [
     # -- the tokenizer ring's serving twin (never-green): bpe_encode_stats
     #    from the stored merge table — encode-only steady state --
     "bpe_encode_serve",
+    # -- changed-oracle fail-closed re-checks: both BPE oracles gained
+    #    the COALESCE-to-'' guard for the fewer-merges-than-rounds edge
+    #    (r11 ADVICE; values unchanged on the test corpora per local
+    #    parity, records re-earned in-window) --
+    "bpe_merges",
+    "bpe_encode_stats",
     # (more r12 operators are appended here as they land; each displaces
     #  an r8-cohort entry from the window TAIL below)
     # -- the 31 r7-aged records (official_greens: every query whose last
@@ -116,18 +122,19 @@ QUERY_ORDER = [
     "streaming_profile_compaction",
     # -- r8-cohort filler up to the 50-entry window (oldest remaining
     #    records; displaced from the TAIL as new r12 operators land) --
+    # streaming_state_metrics is rows-only by nature (progress metrics
+    # have no SQL twin) and thus never earns a green hash — it takes a
+    # recurring window slot so the rows-only check stays fresh.
+    "streaming_state_metrics",
     "anti_join_no_f_orders",
     "distinct_counts",
     "grouped_dq_profile",
     "healing_proposals",
-    "large_volume_customers",
-    "merge_upsert_orders",
-    "order_lag_lead",
-    # (promo_revenue_share, quantile_profile, regional_supplier_volume,
-    #  rolling_order_totals, semi_join_open_orders, shipping_priority,
-    #  distinct_event_types, hourly_windows spilled from the filler as
-    #  r12 operators landed — r13 MUST-window with the rest of the r8
-    #  cohort)
+    # (merge_upsert_orders, order_lag_lead, promo_revenue_share,
+    #  quantile_profile, regional_supplier_volume, rolling_order_totals,
+    #  semi_join_open_orders, shipping_priority, distinct_event_types,
+    #  hourly_windows spilled from the filler as r12 operators landed —
+    #  r13 MUST-window with the rest of the r8 cohort)
     # Below the 50-entry window: everything else carries an r8-r11
     # official green against current testdata and unchanged code.
     # scripts/window_audit.py tracks staleness (contract fingerprints);
