@@ -70,6 +70,14 @@ _LAMBDA_VAR = re.compile(r"lambda ([A-Za-z]+)_\d+#")
 # semantic edit to it invisible to the fingerprint).
 _UUID_SFX = re.compile(r"_[0-9a-f]{8}\b")
 _TMP_PATH = re.compile(r"file:/tmp/[^\s,)\]]*|/tmp/[^\s,)\]]*")
+# The index store's content-addressed slot (indexes/<name>/<digest16>)
+# embeds the source parquet's size+mtime — a testdata refresh would
+# churn every *_serve fingerprint without any contract change.  The
+# digest is DERIVED state: every semantic knob that feeds it (params,
+# hyperplanes, codebook sizes) also renders into the oracle SQL, whose
+# hash is the other fingerprint half, so stripping the digest loses no
+# contract coverage.  The index NAME stays — it is plan structure.
+_INDEX_DIGEST = re.compile(r"(indexes/[\w.-]+/)[0-9a-f]{16}")
 
 
 def _sha(s: str) -> str:
@@ -84,6 +92,7 @@ def normalize_plan(plan: str) -> str:
     plan = _LAMBDA_VAR.sub(r"lambda \1#", plan)
     plan = _UUID_SFX.sub("_", plan)
     plan = _TMP_PATH.sub("/tmp/...", plan)
+    plan = _INDEX_DIGEST.sub(r"\1<digest>", plan)
     return plan
 
 

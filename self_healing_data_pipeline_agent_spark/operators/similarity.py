@@ -2094,7 +2094,9 @@ ORACLES["ann_pq_adc_topk"] = _pq_adc_oracle()
 # the artifact for candidate generation and touches raw vectors just for
 # the Q x CAND exact rerank.
 
-INDEX_VERSION = 1  # bump to invalidate every stored ANN artifact
+INDEX_VERSION = 2  # bump to invalidate every stored ANN artifact
+# (v2: artifacts built through spread() so the stored table has engine-
+# parallelism file counts — a 1-file artifact serves single-core)
 
 
 def _serve_fp(*parts: object) -> str:
@@ -2143,9 +2145,11 @@ def q_ann_lsh_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-query candidate join over the stored codes + the exact
     rerank.  The 32 hyperplane folds run only in the build pass."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # spread: the one-file test parquet would otherwise build (and
+    # store) a single-partition artifact, serializing every serve scan
     coded = ensure_index(
         spark, sf_dir, "lsh_codes", _serve_fp(LSH_TABLES, LSH_BITS),
-        lambda: _lsh_coded(emb, 64).select("vec_id", "table", "code"),
+        lambda: _lsh_coded(spread(emb), 64).select("vec_id", "table", "code"),
     )
     qcodes = coded.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"), "table", "code"
@@ -2172,9 +2176,11 @@ def q_ann_jl_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     and stores it").  Serving scans JL_DIM doubles per vector for the
     candidate pass; the 32 sign-fold projections run only at build."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # spread: parallelizes BOTH the build's 32 fold columns and the
+    # stored artifact's file count (a 1-file artifact serves 1-core)
     proj = ensure_index(
         spark, sf_dir, "jl_proj", _serve_fp(JL_DIM),
-        lambda: emb.select("vec_id", _jl_project().alias("parr")),
+        lambda: spread(emb).select("vec_id", _jl_project().alias("parr")),
     )
     q = proj.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
