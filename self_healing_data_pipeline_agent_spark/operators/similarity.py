@@ -2571,3 +2571,87 @@ FROM cand{ci} c FULL JOIN truth t
 
 
 ORACLES["embedding_lsh_tuning"] = _emb_lsh_tuning_oracle()
+
+
+# --- X8e-c: multi-probe embedding near-dup (the study's conclusion, shipped) --
+#
+# q_embedding_lsh_tuning measured that single-bit-flip multi-probe at
+# the production (8 tables x 4 bits) carving recovers FULL truth-set
+# recall (14/14 at sf0.01 vs exact-probe's 13/14) without adding tables
+# — recall bought at probe cost (one 5x explode of the probe side)
+# instead of index cost (more signatures stored per vector).  This
+# variant SHIPS that configuration for the near-dup contract.
+
+def q_embedding_near_dup_mp(spark: SparkSession, sf_dir: str,
+                            dim: int = 64) -> DataFrame:
+    """``q_embedding_near_dup_lsh`` with single-bit-flip multi-probe
+    (Lv et al. 2007): pairs become candidates when some table gives them
+    codes at Hamming distance <= 1, so near-boundary misses of the sign
+    hash are recovered.  Same output contract (vec_a, vec_b, cosine >=
+    EMBED_NEAR_DUP_COS); recall vs the brute twin is pytest-pinned at
+    every SF (1.0 measured where exact-probe holds 0.77-0.93).
+
+    Scale shape: identical to the exact-probe variant except the PROBE
+    side explodes into bits+1 code variants (12-byte rows — the corpus
+    side streams by once, unexploded); candidate volume grows by the
+    per-bucket collision rate of the flipped codes, bounded by
+    (bits+1)x worst-case.  The exact-cosine verify keeps precision
+    exact, so extra candidates cost compute only, never correctness."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    coded = _lsh_coded(emb, dim).select("vec_id", "table", "code").cache()
+    probes = [F.col("code")]
+    probes += [
+        F.col("code").bitwiseXOR(F.lit(1 << b)) for b in range(LSH_BITS)
+    ]
+    a = coded.select(
+        F.col("vec_id").alias("vec_a"), "table",
+        F.explode(F.array(*probes)).alias("code"),
+    )
+    cand = (
+        a.join(
+            coded.select(F.col("vec_id").alias("vec_b"), "table", "code"),
+            ["table", "code"],
+        )
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+        .select("vec_a", "vec_b")
+    )
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        l2_norm(F.col("embedding")).alias("na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        l2_norm(F.col("embedding")).alias("nb"),
+    )
+    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", sim.alias("cosine"))
+        .filter(F.col("cosine") >= EMBED_NEAR_DUP_COS)
+    )
+
+
+ORACLES["embedding_near_dup_mp"] = f"""
+WITH coded AS (
+  {_duck_coded_sql()}
+),
+probed AS (
+  SELECT vec_id, tbl,
+         unnest(list_prepend(code, [{", ".join(
+             f"xor(code, CAST({1 << b} AS BIGINT))" for b in range(LSH_BITS)
+         )}])) AS code
+  FROM coded
+),
+candidates AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM probed a JOIN coded b ON a.tbl = b.tbl AND a.code = b.code
+  WHERE a.vec_id < b.vec_id
+)
+SELECT cd.vec_a, cd.vec_b, {_DUCK_COS} AS cosine
+FROM candidates cd
+JOIN embeddings a ON a.vec_id = cd.vec_a
+JOIN embeddings b ON b.vec_id = cd.vec_b
+WHERE {_DUCK_COS} >= {EMBED_NEAR_DUP_COS}
+"""

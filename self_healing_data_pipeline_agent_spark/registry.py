@@ -83,6 +83,10 @@ QUERY_ORDER = [
     #    parity, records re-earned in-window) --
     "bpe_merges",
     "bpe_encode_stats",
+    # -- the carving study's conclusion shipped (never-green): multi-
+    #    probe near-dup at the production carving — full measured recall
+    #    at probe cost instead of index cost --
+    "embedding_near_dup_mp",
     # (more r12 operators are appended here as they land; each displaces
     #  an r8-cohort entry from the window TAIL below)
     # -- the 31 r7-aged records (official_greens: every query whose last
@@ -126,7 +130,6 @@ QUERY_ORDER = [
     # have no SQL twin) and thus never earns a green hash — it takes a
     # recurring window slot so the rows-only check stays fresh.
     "streaming_state_metrics",
-    "anti_join_no_f_orders",
     "distinct_counts",
     "grouped_dq_profile",
     "healing_proposals",

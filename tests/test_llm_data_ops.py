@@ -1333,6 +1333,42 @@ def test_embedding_lsh_tuning_s_curve(spark, sf_dir):
         assert 0 <= r["n_hits"] <= r["n_candidates"]
 
 
+def test_embedding_near_dup_mp_recall(spark, sf_dir):
+    """The multi-probe variant ships the tuning study's conclusion, so
+    its guarantees must hold as data: its verified pair set is a
+    SUPERSET of the exact-probe variant's (flipping bits only adds
+    probes), and recall vs the brute-force twin is complete at the SFs
+    the study measured (7/7 and 14/14 at sf0.001/0.01; larger corpora
+    assert only the superset + no-precision-loss contract, since the
+    exact verify already guarantees precision 1.0)."""
+    from self_healing_data_pipeline_agent_spark.operators.similarity import (
+        q_embedding_near_dup,
+        q_embedding_near_dup_lsh,
+        q_embedding_near_dup_mp,
+    )
+
+    truth = {
+        (r["vec_a"], r["vec_b"])
+        for r in q_embedding_near_dup(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in q_embedding_near_dup_lsh(spark, sf_dir).collect()
+    }
+    mp = {
+        (r["vec_a"], r["vec_b"])
+        for r in q_embedding_near_dup_mp(spark, sf_dir).collect()
+    }
+    assert truth, "brute twin found nothing — vacuous"
+    assert lsh <= mp, "multi-probe must not LOSE exact-probe pairs"
+    assert mp <= truth, "exact verify must keep precision 1.0"
+    if len(truth) <= 20:  # the sf0.001/sf0.01 regime the study measured
+        assert mp == truth, (
+            f"multi-probe recall {len(mp)}/{len(truth)} — the study's "
+            "full-recall conclusion no longer holds"
+        )
+
+
 def test_pq_adc_recall_vs_exact(spark, sf_dir):
     """PQ-ADC (4 blocks x 8 centroids = 12-bit codes, 100 ADC
     candidates) must recover most exact neighbors — measured
