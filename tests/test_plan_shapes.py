@@ -954,3 +954,41 @@ def test_dsir_weights_broadcast_model_two_shuffles(spark, sf_dir):
     assert "Python" not in plan
     assert "BroadcastHashJoin" in plan  # tf x model
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_serve_queries_scan_stored_artifact_with_pushdown(spark, sf_dir):
+    """The serving split's plan contract (r12): each *_serve query must
+    read its STORED index table (a parquet scan of spark-warehouse/
+    indexes/..., not a re-derivation), and the query-side vec_id filter
+    must push down to that scan — at scale the artifact scan is the
+    dominant cost and an unpushed filter reads the whole index per
+    query batch."""
+    from self_healing_data_pipeline_agent_spark.operators.similarity import (
+        q_ann_jl_serve,
+        q_ann_lsh_serve,
+    )
+
+    for fn in (q_ann_jl_serve, q_ann_lsh_serve):
+        df = fn(spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "indexes" in plan, "serve plan does not read the index store"
+        assert has_pushed_filter(df, "vec_id"), (
+            "query-side vec_id filter not pushed into the artifact scan"
+        )
+        assert "CartesianProduct" not in plan
+
+
+def test_bpe_encode_serve_is_one_scan(spark, sf_dir):
+    """The tokenizer serving twin's whole point: the merge table comes
+    from the model store (no learn loop in the plan), so the encode is
+    ONE corpus scan into the 5-row aggregate — the fused replace chain
+    plus spread()'s rebalance, nothing else."""
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        q_bpe_encode_serve,
+    )
+
+    df = q_bpe_encode_serve(spark, sf_dir)
+    simple = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple")
+    assert simple.count("Scan parquet") == 1  # the corpus, no sig/index scans
+    assert count_exchanges(df) == 1  # the 5-group aggregate only
