@@ -66,14 +66,29 @@ def _slot(name: str, digest: str) -> Path:
     return _store_root() / name / digest
 
 
-def _prune_siblings(slot: Path) -> None:
-    """Drop stale digests of the same index name (superseded params or
-    testdata) so repeated param changes never accumulate disk."""
+def _prune_siblings(slot: Path, sf_dir: str | Path) -> None:
+    """Drop SUPERSEDED digests of the same index name: same corpus
+    directory (older snapshot / older params) or a crashed partial build
+    (no meta).  Slots for OTHER corpus directories are parallel indexes
+    (sf0.001 / sf0.01 / sf0.1 coexist across the test, gate, and bench
+    runs), not stale state — pruning them caused a rebuild per SF
+    switch."""
     parent = slot.parent
     if not parent.is_dir():
         return
+    me = str(Path(sf_dir).resolve())
     for child in parent.iterdir():
-        if child.is_dir() and child != slot:
+        if not child.is_dir() or child == slot:
+            continue
+        meta = child / "meta.json"
+        try:
+            stale = (
+                not meta.is_file()
+                or json.loads(meta.read_text()).get("sf_dir") == me
+            )
+        except (OSError, ValueError):
+            stale = True
+        if stale:
             shutil.rmtree(child, ignore_errors=True)
 
 
@@ -95,8 +110,15 @@ def ensure_index(
     meta = slot / "meta.json"
     if not meta.is_file():
         build().write.mode("overwrite").parquet(str(data))
-        meta.write_text(json.dumps({"fingerprint": fingerprint}))
-        _prune_siblings(slot)
+        meta.write_text(
+            json.dumps(
+                {
+                    "fingerprint": fingerprint,
+                    "sf_dir": str(Path(sf_dir).resolve()),
+                }
+            )
+        )
+        _prune_siblings(slot, sf_dir)
     return spark.read.parquet(str(data))
 
 
@@ -114,12 +136,24 @@ def ensure_model(
     Lloyd/projection training entirely."""
     slot = _slot(name, _digest(sf_dir, source_table, fingerprint))
     blob = slot / "model.json"
-    if not blob.is_file():
+    meta = slot / "meta.json"
+    # meta is the commit marker (written last), as in ensure_index: a
+    # crash between blob and meta must rebuild, not serve a slot that
+    # sibling pruning would treat as partial
+    if not (blob.is_file() and meta.is_file()):
         model = build()
         slot.mkdir(parents=True, exist_ok=True)
         tmp = slot / "model.json.tmp"
         tmp.write_text(json.dumps(model))
         tmp.replace(blob)
-        _prune_siblings(slot)
+        meta.write_text(
+            json.dumps(
+                {
+                    "fingerprint": fingerprint,
+                    "sf_dir": str(Path(sf_dir).resolve()),
+                }
+            )
+        )
+        _prune_siblings(slot, sf_dir)
         return model
     return json.loads(blob.read_text())

@@ -84,6 +84,42 @@ def test_ensure_model_roundtrip_is_exact(store_dir):
     assert isinstance(second[0][1][0], int)
 
 
+def test_parallel_corpora_coexist_but_snapshots_supersede(
+    spark, store_dir, tmp_path
+):
+    """Pruning scope (r12): slots for DIFFERENT corpus directories are
+    parallel indexes (the test/gate/bench SFs coexist — pruning them
+    caused a rebuild per SF switch), while a NEW snapshot of the SAME
+    corpus supersedes its old slot."""
+    sfa = tmp_path / "sfa"
+    sfb = tmp_path / "sfb"
+    for d in (sfa, sfb):
+        d.mkdir()
+        shutil.copy(Path(SF_DIR) / "region.parquet", d / "region.parquet")
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(2).selectExpr("id")
+
+    ist.ensure_index(spark, sfa, "t5", "fp", build, source_table="region")
+    ist.ensure_index(spark, sfb, "t5", "fp", build, source_table="region")
+    slots = [p for p in (store_dir / "t5").iterdir() if p.is_dir()]
+    assert len(slots) == 2, "parallel corpora must coexist"
+    # serving either corpus needs no rebuild
+    ist.ensure_index(spark, sfa, "t5", "fp", build, source_table="region")
+    ist.ensure_index(spark, sfb, "t5", "fp", build, source_table="region")
+    assert len(calls) == 2
+    # a refreshed snapshot of corpus A supersedes only A's old slot
+    os.utime(sfa / "region.parquet", ns=(5, 5))
+    ist.ensure_index(spark, sfa, "t5", "fp", build, source_table="region")
+    assert len(calls) == 3
+    slots = [p for p in (store_dir / "t5").iterdir() if p.is_dir()]
+    assert len(slots) == 2, "old snapshot pruned, corpus B untouched"
+    ist.ensure_index(spark, sfb, "t5", "fp", build, source_table="region")
+    assert len(calls) == 3, "corpus B's slot must have survived the prune"
+
+
 def test_missing_meta_triggers_rebuild(spark, store_dir):
     calls = []
 
