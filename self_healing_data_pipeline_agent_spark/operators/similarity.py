@@ -2655,3 +2655,73 @@ JOIN embeddings a ON a.vec_id = cd.vec_a
 JOIN embeddings b ON b.vec_id = cd.vec_b
 WHERE {_DUCK_COS} >= {EMBED_NEAR_DUP_COS}
 """
+
+
+# --- X26c: the 2-D PCA projection, materialized --------------------------------
+#
+# The consumer of the top-2 basis: project every embedding onto (v1, v2)
+# — the coordinates table an embedding-visualization pipeline actually
+# writes.  Model driver-side (the two 64-int iterates), projection a
+# MAP-ONLY pass folding each row against the broadcast literal basis;
+# every coordinate is an exact BIGINT dot product (u in 1e-4 units x v
+# in 1e-4 units), so the full pipeline — Gram, iterates, coordinates —
+# stays value-hash-checkable end to end.
+
+def q_embedding_pca_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, x_units, y_units): every vector's exact-integer
+    coordinates along the first two power/deflation iterates.  One
+    distributed Gram pass trains the basis (as embedding_top2_pc); the
+    projection itself adds ZERO shuffles — two in-row zip_with folds
+    against literal arrays, the at-scale shape for materializing a
+    visualization or clustering feature table."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    gram_rows = _pc_gram(emb).collect()
+    g: dict[tuple[int, int], int] = {
+        (int(r["i"]), int(r["j"])): int(r["g"]) for r in gram_rows
+    }
+    v1 = _pc_power(g)[-1]
+    v2 = _pc_deflated_power(g, v1)
+
+    def _coord(vs: list[int]) -> F.Column:
+        arr = F.expr(
+            "array(" + ", ".join(f"{int(v)}L" for v in vs) + ")"
+        )
+        return F.aggregate(
+            F.zip_with(_km_units(), arr, lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    return emb.select(
+        "vec_id",
+        _coord(v1).alias("x_units"),
+        _coord(v2).alias("y_units"),
+    )
+
+
+def _pca_coords_oracle() -> str:
+    """The _pc2_oracle chain (MATERIALIZED g / iterates) + one per-vector
+    projection join: coords = sum over dims of u[i] * v[i]."""
+    base = _pc2_oracle()
+    # reuse everything up to the final SELECT; swap in the coords query
+    head = base.rsplit("SELECT v1.i AS dim", 1)[0].rstrip()
+    return (
+        head
+        + f""",
+uv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {KM_SCALE} + 0.5) AS BIGINT))
+           AS u
+  FROM embeddings
+)
+SELECT uv.vec_id,
+       CAST(SUM(uv.u[v1.i] * v1.v) AS BIGINT) AS x_units,
+       CAST(SUM(uv.u[x2.i] * x2.v) AS BIGINT) AS y_units
+FROM uv, v{PC_ITERS} v1 JOIN x{PC_ITERS} x2 ON x2.i = v1.i
+GROUP BY uv.vec_id
+"""
+    )
+
+
+ORACLES["embedding_pca_coords"] = _pca_coords_oracle()

@@ -87,6 +87,9 @@ QUERY_ORDER = [
     #    probe near-dup at the production carving — full measured recall
     #    at probe cost instead of index cost --
     "embedding_near_dup_mp",
+    # -- the 2-D PCA projection materialized (never-green): every vector's
+    #    exact-integer coordinates along the two power/deflation iterates --
+    "embedding_pca_coords",
     # (more r12 operators are appended here as they land; each displaces
     #  an r8-cohort entry from the window TAIL below)
     # -- the 31 r7-aged records (official_greens: every query whose last
@@ -132,7 +135,6 @@ QUERY_ORDER = [
     "streaming_state_metrics",
     "distinct_counts",
     "grouped_dq_profile",
-    "healing_proposals",
     # (merge_upsert_orders, order_lag_lead, promo_revenue_share,
     #  quantile_profile, regional_supplier_volume, rolling_order_totals,
     #  semi_join_open_orders, shipping_priority, distinct_event_types,
