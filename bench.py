@@ -170,9 +170,10 @@ HEADLINE = [
     "bpe_encode_stats",
     # r11: the distributed Gram build (map-only outer product into a
     # 4096-cell agg) + driver-side integer power iteration.
-    # embedding_top2_pc (r12) is excluded as REDUNDANT wall-clock, the
-    # bpe_merges convention: it runs the identical Gram pass + a second
-    # driver loop, so this row already times its distributed cost.
+    # embedding_top2_pc and embedding_pca_coords (r12) are excluded as
+    # REDUNDANT wall-clock, the bpe_merges convention: both run the
+    # identical Gram pass (+ driver loops / one map-only projection), so
+    # this row already times the distributed cost.
     "embedding_top_pc",
     # r11 third wave: the learned-codebook IVF index (Lloyd train ->
     # map-only assign/probe -> broadcast exact rerank, recall 0.82 vs
