@@ -2725,3 +2725,63 @@ GROUP BY uv.vec_id
 
 
 ORACLES["embedding_pca_coords"] = _pca_coords_oracle()
+
+
+# --- X32 (semantic-dedup ring): the cell map, SERVED ---------------------------
+#
+# q_semantic_dedup's own scale note: past SEMDEDUP_MATERIALIZE_ROWS "a
+# real deployment writes the cell map to a table between the assign and
+# prune stages".  This twin writes it: the (vec_id, cell) assignment
+# persists via the index store, and the prune stage — the within-cell
+# pairwise compare + keep-lowest-id — runs against the STORED map, so a
+# re-prune at a new tau (the knob SemDeDup deployments sweep) never
+# re-derives assignments.
+
+def q_semantic_dedup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``q_semantic_dedup`` from the STORED cell map: read (vec_id,
+    cell), join embeddings for the within-cell exact-cosine prune, and
+    report the same (vec_id, cell, kept, dup_of) contract.  The
+    assignment pass (codebook scoring over the corpus) runs only at
+    build; serving pays the co-partitioned within-cell self-join plus
+    the final left join — the tau-sweep steady state."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def _assign() -> DataFrame:
+        ac = _ivf_assignments(spread(emb))
+        return ac.groupBy("vec_id").agg(
+            F.expr("max_by(centroid_id, struct(cos, -centroid_id))").alias("cell")
+        )
+
+    assign = ensure_index(
+        spark, sf_dir, "semdedup_cells", _serve_fp(IVF_CELLS), _assign
+    )
+    members = assign.join(
+        emb.select("vec_id", "embedding", l2_norm(F.col("embedding")).alias("norm")),
+        "vec_id",
+    )
+    a = members.select(
+        F.col("cell"), F.col("vec_id").alias("vid"),
+        F.col("embedding").alias("ea"), F.col("norm").alias("na"),
+    )
+    b = members.select(
+        F.col("cell"), F.col("vec_id").alias("other"),
+        F.col("embedding").alias("eb"), F.col("norm").alias("nb"),
+    )
+    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    dups = (
+        a.join(b, "cell")
+        .filter(F.col("vid") > F.col("other"))
+        .select("vid", "other", sim.alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(SEMDEDUP_TAU))
+        .groupBy("vid")
+        .agg(F.min("other").alias("dup_of"))
+    )
+    return assign.join(dups, assign.vec_id == dups.vid, "left").select(
+        "vec_id",
+        "cell",
+        F.when(F.col("dup_of").isNull(), 1).otherwise(0).cast("bigint").alias("kept"),
+        "dup_of",
+    )
+
+
+ORACLES["semantic_dedup_serve"] = ORACLES["semantic_dedup"]

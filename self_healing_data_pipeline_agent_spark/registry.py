@@ -90,6 +90,9 @@ QUERY_ORDER = [
     # -- the 2-D PCA projection materialized (never-green): every vector's
     #    exact-integer coordinates along the two power/deflation iterates --
     "embedding_pca_coords",
+    # -- the SemDeDup cell map served (never-green): the prune stage
+    #    re-runs against the STORED assignment — the tau-sweep shape --
+    "semantic_dedup_serve",
     # (more r12 operators are appended here as they land; each displaces
     #  an r8-cohort entry from the window TAIL below)
     # -- the 31 r7-aged records (official_greens: every query whose last
@@ -134,7 +137,6 @@ QUERY_ORDER = [
     # recurring window slot so the rows-only check stays fresh.
     "streaming_state_metrics",
     "distinct_counts",
-    "grouped_dq_profile",
     # (merge_upsert_orders, order_lag_lead, promo_revenue_share,
     #  quantile_profile, regional_supplier_volume, rolling_order_totals,
     #  semi_join_open_orders, shipping_priority, distinct_event_types,
