@@ -226,6 +226,7 @@ TABLES = (
 # (CPU steal / noisy neighbor), not the engine — take extra samples.
 NOISE_RATIO = 2.0
 MAX_RUNS = 4
+NOISY_ARCHIVE_CHARS = 300  # cap on the archived noisy-name string
 DUCK_QUERY_TIMEOUT_S = 120  # watchdog cap per oracle execution
 
 # Per-query entries kept in the archived JSON line (the most expensive
@@ -433,6 +434,25 @@ def _result_line(
         print(f"# noisy_queries: {json.dumps(noisy)}", file=sys.stderr)
     if errors:
         print(f"# errored_queries: {json.dumps(errors)}", file=sys.stderr)
+    # Archive WHICH queries were noisy in the JSON line itself (r12
+    # verdict #2): stderr is not preserved by the round driver, and the
+    # adjudication question — "did the regression land on a noisy row?"
+    # — needs the names in the permanent record.  Budgeted to the same
+    # 2000-char tail guarantee as everything else: a comma-joined string
+    # capped at NOISY_ARCHIVE_CHARS, most-expensive-first (the expensive
+    # noisy rows are the ones adjudicated), "(+N)" marks the overflow;
+    # n_noisy stays the exact count.
+    by_cost = sorted(noisy, key=lambda n: (-timings.get(n, 0.0), n))
+    noisy_arch = ""
+    dropped = 0
+    for n in by_cost:
+        cand = f"{noisy_arch},{n}" if noisy_arch else n
+        if len(cand) > NOISY_ARCHIVE_CHARS:
+            dropped = len(by_cost) - by_cost.index(n)
+            break
+        noisy_arch = cand
+    if dropped:
+        noisy_arch += f"(+{dropped})"
     print(f"# runs: 2-{MAX_RUNS} best-of per query", file=sys.stderr)
     # Per-query values are clamped to 999.99 s: bench.py has no per-query
     # timeout of its own, and a single hung query reported at >=1000 s
@@ -468,6 +488,7 @@ def _result_line(
             "sf": sf,
             "n_queries": len(timings),
             "n_noisy": len(noisy),
+            "noisy_queries": noisy_arch,
             "n_errored": len(errors),
             "duck_total": duck_total,
             "spark_vs_duckdb_ratio": ratio,

@@ -1012,6 +1012,10 @@ def png_parse(payload: bytes) -> tuple[int, int, int, int, bytes]:
         data = payload[pos + 8: pos + 8 + length]
         if len(data) != length:
             raise ValueError(f"truncated {typ!r} chunk")
+        if pos + 12 + length > len(payload):
+            # data complete but the 4-byte CRC field cut off — same
+            # ValueError contract as every other truncation branch
+            raise ValueError(f"truncated {typ!r} chunk CRC")
         (crc,) = struct.unpack(
             ">I", payload[pos + 8 + length: pos + 12 + length]
         )

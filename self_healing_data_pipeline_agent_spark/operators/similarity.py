@@ -1384,14 +1384,17 @@ def _pc_gram(emb: DataFrame) -> DataFrame:
 
 def _pc_power(g: dict[tuple[int, int], int]) -> list[list[int]]:
     """All PC_ITERS power iterates (1-indexed rounds) from the all-ones
-    start vector, every step exact integer."""
+    start vector, every step exact integer.  The rescale divisor is
+    clamped to >= 1 (max|w| < PC_SCALE on a degenerate corpus would make
+    it 0); the SQL twins clamp with the same GREATEST so both engines
+    stay bit-identical through the degenerate branch."""
     dim = KM_DIM
     v = [PC_SCALE] * dim
     out = []
     for _ in range(PC_ITERS):
         w = [sum(g[(i, j)] * v[j - 1] for j in range(1, dim + 1))
              for i in range(1, dim + 1)]
-        denom = _km_tdiv(max(abs(x) for x in w), PC_SCALE)
+        denom = max(_km_tdiv(max(abs(x) for x in w), PC_SCALE), 1)
         v = [_km_tdiv(x, denom) for x in w]
         out.append(v)
     return out
@@ -1442,7 +1445,8 @@ def _pc_oracle() -> str:
   GROUP BY g.i
 ),
 {vname} AS (
-  SELECT i, CAST(w // (SELECT MAX(ABS(w)) // {PC_SCALE} FROM w{vname})
+  SELECT i, CAST(w // (SELECT GREATEST(MAX(ABS(w)) // {PC_SCALE}, 1)
+                       FROM w{vname})
                 AS BIGINT) AS v
   FROM w{vname}
 )"""
@@ -1503,11 +1507,14 @@ def _pc_deflated_power(
     for _ in range(PC_ITERS):
         w = [sum(g[(i, j)] * x[j - 1] for j in range(1, dim + 1))
              for i in range(1, dim + 1)]
-        denom = _km_tdiv(max(abs(a) for a in w), PC_SCALE)
+        denom = max(_km_tdiv(max(abs(a) for a in w), PC_SCALE), 1)
         wh = [_km_tdiv(a, denom) for a in w]
         wv1 = sum(wh[i] * v1[i] for i in range(dim))
+        # degenerate corpus (near-rank-one Gram / iterate parallel to
+        # v1): o can collapse toward all-zeros; the >=1 clamp keeps the
+        # trunc-div defined, mirrored by GREATEST in the SQL twin
         o = [v1v1 * wh[i] - wv1 * v1[i] for i in range(dim)]
-        denom2 = _km_tdiv(max(abs(a) for a in o), PC_SCALE)
+        denom2 = max(_km_tdiv(max(abs(a) for a in o), PC_SCALE), 1)
         x = [_km_tdiv(a, denom2) for a in o]
     return x
 
@@ -1569,7 +1576,8 @@ v0 AS (SELECT i, CAST({PC_SCALE} AS BIGINT) AS v FROM {series} s)"""
   GROUP BY g.i
 ),
 v{k} AS MATERIALIZED (
-  SELECT i, CAST(w // (SELECT MAX(ABS(w)) // {PC_SCALE} FROM wv{k})
+  SELECT i, CAST(w // (SELECT GREATEST(MAX(ABS(w)) // {PC_SCALE}, 1)
+                       FROM wv{k})
                 AS BIGINT) AS v
   FROM wv{k}
 )""")
@@ -1590,7 +1598,8 @@ n1 AS MATERIALIZED (
   GROUP BY g.i
 ),
 wh{k} AS MATERIALIZED (
-  SELECT i, CAST(w // (SELECT MAX(ABS(w)) // {PC_SCALE} FROM wx{k})
+  SELECT i, CAST(w // (SELECT GREATEST(MAX(ABS(w)) // {PC_SCALE}, 1)
+                       FROM wx{k})
                 AS BIGINT) AS v
   FROM wx{k}
 ),
@@ -1605,7 +1614,8 @@ o{k} AS (
   FROM wh{k} w JOIN v{PC_ITERS} v1 ON v1.i = w.i
 ),
 x{k} AS MATERIALIZED (
-  SELECT i, CAST(o // (SELECT MAX(ABS(o)) // {PC_SCALE} FROM o{k})
+  SELECT i, CAST(o // (SELECT GREATEST(MAX(ABS(o)) // {PC_SCALE}, 1)
+                       FROM o{k})
                 AS BIGINT) AS v
   FROM o{k}
 )""")
@@ -2094,13 +2104,19 @@ ORACLES["ann_pq_adc_topk"] = _pq_adc_oracle()
 # the artifact for candidate generation and touches raw vectors just for
 # the Q x CAND exact rerank.
 
-INDEX_VERSION = 2  # bump to invalidate every stored ANN artifact
+# Artifact invalidation is central (r12 ADVICE): index_store folds its
+# own INDEX_VERSION plus a transitive-source hash of each builder into
+# every digest, so a behavior change in _km_learn / _hyperplane / any
+# helper rebuilds automatically and ONE store-level bump invalidates all
+# families (including minhash/bpe in operators/text.py).  _serve_fp
+# carries only the family PARAMS; an ANN-only invalidation knob below.
+ANN_FAMILY_VERSION = 2
 # (v2: artifacts built through spread() so the stored table has engine-
 # parallelism file counts — a 1-file artifact serves single-core)
 
 
 def _serve_fp(*parts: object) -> str:
-    return "|".join(str(p) for p in (INDEX_VERSION, *parts))
+    return "|".join(str(p) for p in (ANN_FAMILY_VERSION, *parts))
 
 
 def _rerank_topk(emb: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -2139,18 +2155,28 @@ def _rerank_topk(emb: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
+def _lsh_codes_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted (vec_id, table, code) signature table, shared by
+    ``ann_lsh_serve`` and ``embedding_lsh_tuning``.  ONE module-level
+    builder so both consumers hit the SAME artifact digest (the builder's
+    transitive source is part of the identity since r13 — two textually
+    different lambdas would store two copies)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # spread: the one-file test parquet would otherwise build (and
+    # store) a single-partition artifact, serializing every serve scan
+    return ensure_index(
+        spark, sf_dir, "lsh_codes", _serve_fp(LSH_TABLES, LSH_BITS),
+        lambda: _lsh_coded(spread(emb), 64).select("vec_id", "table", "code"),
+    )
+
+
 def q_ann_lsh_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``q_ann_lsh_topk`` from a STORED signature table: the 12-byte
     (vec_id, table, code) rows are the persisted index; serving is a
     broadcast-query candidate join over the stored codes + the exact
     rerank.  The 32 hyperplane folds run only in the build pass."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # spread: the one-file test parquet would otherwise build (and
-    # store) a single-partition artifact, serializing every serve scan
-    coded = ensure_index(
-        spark, sf_dir, "lsh_codes", _serve_fp(LSH_TABLES, LSH_BITS),
-        lambda: _lsh_coded(spread(emb), 64).select("vec_id", "table", "code"),
-    )
+    coded = _lsh_codes_index(spark, sf_dir)
     qcodes = coded.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"), "table", "code"
     )
@@ -2393,21 +2419,39 @@ EMB_LSH_CONFIGS = [
 ]
 
 
-def _lsh_bit_array(dim: int = 64) -> F.Column:
-    """array<bigint> of the LSH_TOTAL_PLANES sign bits (1 if the
-    deterministic hyperplane projection is positive) — ONE fold pass
-    shared by every carving."""
-    bits = []
+def _lsh_bits_from_codes(coded: DataFrame) -> DataFrame:
+    """(vec_id, bits): the LSH_TOTAL_PLANES sign-bit array RECONSTRUCTED
+    from the stored (vec_id, table, code) signature rows — plane
+    t*LSH_BITS+b is bit b of table t's code, exactly the indexing
+    ``_lsh_code_for_table`` packs.  The r12 tuning query re-ran the 32
+    interpreted hyperplane folds over the corpus per run; unpacking the
+    persisted 12-byte rows costs one tiny groupBy instead (r12 verdict
+    #3)."""
+    codes_map = coded.groupBy("vec_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("table", "code"))).alias("m")
+    )
+    bit_cols = []
     for p in range(LSH_TOTAL_PLANES):
-        plane = _hyperplane(dim, p)
-        arr = F.array(*[F.lit(v) for v in plane])
-        proj = F.aggregate(
-            F.zip_with(F.col("embedding"), arr,
-                       lambda x, y: x.cast("double") * y),
-            F.lit(0.0), lambda acc, x: acc + x,
+        t, b = divmod(p, LSH_BITS)
+        bit_cols.append(
+            F.when(
+                F.element_at(F.col("m"), F.lit(t)).bitwiseAND(1 << b) > 0, 1
+            ).otherwise(0).cast("bigint")
         )
-        bits.append(F.when(proj > 0, 1).otherwise(0).cast("bigint"))
-    return F.array(*bits)
+    return codes_map.select("vec_id", F.array(*bit_cols).alias("bits"))
+
+
+def _near_dup_truth_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact cosine>=EMBED_NEAR_DUP_COS truth set, persisted (r12
+    verdict #3): the all-pairs ground-truth pass is the one quadratic
+    piece of the tuning study, and it is a pure function of (corpus
+    snapshot, threshold) — exactly what the index store keys on.  A
+    production-size sweep would persist a SAMPLED truth set the same
+    way; at test SF the full set is small (14 pairs at sf0.01)."""
+    return ensure_index(
+        spark, sf_dir, "near_dup_truth", _serve_fp(EMBED_NEAR_DUP_COS),
+        lambda: q_embedding_near_dup(spark, sf_dir).select("vec_a", "vec_b"),
+    )
 
 
 def _carved_codes(bits_df: DataFrame, tables: int, nbits: int) -> DataFrame:
@@ -2440,18 +2484,20 @@ def q_embedding_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplanes are the shared deterministic constants, so every
     carving is value-hash-checked.
 
-    Scale shape: ONE sign-fold pass builds the 32-bit array (cached —
-    the persisted signature table); each carving's candidate join moves
-    only (vec_id, table, code) rows keyed on the explicit (table, code)
-    pair; multi-probe explodes the PROBE side only (bits+1 variants) so
-    the corpus side streams by once.  The truth set is the one
-    quadratic piece, existing because the study needs ground truth — a
-    production sweep would sample.  The config rows assemble in one
-    lazy union plan."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    bits_df = emb.select("vec_id", _lsh_bit_array().alias("bits")).cache()
+    Scale shape (r13, closing r12 verdict #3 — this row ran 8.05 s as
+    the #1 weak item): BOTH expensive inputs now come from persisted
+    index artifacts.  The 32-bit sign array unpacks from the stored
+    ``lsh_codes`` signature table (shared with ``ann_lsh_serve``; the
+    interpreted hyperplane folds run only at build), and the quadratic
+    ground-truth pass serves from the stored ``near_dup_truth`` table.
+    Steady state pays: one 12-byte-row groupBy to reassemble bits, four
+    carving joins moving only (vec_id, table, code) rows keyed on the
+    explicit (table, code) pair — multi-probe explodes the PROBE side
+    only (bits+1 variants) so the corpus side streams by once — and one
+    lazy union of the config rows."""
+    bits_df = _lsh_bits_from_codes(_lsh_codes_index(spark, sf_dir)).cache()
     truth = (
-        q_embedding_near_dup(spark, sf_dir)
+        _near_dup_truth_index(spark, sf_dir)
         .select("vec_a", "vec_b", F.lit(1).alias("is_true"))
         .cache()
     )

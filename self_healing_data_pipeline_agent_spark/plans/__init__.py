@@ -31,25 +31,34 @@ def count_exchanges(df: DataFrame) -> int:
     it also renders multiple times once a cached relation embeds it, so
     counting it would measure plan printing, not data movement.
 
-    The exclusion is SCOPED to spread()'s signature (r11 ADVICE): a
-    round-robin exchange is skipped only when its partition count equals
-    ``defaultParallelism`` — the count spread() always asks for — so a
-    stray ``repartition(200)`` / ``repartition()`` (shuffle.partitions)
-    regression still counts.  Residual blind spot: an unintended
-    repartition that happens to pick exactly defaultParallelism.
+    The exclusion is SCOPED to spread()'s signature (r11/r12 ADVICE):
+    a round-robin exchange is skipped only when BOTH hold on its line —
+    the partition count equals ``defaultParallelism`` (the count
+    spread() always asks for) AND the shuffle-origin tag is
+    ``REPARTITION_BY_NUM`` (what ``repartition(n)`` emits; Spark 4.1
+    renders ``Exchange RoundRobinPartitioning(N), REPARTITION_BY_NUM``).
+    Anchoring on the origin tag instead of a trailing comma means an
+    explain-format drift, or a same-count exchange from a DIFFERENT
+    origin (e.g. an AQE rebalance), still counts.  Residual blind spot:
+    an unintended ``repartition(defaultParallelism)`` is excluded too.
     Counted in simple mode where each semantic node renders exactly
     once."""
     simple = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
         df._jdf.queryExecution(), "simple"
     )
     _dp = df.sparkSession.sparkContext.defaultParallelism
-    spread_sig = f"roundrobinpartitioning({_dp}),"
+    spread_sig = f"roundrobinpartitioning({_dp})"
+
+    def _is_spread(line: str) -> bool:
+        low = line.lower()
+        return spread_sig in low and "repartition_by_num" in low
+
     return sum(
         1
         for line in simple.splitlines()
         if "Exchange" in line
         and "BroadcastExchange" not in line
-        and spread_sig not in line.lower()
+        and not _is_spread(line)
     )
 
 

@@ -29,15 +29,83 @@ that the next call rebuilds.
 from __future__ import annotations
 
 import hashlib
+import inspect
 import json
 import os
 import shutil
+import types
 from collections.abc import Callable
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
 _REPO_ROOT = Path(__file__).resolve().parents[2]
+
+# ONE store-wide version knob (r12 ADVICE): folded into every digest here,
+# so a single bump invalidates every stored artifact — including families
+# (minhash, bpe) that keep their own per-family constants as an extra,
+# narrower knob.  Bump on store-format changes; BEHAVIOR changes in
+# builders are caught automatically by _code_fingerprint below.
+INDEX_VERSION = 3
+
+_PKG = __name__.split(".")[0]
+
+
+def _code_fingerprint(fn: Callable) -> str:
+    """Digest of the builder's TRANSITIVE same-package source: the
+    function's own source text plus, recursively, every function it
+    references by global name from this package, plus the repr of any
+    referenced module-level scalar constants.
+
+    This closes the r12 ADVICE staleness hole: artifact identity was
+    params + source-parquet identity only, so a behavior change in a
+    builder or its helpers (``_km_learn``, ``_hyperplane``,
+    ``_minhash_sigs``, ...) silently served a stale artifact until
+    someone remembered to bump a version constant.  Folding the
+    transitive builder source into every digest makes a code edit
+    rebuild automatically — fail-safe (a comment-only edit also
+    rebuilds, costing one build; serving wrong data costs correctness).
+
+    Blind spots, documented: closure cell VALUES (co_freevars) are not
+    hashed — serve fingerprints must carry data-identity via the params
+    string and `_source_sig` as before; and non-function globals
+    (classes, modules) fold by name only."""
+
+    def _codes(code: types.CodeType):
+        yield code
+        for const in code.co_consts:
+            if isinstance(const, types.CodeType):
+                yield from _codes(const)
+
+    pieces: dict[str, str] = {}
+    stack: list[types.FunctionType] = [fn]  # type: ignore[list-item]
+    while stack:
+        f = stack.pop()
+        key = getattr(f, "__qualname__", repr(f))
+        if key in pieces:
+            continue
+        try:
+            pieces[key] = inspect.getsource(f)
+        except (OSError, TypeError):
+            pieces[key] = key  # source unavailable: name-only identity
+        names: set[str] = set()
+        code = getattr(f, "__code__", None)
+        if code is not None:
+            for c in _codes(code):
+                names.update(c.co_names)
+        g = getattr(f, "__globals__", {})
+        for name in sorted(names):
+            if name not in g:
+                continue
+            val = g[name]
+            if isinstance(val, types.FunctionType) and getattr(
+                val, "__module__", ""
+            ).split(".")[0] == _PKG:
+                stack.append(val)
+            elif isinstance(val, (bool, int, float, str, bytes, tuple)):
+                pieces[f"{key}::{name}"] = repr(val)
+    blob = "\n".join(f"{k}\n{v}" for k, v in sorted(pieces.items()))
+    return hashlib.md5(blob.encode()).hexdigest()[:10]
 
 
 def _store_root() -> Path:
@@ -57,8 +125,18 @@ def _source_sig(sf_dir: str | Path, table: str) -> str:
     return ";".join(parts)
 
 
-def _digest(sf_dir: str | Path, table: str, fingerprint: str) -> str:
-    key = f"{Path(sf_dir).resolve()}|{_source_sig(sf_dir, table)}|{fingerprint}"
+def _digest(
+    sf_dir: str | Path, table: str, fingerprint: str, build: Callable
+) -> str:
+    key = "|".join(
+        (
+            str(Path(sf_dir).resolve()),
+            _source_sig(sf_dir, table),
+            f"v{INDEX_VERSION}",
+            f"code:{_code_fingerprint(build)}",
+            fingerprint,
+        )
+    )
     return hashlib.md5(key.encode()).hexdigest()[:16]
 
 
@@ -102,10 +180,10 @@ def ensure_index(
 ) -> DataFrame:
     """Return the stored index table for ``name``, building it first iff
     absent or stale.  ``build()`` produces the artifact DataFrame; it runs
-    once per (params, corpus snapshot) and its output is written as
-    parquet, so every later call is a plain parquet scan — the serving
-    path."""
-    slot = _slot(name, _digest(sf_dir, source_table, fingerprint))
+    once per (params, corpus snapshot, builder code version) and its
+    output is written as parquet, so every later call is a plain parquet
+    scan — the serving path."""
+    slot = _slot(name, _digest(sf_dir, source_table, fingerprint, build))
     data = slot / "data"
     meta = slot / "meta.json"
     if not meta.is_file():
@@ -134,7 +212,7 @@ def ensure_model(
     row artifacts.  These are the K*D-int states the training loops hold
     on the driver; persisting them is what lets a serve query skip the
     Lloyd/projection training entirely."""
-    slot = _slot(name, _digest(sf_dir, source_table, fingerprint))
+    slot = _slot(name, _digest(sf_dir, source_table, fingerprint, build))
     blob = slot / "model.json"
     meta = slot / "meta.json"
     # meta is the commit marker (written last), as in ensure_index: a

@@ -120,6 +120,65 @@ def test_parallel_corpora_coexist_but_snapshots_supersede(
     assert len(calls) == 3, "corpus B's slot must have survived the prune"
 
 
+def test_builder_code_change_rebuilds(spark, store_dir):
+    """r12 ADVICE: a behavior change in the builder must invalidate the
+    stored artifact WITHOUT anyone bumping a version constant — identity
+    now folds a hash of the builder's transitive source."""
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(3).selectExpr("id", "id + 1 AS v")
+
+    ist.ensure_index(spark, SF_DIR, "t6", "fp", build)
+    ist.ensure_index(spark, SF_DIR, "t6", "fp", build)
+    assert len(calls) == 1, "same code + params must serve"
+
+    def build(  # noqa: F811 - same name, different body = a code change
+    ):
+        calls.append(1)
+        return spark.range(3).selectExpr("id", "id + 2 AS v")
+
+    served = ist.ensure_index(spark, SF_DIR, "t6", "fp", build)
+    assert len(calls) == 2, "a builder-body change must rebuild"
+    assert sorted(r["v"] for r in served.collect()) == [2, 3, 4]
+
+
+def _exec_fake_pkg_fn(tmp_path, fname: str, src: str):
+    """Compile ``src`` against a real file so inspect.getsource works,
+    under a fake module name INSIDE the package so _code_fingerprint's
+    same-package recursion follows the helper."""
+    p = tmp_path / fname
+    p.write_text(src)
+    g = {"__name__": "self_healing_data_pipeline_agent_spark._fp_probe"}
+    exec(compile(src, str(p), "exec"), g)
+    return g["build"]
+
+
+def test_code_fingerprint_tracks_helper_source(tmp_path):
+    """The r12 ADVICE scenario: the builder's OWN source is unchanged but
+    a same-package helper it calls changed behavior — the fingerprint
+    must move (and must NOT move for byte-identical source)."""
+    template = (
+        "def helper():\n    return {body}\n\n"
+        "def build():\n    return helper()\n"
+    )
+    b1 = _exec_fake_pkg_fn(tmp_path, "m1.py", template.format(body="1"))
+    b2 = _exec_fake_pkg_fn(tmp_path, "m2.py", template.format(body="2"))
+    b3 = _exec_fake_pkg_fn(tmp_path, "m3.py", template.format(body="1"))
+    assert ist._code_fingerprint(b1) != ist._code_fingerprint(b2)
+    assert ist._code_fingerprint(b1) == ist._code_fingerprint(b3)
+
+
+def test_code_fingerprint_tracks_module_constants(tmp_path):
+    """Referenced module-level scalar constants fold by repr: a KM_SCALE-
+    style constant change rebuilds even when no function body moved."""
+    template = "SCALE = {val}\n\ndef build():\n    return SCALE\n"
+    b1 = _exec_fake_pkg_fn(tmp_path, "c1.py", template.format(val="10"))
+    b2 = _exec_fake_pkg_fn(tmp_path, "c2.py", template.format(val="20"))
+    assert ist._code_fingerprint(b1) != ist._code_fingerprint(b2)
+
+
 def test_missing_meta_triggers_rebuild(spark, store_dir):
     calls = []
 

@@ -912,6 +912,11 @@ def test_png_codec_spec_parse():
         _png_decode(b"XXXX" + p[4:])
     with pytest.raises(ValueError, match="truncated"):
         _png_decode(p[:-8])
+    with pytest.raises(ValueError, match="truncated"):
+        # chunk DATA complete but the 4-byte CRC field cut short (r12
+        # ADVICE: this used to escape as struct.error) — rebuild p so the
+        # LAST chunk's CRC is the truncation point
+        _png_decode(p[:-2])
     with pytest.raises(ValueError, match="unsupported"):
         # 16-bit depth IHDR with a correct CRC must still be rejected
         ihdr = struct.pack(">IIBBBBB", 16, 16, 16, 2, 0, 0, 0)
@@ -1156,6 +1161,31 @@ def test_top2_pc_orthogonality_and_bigint_bounds(spark, sf_dir):
     # w entries: sum of 64 g*x products; o entries: v1v1*wh or wv1*v1
     bound = max(64 * gmax * v1max, v1v1 * PC_SCALE, 64 * v1max * v1max * PC_SCALE)
     assert bound < 2 ** 62, f"deflation intermediate bound {bound} too close to BIGINT"
+
+
+def test_pc_power_degenerate_gram_no_crash():
+    """r12 ADVICE: on a degenerate corpus (all-zero / rank-one Gram, or
+    an iterate parallel to v1) the rescale divisor collapses to 0 — both
+    loops must survive via the >=1 clamp (the SQL twins carry the same
+    GREATEST), not die with ZeroDivisionError."""
+    from self_healing_data_pipeline_agent_spark.operators.similarity import (
+        KM_DIM,
+        _pc_deflated_power,
+        _pc_power,
+    )
+
+    zero_g = {(i, j): 0 for i in range(1, KM_DIM + 1)
+              for j in range(1, KM_DIM + 1)}
+    v1 = _pc_power(zero_g)[-1]
+    assert all(v == 0 for v in v1)
+    assert all(v == 0 for v in _pc_deflated_power(zero_g, v1))
+    # rank-one Gram: g = a a^T with tiny a -> max|w| < PC_SCALE on the
+    # deflated path once the projection removes v1 exactly
+    a = [1 if i % 3 == 0 else 0 for i in range(KM_DIM)]
+    one_g = {(i, j): a[i - 1] * a[j - 1]
+             for i in range(1, KM_DIM + 1) for j in range(1, KM_DIM + 1)}
+    v1 = _pc_power(one_g)[-1]
+    _pc_deflated_power(one_g, v1)  # must not raise
 
 
 def test_dsir_quantization_tripwire():

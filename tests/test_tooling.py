@@ -126,6 +126,14 @@ def test_bench_result_line_queries_survive_tail_truncation():
     parsed = json.loads(line)
     assert list(parsed)[-1] == "queries"
     assert parsed["value"] == 99999.999
+    # r13: noisy names are archived IN the line (stderr is not kept by
+    # the driver) — capped, most-expensive-first, overflow marked
+    assert parsed["n_noisy"] == len(bench.HEADLINE)
+    arch = parsed["noisy_queries"]
+    assert len(arch) <= bench.NOISY_ARCHIVE_CHARS + 10
+    listed = arch.split("(+")[0].split(",")
+    assert all(n in bench.HEADLINE for n in listed if n)
+    assert "(+" in arch, "worst case must mark the overflow"
     assert len(parsed["queries"]) == min(bench.TOP_K, len(timings))
     assert all(v == 999.99 for v in parsed["queries"].values())
     # the r12 adjudication column: same names as the Spark map, clamped
