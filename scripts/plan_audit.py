@@ -51,6 +51,7 @@ EXPECTED = {
     "streaming_profile_compaction": "BNLJ = 1-row max-day broadcast crossJoin (the retention cutoff)",
     "streaming_profile_compaction2": "BNLJ = 1-row max-day broadcast for BOTH tier keyings; shuffles: two union tiers + the rank-audit join over sketch-row-sized data",
     "substring_dup_spans": "shuffles: postings/fingerprint index builds + doc-prune semis + gram join + islands window (pinned by test_plan_shapes); all stages bucketed, none all-pairs",
+    "substring_dup_serve": "shuffles: the spans pipeline minus the index builds (both read from stored parquet): candidate self-join + doc-prune semis + gram join + islands window — 9 vs the build-inline 17",
     "substring_dup_coverage": "shuffles: the spans lineage + interval-union agg + per-doc join; union runs over pair-count-sized data only",
     "theta_priority_overlap": "BNLJ = pairwise combination of priority-count-sized broadcast sketch rows",
     # r9 operators

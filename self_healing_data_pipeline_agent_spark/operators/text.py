@@ -2545,8 +2545,26 @@ def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Positions are 0-based ordinals over non-empty tokens (ties to the
     DuckDB oracle's 1-based list index minus one).  All output columns are
-    exact integers — no floats anywhere in the contract."""
-    df = load_table(spark, sf_dir, "documents")
+    exact integers — no floats anywhere in the contract.
+
+    Both the gram postings and the fingerprint sets are traversed TWICE
+    (each side of a self-join re-executes the lineage) — cached, the
+    _shingle_df convention.  At corpus scale a production run
+    materializes exactly these two tables per snapshot (the postings
+    index and the winnowed fingerprint index; ``q_substring_dup_serve``
+    IS that run, via the index store); cache is the in-session
+    equivalent.  Measured: halves the cold wall, -16% warm at sf0.1."""
+    grams = _substr_gram_postings(
+        load_table(spark, sf_dir, "documents")
+    ).cache()
+    fps = q_rolling_fingerprints(spark, sf_dir).cache()
+    return _substr_spans_from(grams, fps)
+
+
+def _substr_gram_postings(df: DataFrame) -> DataFrame:
+    """The (doc_id, p, gh) md5'd 4-gram postings table — stage-2 input of
+    the ExactSubstr ring, shared by the build-inline spans query and the
+    serve twin's artifact builder."""
     toks = (
         df.select(
             "doc_id", F.posexplode(F.split("text", " ")).alias("rawpos", "tok")
@@ -2563,13 +2581,7 @@ def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("tok", 2).over(wp),
         F.lead("tok", 3).over(wp),
     )
-    # Both the gram postings and the fingerprint sets are traversed TWICE
-    # (each side of a self-join re-executes the lineage) — cached, the
-    # _shingle_df convention.  At corpus scale a production run
-    # materializes exactly these two tables per snapshot (the postings
-    # index and the winnowed fingerprint index); cache is the in-session
-    # equivalent.  Measured: halves the cold wall, -16% warm at sf0.1.
-    grams = (
+    return (
         toks.select(
             "doc_id",
             # bigint, matching the oracle's CAST(MIN(pa) AS BIGINT): the
@@ -2582,10 +2594,13 @@ def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("_tail").isNotNull())
         .select("doc_id", "p", F.md5("g").alias("gh"))
-        .cache()
     )
 
-    fps = q_rolling_fingerprints(spark, sf_dir).cache()
+
+def _substr_spans_from(grams: DataFrame, fps: DataFrame) -> DataFrame:
+    """Candidate pairs -> doc-level prunes -> gram join -> gaps-and-
+    islands, given the two index tables (cached lineages or stored
+    parquet artifacts — the plan downstream is identical)."""
     # cand feeds THREE consumers (both doc-level prunes + the pair-level
     # semi join) — cached too, or the fingerprint self-join executes three
     # times (r7 review; verified: zero ReusedExchange across the copies)
@@ -2673,6 +2688,38 @@ FROM isl
 GROUP BY doc_a, doc_b, diag, isl
 HAVING COUNT(*) >= {SUBSTR_MIN_RUN}
 """
+
+
+SUBSTR_INDEX_VERSION = 1  # family knob (store version + builder hash on top)
+
+
+def q_substring_dup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``q_substring_dup_spans`` from STORED index tables — the eighth
+    serving-split family (r12 verdict #4): the winnowed-fingerprint sets
+    and the md5'd 4-gram postings persist via the index store, exactly
+    the two tables the spans docstring says a production run
+    materializes per corpus snapshot (Lee et al. 2022 build their suffix
+    automaton once per corpus for the same reason).  Serving pays only
+    the candidate self-join over stored fingerprints, the doc prunes,
+    the postings join, and the islands window — tokenization and both
+    window passes run only at build.  Identical arithmetic, so the twin
+    shares the spans oracle."""
+    grams = ensure_index(
+        spark, sf_dir, "substr_grams",
+        f"{SUBSTR_INDEX_VERSION}|k{SUBSTR_K}",
+        lambda: _substr_gram_postings(load_table(spark, sf_dir, "documents")),
+        source_table="documents",
+    )
+    fps = ensure_index(
+        spark, sf_dir, "winnow_fps",
+        f"{SUBSTR_INDEX_VERSION}|w{WINNOW_W}",
+        lambda: q_rolling_fingerprints(spark, sf_dir),
+        source_table="documents",
+    )
+    return _substr_spans_from(grams, fps)
+
+
+ORACLES["substring_dup_serve"] = ORACLES["substring_dup_spans"]
 
 
 # --- per-source curation scorecard -------------------------------------------

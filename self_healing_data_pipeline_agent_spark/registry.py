@@ -37,112 +37,80 @@ _MODULES = [
 # (tests/test_oracle_parity.py, which runs ALL pairs) — not the official
 # record — decides what needs the window.
 QUERY_ORDER = [
-    # -- r12 new operators (never-green, must be in-window): the index
-    #    SERVING twins — each ANN family answered from its persisted
-    #    artifact (sources/index_store) instead of re-training inside the
-    #    query; identical arithmetic, so each shares its build-inline
-    #    twin's oracle --
-    "ann_lsh_serve",
-    "ann_jl_serve",
-    "ann_ivf_kmeans_serve",
-    "ann_pq_serve",
-    # -- the 2-D PCA basis (never-green): deflated power iteration to
-    #    the second dominant direction, exact-BIGINT multiply-through
-    #    Hotelling step (no division) --
-    "embedding_top2_pc",
-    # -- fail-closed re-check: _pc_gram reshaped r12 (struct-free flat
-    #    outer product + posexplode; values identical, steady 0.9->0.7 s
-    #    at sf0.1) — the Gram feeds embedding_top_pc, so its record is
-    #    re-earned in-window --
-    "embedding_top_pc",
-    # -- the at-scale threshold variants the r11 docs promise (never-
-    #    green): DSIR selection and CCNet tiering from DETERMINISTIC
-    #    md5-sample quantile cuts — the stateless-map production shape,
-    #    still value-hash-exact --
-    "dsir_select_threshold",
-    "ccnet_ppl_thresholds",
-    # -- the embedding-LSH carving study (never-green): candidates/
-    #    hits/misses per (tables, bits) carving of the 32 shared
-    #    hyperplane bits + a single-bit-flip multi-probe variant —
-    #    converts embedding_near_dup_lsh's prose recall argument into
-    #    measured data --
+    # -- r13 new operator (never-green): the ExactSubstr ring's serving
+    #    twin — spans answered from the stored winnowed-fingerprint +
+    #    4-gram postings artifacts, the eighth index-store family --
+    "substring_dup_serve",
+    # -- r13 changed-implementation fail-closed re-checks: the LSH
+    #    carving study now unpacks its sign bits from the stored
+    #    lsh_codes artifact and reads the persisted near_dup_truth table
+    #    (r12 verdict #3; 8.05 s -> ~4-6 s steady); ann_lsh_serve shares
+    #    the extracted module-level builder; substring_dup_spans'
+    #    postings build moved into the helper the serve twin persists.
+    #    Values unchanged per local parity; records re-earned in-window --
     "embedding_lsh_tuning",
-    # -- the first COMPRESSED real-container codec (never-green): PNG
-    #    via stdlib zlib — chunk walk + CRC32 + multi-IDAT inflate + all
-    #    five unfilters, round-trip-checked in the kernel --
-    "multimodal_decode_png",
-    # -- the dedup family's serving twin (never-green): minhash_lsh_pairs
-    #    answered from the persisted signature table --
-    "minhash_lsh_serve",
-    # -- the tokenizer ring's serving twin (never-green): bpe_encode_stats
-    #    from the stored merge table — encode-only steady state --
-    "bpe_encode_serve",
-    # -- changed-oracle fail-closed re-checks: both BPE oracles gained
-    #    the COALESCE-to-'' guard for the fewer-merges-than-rounds edge
-    #    (r11 ADVICE; values unchanged on the test corpora per local
-    #    parity, records re-earned in-window) --
-    "bpe_merges",
-    "bpe_encode_stats",
-    # -- the carving study's conclusion shipped (never-green): multi-
-    #    probe near-dup at the production carving — full measured recall
-    #    at probe cost instead of index cost --
-    "embedding_near_dup_mp",
-    # -- the 2-D PCA projection materialized (never-green): every vector's
-    #    exact-integer coordinates along the two power/deflation iterates --
+    "ann_lsh_serve",
+    "substring_dup_spans",  # also the r8 cohort (double reason)
+    # -- r13 changed-oracle fail-closed re-checks: the power-iteration
+    #    rescale divisors gained the >=1 degenerate-corpus clamp on BOTH
+    #    engines (r12 ADVICE; values unchanged on real corpora — the
+    #    clamp only binds when max|w| < PC_SCALE) --
+    "embedding_top_pc",
+    "embedding_top2_pc",
     "embedding_pca_coords",
-    # -- the SemDeDup cell map served (never-green): the prune stage
-    #    re-runs against the STORED assignment — the tau-sweep shape --
-    "semantic_dedup_serve",
-    # (more r12 operators are appended here as they land; each displaces
-    #  an r8-cohort entry from the window TAIL below)
-    # -- the 31 r7-aged records (official_greens: every query whose last
-    #    official green is round 7 — the oldest cohort after the r11
-    #    window re-greened the r6 spill).  Order: the official-record
-    #    enumeration; all are local-parity green today. --
-    "disjunctive_revenue",
-    "drift_compare",
-    "grouped_drift_profile",
-    "stats_profile",
-    "topk_orders_per_priority",
-    "doc_fingerprints",
-    "rolling_fingerprints",
-    "streaming_hourly_counts",
-    "streaming_dq_profile",
-    "stateful_sessions",
-    "dedup_keep_best",
-    "tpch_q7",
-    "tpch_q10",
-    "psi_drift",
-    "incremental_dedup",
-    "normalize_text",
-    "error_context_join",
-    "key_skew_profile",
-    "mad_outlier_profile",
-    "scd2_priority_history",
-    "session_concurrency",
-    "profit_by_nation_year",
-    "multimodal_features",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "simhash_near_dup_blocked",
-    "streaming_error_context",
-    "streaming_dedup_hourly",
-    "frequent_items_sketch",
-    "source_scorecard",
-    "streaming_profile_compaction",
-    # -- r8-cohort filler up to the 50-entry window (oldest remaining
-    #    records; displaced from the TAIL as new r12 operators land) --
-    # streaming_state_metrics is rows-only by nature (progress metrics
-    # have no SQL twin) and thus never earns a green hash — it takes a
-    # recurring window slot so the rows-only check stays fresh.
+    # -- rows-only recurring slot: progress metrics have no SQL twin, so
+    #    this never earns a green hash and re-takes a seat every round --
     "streaming_state_metrics",
-    "distinct_counts",
-    # (merge_upsert_orders, order_lag_lead, promo_revenue_share,
-    #  quantile_profile, regional_supplier_volume, rolling_order_totals,
-    #  semi_join_open_orders, shipping_priority, distinct_event_types,
-    #  hourly_windows spilled from the filler as r12 operators landed —
-    #  r13 MUST-window with the rest of the r8 cohort)
-    # Below the 50-entry window: everything else carries an r8-r11
+    # -- the r8-cohort MUST-window (r12 verdict #1): the 10 queries that
+    #    spilled from the r12 filler as new operators landed --
+    "merge_upsert_orders",
+    "order_lag_lead",
+    "promo_revenue_share",
+    "quantile_profile",
+    "regional_supplier_volume",
+    "rolling_order_totals",
+    "semi_join_open_orders",
+    "shipping_priority",
+    "distinct_event_types",
+    "hourly_windows",
+    # -- r8-cohort filler (oldest remaining records, official-record
+    #    enumeration): 32 of the other 37 r8-aged greens fit below; the
+    #    last 5 (tfidf_top_terms, theta_priority_overlap, tpch_q6,
+    #    tpch_q8, user_rolling_hour) spill to the r14 window — r14
+    #    MUST-window those with whatever else ages out --
+    "ann_ivf_topk",
+    "anti_join_no_f_orders",
+    "approx_distinct_counts",
+    "char_lm_perplexity",
+    "chunk_with_overlap",
+    "cohort_retention",
+    "concentrated_value_parts",
+    "contamination_score",
+    "curate_corpus",
+    "customer_churn_sketch",
+    "embedding_near_dup",
+    "embedding_near_dup_lsh",
+    "grouped_dq_profile",
+    "healing_proposals",
+    "hll_distinct_profile",
+    "idle_rich_customers",
+    "jaccard_pairs",
+    "json_extract",
+    "kll_quantile_bounds",
+    "large_volume_customers",
+    "late_data_profile",
+    "one_pass_profile",
+    "payload_dedup",
+    "prefix_filter_jaccard",
+    "semantic_dedup",
+    "sessionization",
+    "simhash_fingerprints",
+    "simhash_near_dup",
+    "sliding_windows",
+    "sole_late_supplier",
+    "streaming_profile_compaction2",
+    "supplier_part_breadth",
+    # Below the 50-entry window: everything else carries an r9-r12
     # official green against current testdata and unchanged code.
     # scripts/window_audit.py tracks staleness (contract fingerprints);
     # local parity re-verifies the full surface each session at
