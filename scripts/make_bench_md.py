@@ -47,6 +47,11 @@ SERVE_PAIRS = {
 }
 _BUILD_TWINS = set(SERVE_PAIRS.values())
 
+# non-pair roles: rows whose label isn't a build/serve twin relationship
+EXTRA_ROLES = {
+    "lsh_index_refresh": "incremental maintenance",
+}
+
 
 def time_spark(sf_dir: str) -> dict[str, float]:
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
@@ -110,7 +115,7 @@ def main() -> None:
         elif name in _BUILD_TWINS:
             role = "build-inline twin"
         else:
-            role = ""
+            role = EXTRA_ROLES.get(name, "")
         lines.append(f"| {name} | {s:.3f} | {dd} | {ratio} | {role} |")
     ts, td = sum(spark_t.values()), sum(duck_t.values())
     lines.append(f"| **total** | **{ts:.2f}** | **{td:.2f}** | **{ts / td:.1f}x** |")

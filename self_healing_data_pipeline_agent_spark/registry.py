@@ -37,10 +37,14 @@ _MODULES = [
 # (tests/test_oracle_parity.py, which runs ALL pairs) — not the official
 # record — decides what needs the window.
 QUERY_ORDER = [
-    # -- r13 new operator (never-green): the ExactSubstr ring's serving
+    # -- r13 new operators (never-green): the ExactSubstr ring's serving
     #    twin — spans answered from the stored winnowed-fingerprint +
-    #    4-gram postings artifacts, the eighth index-store family --
+    #    4-gram postings artifacts, the eighth index-store family — and
+    #    the incremental LSH index refresh (standing corpus served from
+    #    the artifact, only the ingest batch re-coded; oracle recodes
+    #    everything, so the incremental path is hash-checked exact) --
     "substring_dup_serve",
+    "lsh_index_refresh",
     # -- r13 changed-implementation fail-closed re-checks: the LSH
     #    carving study now unpacks its sign bits from the stored
     #    lsh_codes artifact and reads the persisted near_dup_truth table
@@ -74,10 +78,11 @@ QUERY_ORDER = [
     "distinct_event_types",
     "hourly_windows",
     # -- r8-cohort filler (oldest remaining records, official-record
-    #    enumeration): 32 of the other 37 r8-aged greens fit below; the
-    #    last 5 (tfidf_top_terms, theta_priority_overlap, tpch_q6,
-    #    tpch_q8, user_rolling_hour) spill to the r14 window — r14
-    #    MUST-window those with whatever else ages out --
+    #    enumeration): 31 of the other 37 r8-aged greens fit below; the
+    #    last 6 (supplier_part_breadth, tfidf_top_terms,
+    #    theta_priority_overlap, tpch_q6, tpch_q8, user_rolling_hour)
+    #    spill to the r14 window — r14 MUST-window those with whatever
+    #    else ages out --
     "ann_ivf_topk",
     "anti_join_no_f_orders",
     "approx_distinct_counts",
@@ -109,7 +114,6 @@ QUERY_ORDER = [
     "sliding_windows",
     "sole_late_supplier",
     "streaming_profile_compaction2",
-    "supplier_part_breadth",
     # Below the 50-entry window: everything else carries an r9-r12
     # official green against current testdata and unchanged code.
     # scripts/window_audit.py tracks staleness (contract fingerprints);

@@ -992,3 +992,27 @@ def test_bpe_encode_serve_is_one_scan(spark, sf_dir):
         df._jdf.queryExecution(), "simple")
     assert simple.count("Scan parquet") == 1  # the corpus, no sig/index scans
     assert count_exchanges(df) == 1  # the 5-group aggregate only
+
+
+def test_lsh_index_refresh_recodes_only_the_batch(spark, sf_dir):
+    """The incremental-maintenance contract (r13): the refresh plan must
+    read the STANDING corpus from the stored artifact (a parquet scan of
+    the index store) and re-code ONLY the ingest batch — exactly one
+    scan of the embeddings table, with the batch's vec_id % predicate
+    pushed to it, and zero joins/shuffles anywhere (artifact scan UNION
+    narrow map)."""
+    from self_healing_data_pipeline_agent_spark.operators.similarity import (
+        q_lsh_index_refresh,
+    )
+
+    df = q_lsh_index_refresh(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "indexes" in plan, "standing corpus not served from the store"
+    simple = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple")
+    # one embeddings scan (the batch) + one artifact scan
+    assert simple.count("Scan parquet") == 2, simple
+    assert has_pushed_filter(df, "vec_id"), (
+        "batch predicate not pushed into the embeddings scan"
+    )
+    assert count_exchanges(df) == 0, "refresh must be join- and shuffle-free"
