@@ -239,6 +239,7 @@ TABLES = (
 # (CPU steal / noisy neighbor), not the engine — take extra samples.
 NOISE_RATIO = 2.0
 MAX_RUNS = 4
+WARMING_RATIO = 0.85  # newest run >15% under the prior best = still warming
 NOISY_ARCHIVE_CHARS = 300  # cap on the archived noisy-name string
 DUCK_QUERY_TIMEOUT_S = 120  # watchdog cap per oracle execution
 
@@ -258,6 +259,39 @@ def _time_spark(queries, name, spark, sf_dir) -> float:
     t0 = time.perf_counter()
     queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
+
+
+def _sample_runs(once) -> tuple[list[float], bool]:
+    """Best-of-N sampling with two continue conditions, up to MAX_RUNS:
+
+    - NOISE: consecutive same-plan runs disagreeing by >NOISE_RATIO mean
+      the host stalled mid-pair (CPU steal) — resample, and flag the
+      query noisy in the archive.
+    - WARMING: the newest run beating every prior one by >15% means the
+      plan's one-time compile / codegen JIT is still amortizing, NOT
+      noise — the heavy driver-loop rows (perceptron, BPE, PageRank)
+      compile for seconds, and a declining [13 s, 7 s] pair passes the
+      noise stop rule yet records ~3x the steady state (r13 preview:
+      perceptron_lang_clf 7.24 s recorded, 2.8 s steady).  Keep sampling
+      toward the floor; a warming-only resample is NOT flagged noisy.
+    """
+    runs: list[float] = []
+    was_noisy = False
+    while len(runs) < MAX_RUNS:
+        runs.append(once())
+        if len(runs) < 2:
+            continue
+        if runs[-1] < WARMING_RATIO * min(runs[:-1]):
+            # checked BEFORE the noise rule: a stall makes runs SLOWER,
+            # never faster, so a new floor is warming by construction
+            # (and must not trip the >NOISE_RATIO pair check that a
+            # steep [13, 7, 3] descent would otherwise hit)
+            continue
+        if max(runs[-2:]) > NOISE_RATIO * min(runs):
+            was_noisy = True
+            continue
+        break
+    return runs, was_noisy
 
 
 def _bench_duckdb(names: list[str], sf_dir: str) -> dict[str, float]:
@@ -385,12 +419,10 @@ def main() -> None:
                 # rule with the still-warming second run as the min —
                 # observed 3.49 s recorded for a 1.45 s steady state)
                 _time_spark(queries, name, spark, sf_dir)
-            runs: list[float] = []
-            while len(runs) < MAX_RUNS:
-                runs.append(_time_spark(queries, name, spark, sf_dir))
-                if len(runs) >= 2 and max(runs[-2:]) <= NOISE_RATIO * min(runs):
-                    break
-            if len(runs) > 2:
+            runs, was_noisy = _sample_runs(
+                lambda: _time_spark(queries, name, spark, sf_dir)
+            )
+            if was_noisy:
                 noisy.append(name)
             timings[name] = round(min(runs), 3)
         except Exception as exc:  # noqa: BLE001 - one broken query must not

@@ -1016,3 +1016,23 @@ def test_lsh_index_refresh_recodes_only_the_batch(spark, sf_dir):
         "batch predicate not pushed into the embeddings scan"
     )
     assert count_exchanges(df) == 0, "refresh must be join- and shuffle-free"
+
+
+def test_every_serve_family_reads_the_index_store(spark, sf_dir):
+    """All eight *_serve twins (r12-r13) must source their candidates
+    from a STORED artifact scan — 'indexes' appearing in the formatted
+    plan is the cheap invariant that none of them silently regressed to
+    re-deriving the index inline."""
+    from self_healing_data_pipeline_agent_spark.registry import all_queries
+
+    qs = all_queries()
+    serves = sorted(n for n in qs if n.endswith("_serve"))
+    assert len(serves) == 8, serves
+    for name in serves:
+        plan = formatted_plan(qs[name](spark, sf_dir))
+        if name == "bpe_encode_serve":
+            # model-blob family: the merge table is a DRIVER-held JSON
+            # artifact inlined as literals — no parquet scan to assert;
+            # its own plan test pins the one-scan/learn-free shape
+            continue
+        assert "indexes" in plan, f"{name} does not read the index store"

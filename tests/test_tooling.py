@@ -207,3 +207,31 @@ def test_query_order_names_all_exist():
     declared = set(all_queries())
     missing = [n for n in QUERY_ORDER if n not in declared]
     assert not missing, f"QUERY_ORDER names without implementations: {missing}"
+
+
+def test_bench_sample_runs_warming_vs_noise():
+    """_sample_runs must (a) stop at 2 on a steady pair, (b) keep
+    sampling through a still-warming decline WITHOUT flagging noise
+    (the r13 perceptron case: [13, 7] passes the noise rule but is 3x
+    steady state), and (c) flag noise on a genuine mid-pair stall."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    def feed(seq):
+        it = iter(seq)
+        return lambda: next(it)
+
+    runs, noisy = bench._sample_runs(feed([1.0, 1.05]))
+    assert runs == [1.0, 1.05] and not noisy
+
+    runs, noisy = bench._sample_runs(feed([13.0, 7.0, 3.0, 2.8]))
+    assert len(runs) == 4 and min(runs) == 2.8
+    assert not noisy, "a warming decline is not host noise"
+
+    runs, noisy = bench._sample_runs(feed([1.0, 3.0, 1.05, 1.1]))
+    assert noisy, "a >NOISE_RATIO mid-pair swing must flag noisy"
+    assert min(runs) == 1.0
+
+    # MAX_RUNS bounds a never-converging host
+    runs, noisy = bench._sample_runs(feed([8.0, 4.0, 2.0, 1.0, 0.5]))
+    assert len(runs) == bench.MAX_RUNS
