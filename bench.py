@@ -128,6 +128,10 @@ HEADLINE = [
     "multimodal_decode_ppm",
     "payload_dedup",
     "embedding_near_dup_lsh",
+    # r13: the shipped multi-probe variant next to its serving twin —
+    # the near-dup contract's build/serve pair (serve = production)
+    "embedding_near_dup_mp",
+    "embedding_near_dup_serve",
     # r12: the compressed-codec ring — real zlib deflate+inflate and
     # five-filter PNG coding in two chained Arrow kernels; the genuinely
     # Python-work-bound multimodal row.

@@ -44,6 +44,7 @@ SERVE_PAIRS = {
     "bpe_encode_serve": "bpe_encode_stats",
     "semantic_dedup_serve": "semantic_dedup",
     "substring_dup_serve": "substring_dup_spans",
+    "embedding_near_dup_serve": "embedding_near_dup_mp",
 }
 _BUILD_TWINS = set(SERVE_PAIRS.values())
 

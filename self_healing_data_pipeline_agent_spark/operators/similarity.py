@@ -2833,6 +2833,53 @@ def q_semantic_dedup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["semantic_dedup_serve"] = ORACLES["semantic_dedup"]
 
 
+def q_embedding_near_dup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup CONTRACT served: ``q_embedding_near_dup_mp`` (the
+    carving study's shipped multi-probe configuration) answered from the
+    stored ``lsh_codes`` signature table instead of re-running the 32
+    hyperplane folds per run — the ninth serve twin.  Serving pays the
+    probe-side explode (bits+1 12-byte variants), the (table, code)
+    candidate join, and the exact-cosine verify; identical arithmetic,
+    so it shares the multi-probe oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    coded = _lsh_codes_index(spark, sf_dir)
+    probes = [F.col("code")]
+    probes += [
+        F.col("code").bitwiseXOR(F.lit(1 << b)) for b in range(LSH_BITS)
+    ]
+    a = coded.select(
+        F.col("vec_id").alias("vec_a"), "table",
+        F.explode(F.array(*probes)).alias("code"),
+    )
+    cand = (
+        a.join(
+            coded.select(F.col("vec_id").alias("vec_b"), "table", "code"),
+            ["table", "code"],
+        )
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+        .select("vec_a", "vec_b")
+    )
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        l2_norm(F.col("embedding")).alias("na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        l2_norm(F.col("embedding")).alias("nb"),
+    )
+    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", sim.alias("cosine"))
+        .filter(F.col("cosine") >= EMBED_NEAR_DUP_COS)
+    )
+
+
+ORACLES["embedding_near_dup_serve"] = ORACLES["embedding_near_dup_mp"]
+
+
 # --- X32b: incremental index maintenance (refresh, not rebuild) ---------------
 #
 # Every serving family above rebuilds its artifact when the CORPUS

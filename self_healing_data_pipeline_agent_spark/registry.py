@@ -45,6 +45,9 @@ QUERY_ORDER = [
     #    everything, so the incremental path is hash-checked exact) --
     "substring_dup_serve",
     "lsh_index_refresh",
+    # (also never-green): the near-dup contract served — the shipped
+    #    multi-probe variant answered from the stored lsh_codes table --
+    "embedding_near_dup_serve",
     # -- r13 changed-implementation fail-closed re-checks: the LSH
     #    carving study now unpacks its sign bits from the stored
     #    lsh_codes artifact and reads the persisted near_dup_truth table
@@ -78,11 +81,11 @@ QUERY_ORDER = [
     "distinct_event_types",
     "hourly_windows",
     # -- r8-cohort filler (oldest remaining records, official-record
-    #    enumeration): 31 of the other 37 r8-aged greens fit below; the
-    #    last 6 (supplier_part_breadth, tfidf_top_terms,
-    #    theta_priority_overlap, tpch_q6, tpch_q8, user_rolling_hour)
-    #    spill to the r14 window — r14 MUST-window those with whatever
-    #    else ages out --
+    #    enumeration): 30 of the other 37 r8-aged greens fit below; the
+    #    last 7 (streaming_profile_compaction2, supplier_part_breadth,
+    #    tfidf_top_terms, theta_priority_overlap, tpch_q6, tpch_q8,
+    #    user_rolling_hour) spill to the r14 window — r14 MUST-window
+    #    those with whatever else ages out --
     "ann_ivf_topk",
     "anti_join_no_f_orders",
     "approx_distinct_counts",
@@ -113,7 +116,6 @@ QUERY_ORDER = [
     "simhash_near_dup",
     "sliding_windows",
     "sole_late_supplier",
-    "streaming_profile_compaction2",
     # Below the 50-entry window: everything else carries an r9-r12
     # official green against current testdata and unchanged code.
     # scripts/window_audit.py tracks staleness (contract fingerprints);

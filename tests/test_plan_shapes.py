@@ -1027,7 +1027,7 @@ def test_every_serve_family_reads_the_index_store(spark, sf_dir):
 
     qs = all_queries()
     serves = sorted(n for n in qs if n.endswith("_serve"))
-    assert len(serves) == 8, serves
+    assert len(serves) == 9, serves
     for name in serves:
         plan = formatted_plan(qs[name](spark, sf_dir))
         if name == "bpe_encode_serve":
