@@ -231,6 +231,19 @@ HEADLINE = [
     # stored signature table, only the ingest batch (10%) re-coded; the
     # steady state an append-heavy vector store pays per batch.
     "lsh_index_refresh",
+    # r13 second wave: the selection/inference ring's work-bound rows —
+    # per-doc n-gram novelty (document-frequency join over the shingle
+    # index, dup_ngram_coverage's cost class), edit-distance verification
+    # of banded-LSH candidates (the O(len^2) DP runs only on candidates),
+    # and the per-cluster coreset (map-only assignment against the stored
+    # kmivf_centroids model + one per-cell window — a serve-shaped row).
+    # knn_classify is excluded as REDUNDANT wall-clock (knn_cosine
+    # already times the identical broadcast corpus scan; the vote adds a
+    # Q-by-labels agg); priority_sample is excluded as pure scheduler
+    # floor (map + TakeOrdered, zero exchanges, sub-second at any SF).
+    "ngram_novelty",
+    "edit_distance_dedup",
+    "cluster_representatives",
 ]
 
 

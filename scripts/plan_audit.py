@@ -73,6 +73,9 @@ EXPECTED = {
     "dsir_select_threshold": "BNLJ = 1-row broadcasts (feature totals, sample-quantile threshold); shuffles: dsir_weights' pipeline rendered TWICE (sample path + final agg both consume scored; runtime dedupes via the cached tf frame) + the sample-bounded rank windows",
     "ccnet_ppl_thresholds": "shuffles: the char-LM scoring pipeline rendered twice (sample path + final tier agg; runtime dedupes via the cached tf frame) + the per-lang SAMPLE rank window + the 15-row tier agg",
     "embedding_lsh_tuning": "BNLJ = the exact-cosine truth pipeline (documented brute-force ground truth, embedding_near_dup's twin); shuffles: four carvings' candidate joins + FULL-JOIN metric aggs in ONE union plan over the cached bit table — every join key is (table, code), never all-pairs",
+    # r13 operators
+    "knn_classify": "BNLJ = tiny broadcast query set against the labeled corpus scan (knn_cosine's layout + a Q-by-labels vote agg)",
+    "edit_distance_dedup": "shuffles: signature agg + band candidate join + the two doc_id-keyed text joins feeding the Levenshtein verify (minhash_lsh_pairs' shape with edit-distance verification)",
 }
 
 STREAMING = {"streaming_hourly_counts", "streaming_dq_profile", "stateful_sessions"}

@@ -2929,3 +2929,145 @@ WITH coded AS (
 )
 SELECT vec_id, tbl, code FROM coded
 """
+
+
+# --- X36: in-engine kNN inference + per-cluster representatives -------------
+#
+# Two selection/inference operators a training-data pipeline runs on top of
+# the embedding ring: label prediction by neighbor vote (the quality-
+# classifier serving shape when the "model" is the labeled corpus itself)
+# and per-cluster coreset extraction (diversity-aware selection: keep the
+# most-central exemplars of every k-means cell — the SemDeDup/coreset
+# companion that answers "what DO we keep" after dedup answers "what do we
+# drop").
+
+KNN_CLS_K = 5  # neighbors consulted per prediction
+
+
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote kNN label inference for the query vectors: each
+    vec_id < N_QUERY_VECS is classified by the modal label of its
+    KNN_CLS_K nearest labeled neighbors (cosine; the query set itself is
+    excluded from the electorate).  Ties break to the smallest label —
+    a total order, so the prediction is engine-independent.
+
+    Scale shape: identical to ``q_knn_cosine`` — broadcast the query
+    batch, stream the corpus past it once (no shuffle of the corpus),
+    WindowGroupLimit keeps per-query top-k partial; the vote is a tiny
+    (Q x labels) aggregate.  At 100 TB the electorate scan is the same
+    one-pass any brute rerank pays; an indexed deployment swaps the
+    candidate source for ``ann_*_serve`` and keeps the vote stage."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_norm"),
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERY_VECS).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        F.col("embedding").alias("c_emb"),
+        l2_norm(F.col("embedding")).alias("c_norm"),
+    )
+    sim = dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.col("q_norm") * F.col("c_norm")
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "label", sim.alias("cosine"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    votes = (
+        pairs.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= KNN_CLS_K)
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "votes")
+    )
+
+
+ORACLES["knn_classify"] = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.label,
+         {_DUCK_COS} AS cosine
+  FROM embeddings a JOIN embeddings b
+    ON b.vec_id >= {N_QUERY_VECS} AND a.vec_id <> b.vec_id
+  WHERE a.vec_id < {N_QUERY_VECS}
+),
+top AS (
+  SELECT query_id, label FROM (
+    SELECT query_id, label,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM pairs
+  ) WHERE rn <= {KNN_CLS_K}
+),
+votes AS (
+  SELECT query_id, label, COUNT(*) AS votes FROM top GROUP BY query_id, label
+)
+SELECT query_id, label AS predicted_label, votes FROM (
+  SELECT query_id, label, votes,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY votes DESC, label) AS vr
+  FROM votes
+) WHERE vr = 1
+"""
+
+
+CLUSTER_REPS_K = 3  # exemplars kept per k-means cell
+
+
+def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster coreset: the CLUSTER_REPS_K vectors nearest their own
+    k-means centroid (exact integer squared distance, ties to the lower
+    vec_id) — the exemplar set a curation run ships per semantic cell
+    (cluster labeling, eval-set seeding, per-topic inspection samples).
+
+    Serving-split shape: the centroids come from the SAME stored model
+    ``q_ann_ivf_kmeans_serve`` trains once per corpus snapshot
+    (``kmivf_centroids`` — reuse, not a tenth family), so the query pays
+    one map-only assignment pass over broadcast-literal centroids plus a
+    per-cell WindowGroupLimit.  Nothing shuffles wider than the (cell,
+    dist) sort keys; at 100 TB the top-k per cell stays partial-aggregated
+    per partition before the single per-cell merge."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    cents = _stored_kmivf_cents(spark, sf_dir)
+    best = _km_best(cents)
+    assigned = emb.select("vec_id", _km_units().alias("u")).select(
+        "vec_id",
+        best.getField("cid").alias("cid"),
+        best.getField("dist").alias("dist"),
+    )
+    w = Window.partitionBy("cid").orderBy(F.asc("dist"), F.asc("vec_id"))
+    return (
+        assigned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= CLUSTER_REPS_K)
+        .select("cid", F.col("rn").cast("bigint").alias("rn"), "vec_id", "dist")
+    )
+
+
+def _cluster_reps_oracle() -> str:
+    parts = _km_lloyd_parts()
+    parts.append(_km_assign_cte(f"c{KM_ITERS}", "af"))
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT cid, rn, vec_id, dist FROM (
+  SELECT cid,
+         CAST(ROW_NUMBER() OVER (PARTITION BY cid
+                                 ORDER BY dist, vec_id) AS BIGINT) AS rn,
+         vec_id, dist
+  FROM af
+) WHERE rn <= {CLUSTER_REPS_K}
+"""
+    )
+
+
+ORACLES["cluster_representatives"] = _cluster_reps_oracle()

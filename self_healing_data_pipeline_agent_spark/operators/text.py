@@ -2703,19 +2703,27 @@ def q_substring_dup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidate self-join over stored fingerprints, the doc prunes,
     the postings join, and the islands window — tokenization and both
     window passes run only at build.  Identical arithmetic, so the twin
-    shares the spans oracle."""
+    shares the spans oracle.
+
+    Both artifacts are cached like the build-inline twin's lineages:
+    downstream consumes each table twice (the fingerprint self-join; the
+    ga/gb posting sides), and without the cache the serve path paid TWO
+    parquet scans per table — measured SLOWER than the build-inline twin
+    (2.4 vs 1.6 s at sf0.1), inverting the serve contract.  At corpus
+    scale the same role is played by the artifact living in the page
+    cache / being bucketed, not by re-tokenizing."""
     grams = ensure_index(
         spark, sf_dir, "substr_grams",
         f"{SUBSTR_INDEX_VERSION}|k{SUBSTR_K}",
         lambda: _substr_gram_postings(load_table(spark, sf_dir, "documents")),
         source_table="documents",
-    )
+    ).cache()
     fps = ensure_index(
         spark, sf_dir, "winnow_fps",
         f"{SUBSTR_INDEX_VERSION}|w{WINNOW_W}",
         lambda: q_rolling_fingerprints(spark, sf_dir),
         source_table="documents",
-    )
+    ).cache()
     return _substr_spans_from(grams, fps)
 
 
@@ -4674,3 +4682,171 @@ def q_bpe_encode_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["bpe_encode_serve"] = ORACLES["bpe_encode_stats"]
+
+
+# --- X37: weighted priority sampling + novelty profile + edit-dist verify ---
+#
+# Three curation operators rounding out the selection ring: weighted
+# sampling without replacement (the "sample 1M docs, long docs
+# proportionally likelier" primitive), a per-document n-gram novelty
+# profile (the memorization-risk / information-density signal), and
+# character-level edit-distance verification of LSH candidates (the
+# ExactVerify stage when the dedup contract is "edits", not "shingle
+# overlap" — short docs, templated boilerplate, OCR variants).
+
+PRIORITY_SAMPLE_K = 100
+
+
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement via priority sampling
+    (Duffield-Lund-Thorup 2007): each doc draws a deterministic uniform
+    u in [1, 2^32] from md5(doc_id) and gets priority = weight * 2^32
+    DIV u (weight = n_chars); the sample is the top PRIORITY_SAMPLE_K
+    by (priority DESC, doc_id) — inclusion probability proportional to
+    weight, reproducible across reruns/backfills, no RNG state.
+
+    All-integer arithmetic (the u-division is exact BIGINT DIV on both
+    engines — no libm, no float comparisons), so the sampled SET is
+    engine-independent.  Scale shape: a pure map over the scan feeding
+    TakeOrderedAndProject — per-partition top-k, merge of K-row heaps on
+    the driver; no shuffle of the corpus at any size."""
+    df = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        + 1
+    )
+    return (
+        df.select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            u.alias("u"),
+        )
+        .withColumn("priority", F.expr("weight * 4294967296 DIV u"))
+        .orderBy(F.desc("priority"), F.asc("doc_id"))
+        .limit(PRIORITY_SAMPLE_K)
+        .select("doc_id", "lang", "weight", "priority")
+    )
+
+
+ORACLES["priority_sample"] = f"""
+SELECT doc_id, lang, weight, weight * 4294967296 // u AS priority
+FROM (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           + 1 AS u
+  FROM documents
+)
+ORDER BY priority DESC, doc_id
+LIMIT {PRIORITY_SAMPLE_K}
+"""
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: of a doc's distinct 3-gram shingles,
+    how many appear in NO other document — (doc_id, n_shingles, n_unique,
+    novelty_per_10k), exact integers (novelty in 1e-4 units, trunc DIV).
+
+    The inverse signal of ``contamination_score``/``dup_ngram_coverage``:
+    high novelty = information-dense, low = boilerplate shared across the
+    corpus.  Scale shape: one groupBy on the shingle hash (map-side
+    combined counts; hot boilerplate shingles are exactly the skew the
+    count-only payload keeps cheap) joined back to the distinct
+    (doc, shingle) stream, then one groupBy on doc_id — two bounded
+    shuffles, no joins wider than the shingle index."""
+    sh = _shingle_df(spark, sf_dir)
+    per_sh = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        sh.join(per_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("nd") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unique"),
+        )
+        .withColumn(
+            "novelty_per_10k", F.expr("n_unique * 10000 DIV n_shingles")
+        )
+    )
+
+
+ORACLES["ngram_novelty"] = f"""
+WITH {_DUCK_SHINGLE_CTE},
+per_sh AS (
+  SELECT shingle, COUNT(*) AS nd FROM shingles GROUP BY shingle
+)
+SELECT s.doc_id, COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN p.nd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       CAST(SUM(CASE WHEN p.nd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         * 10000 // COUNT(*) AS novelty_per_10k
+FROM shingles s JOIN per_sh p USING (shingle)
+GROUP BY s.doc_id
+"""
+
+
+EDIT_DUP_PER_10K = 2000  # keep pairs within 20% edits of the longer doc
+
+
+def q_edit_distance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dup pairs verified by CHARACTER edit distance: banded-LSH
+    candidates (same generation as ``q_minhash_lsh_pairs``) verified by
+    full Levenshtein, keeping pairs whose distance is <= 20% of the
+    longer text — the dedup contract for templated/OCR-variant corpora
+    where shingle Jaccard under-counts single-character damage.
+
+    Scale shape: candidate generation is the banded signature self-join
+    (corpus-linear for spread bands); the O(len^2) Levenshtein DP runs
+    ONLY on candidate pairs, JVM-side (both engines' levenshtein is the
+    unit-cost DP, so the verify is bit-identical); the per-10k ratio is
+    trunc DIV — every output column an exact BIGINT."""
+    banded = _minhash_banded(spark, sf_dir)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    scored = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("ta", "tb").cast("bigint").alias("edit_dist"),
+            F.greatest(F.length("ta"), F.length("tb"))
+            .cast("bigint")
+            .alias("max_len"),
+        )
+        .withColumn("edit_per_10k", F.expr("edit_dist * 10000 DIV max_len"))
+    )
+    return scored.filter(F.col("edit_per_10k") <= EDIT_DUP_PER_10K).select(
+        "doc_a", "doc_b", "edit_dist", "edit_per_10k"
+    )
+
+
+ORACLES["edit_distance_dedup"] = f"""
+WITH {_DUCK_LSH_CTES},
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+         CAST(greatest(len(da.text), len(db.text)) AS BIGINT) AS max_len
+  FROM candidates c
+  JOIN documents da ON da.doc_id = c.doc_a
+  JOIN documents db ON db.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, edit_dist, edit_dist * 10000 // max_len AS edit_per_10k
+FROM scored
+WHERE edit_dist * 10000 // max_len <= {EDIT_DUP_PER_10K}
+"""

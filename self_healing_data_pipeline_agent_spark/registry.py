@@ -45,6 +45,17 @@ QUERY_ORDER = [
     #    everything, so the incremental path is hash-checked exact) --
     "substring_dup_serve",
     "lsh_index_refresh",
+    # -- r13 second wave (never-green): the selection/inference ring —
+    #    majority-vote kNN label inference, per-cluster coreset
+    #    representatives (served from the stored kmivf_centroids model),
+    #    weighted priority sampling (Duffield-Lund-Thorup, all-integer),
+    #    per-doc n-gram novelty, and edit-distance verification of LSH
+    #    candidates --
+    "knn_classify",
+    "cluster_representatives",
+    "priority_sample",
+    "ngram_novelty",
+    "edit_distance_dedup",
     # (also never-green): the near-dup contract served — the shipped
     #    multi-probe variant answered from the stored lsh_codes table --
     "embedding_near_dup_serve",
@@ -81,8 +92,10 @@ QUERY_ORDER = [
     "distinct_event_types",
     "hourly_windows",
     # -- r8-cohort filler (oldest remaining records, official-record
-    #    enumeration): 30 of the other 37 r8-aged greens fit below; the
-    #    last 7 (streaming_profile_compaction2, supplier_part_breadth,
+    #    enumeration): 25 of the other 37 r8-aged greens fit below; the
+    #    last 12 (sessionization, simhash_fingerprints, simhash_near_dup,
+    #    sliding_windows, sole_late_supplier,
+    #    streaming_profile_compaction2, supplier_part_breadth,
     #    tfidf_top_terms, theta_priority_overlap, tpch_q6, tpch_q8,
     #    user_rolling_hour) spill to the r14 window — r14 MUST-window
     #    those with whatever else ages out --
@@ -111,11 +124,6 @@ QUERY_ORDER = [
     "payload_dedup",
     "prefix_filter_jaccard",
     "semantic_dedup",
-    "sessionization",
-    "simhash_fingerprints",
-    "simhash_near_dup",
-    "sliding_windows",
-    "sole_late_supplier",
     # Below the 50-entry window: everything else carries an r9-r12
     # official green against current testdata and unchanged code.
     # scripts/window_audit.py tracks staleness (contract fingerprints);

@@ -1036,3 +1036,82 @@ def test_every_serve_family_reads_the_index_store(spark, sf_dir):
             # its own plan test pins the one-scan/learn-free shape
             continue
         assert "indexes" in plan, f"{name} does not read the index store"
+
+
+def test_priority_sample_take_ordered_shuffle_free(spark, sf_dir):
+    """Weighted priority sampling must plan as a pure map over the scan
+    feeding TakeOrderedAndProject (per-partition top-k + K-row driver
+    merge) — zero exchanges, no join, no window funneling the corpus
+    into one sort task."""
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        q_priority_sample,
+    )
+
+    df = q_priority_sample(spark, sf_dir)
+    simple = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple")
+    assert "TakeOrderedAndProject" in simple
+    plan = formatted_plan(df)
+    assert "Join" not in plan and "Python" not in plan
+    assert count_exchanges(df) == 0
+
+
+def test_cluster_representatives_map_assign_grouplimit(spark, sf_dir):
+    """Coreset extraction must assign against LITERAL stored centroids (no
+    centroid join, no Python stage) and keep the per-cell top-k partial
+    via WindowGroupLimit — exactly one exchange (the per-cid window
+    repartition)."""
+    from self_healing_data_pipeline_agent_spark.operators.similarity import (
+        q_cluster_representatives,
+    )
+
+    df = q_cluster_representatives(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan and "Python" not in plan
+    assert "WindowGroupLimit" in plan  # rank<=K pushed below the sort
+    assert count_exchanges(df) == 1
+
+
+def test_knn_classify_broadcasts_queries_single_shuffle(spark, sf_dir):
+    """kNN inference must broadcast the query batch past the streaming
+    corpus (BroadcastNestedLoopJoin — the corpus is never shuffled) and
+    keep the per-query top-k partial (WindowGroupLimit); the vote and
+    winner stages share the query_id partitioning, so ONE exchange."""
+    from self_healing_data_pipeline_agent_spark.operators.similarity import (
+        q_knn_classify,
+    )
+
+    df = q_knn_classify(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "Python" not in plan
+    assert count_exchanges(df) == 1
+
+
+def test_ngram_novelty_bounded_shuffles_no_cartesian(spark, sf_dir):
+    """The novelty profile is two keyed aggregations plus the join back:
+    every shuffle is on the shingle hash or doc_id — bounded, no
+    cartesian, no Python."""
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        q_ngram_novelty,
+    )
+
+    df = q_ngram_novelty(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan and "Python" not in plan
+    assert count_exchanges(df) <= 4
+
+
+def test_edit_distance_dedup_no_cartesian(spark, sf_dir):
+    """The Levenshtein verify must run only on banded-LSH candidates:
+    candidate generation is the equi-join on (band, band_sig), the text
+    joins are keyed on doc ids — no cartesian anywhere, no Python."""
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        q_edit_distance_dedup,
+    )
+
+    df = q_edit_distance_dedup(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan and "Python" not in plan
+    assert count_exchanges(df) <= 6
