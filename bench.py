@@ -244,6 +244,14 @@ HEADLINE = [
     "ngram_novelty",
     "edit_distance_dedup",
     "cluster_representatives",
+    # r13: the relational serving split — order_priority_check's semi
+    # join answered from stored BUCKETED copies of both fact tables
+    # (zero exchanges below the join) next to its shuffle-planned twin;
+    # at test SF the win is bounded by the scheduler floor — the row
+    # exists to pin the co-located plan's steady state, the at-scale
+    # argument is the layout.
+    "order_priority_check",
+    "bucketed_late_shipments",
 ]
 
 

@@ -2961,3 +2961,45 @@ JOIN region ON n_regionkey = r_regionkey
 WHERE r_name = 'AMERICA'
   AND s_suppkey IN (SELECT l_suppkey FROM dominating)
 """
+
+
+# --- X38: bucketed warehouse layout — co-located fact-fact join --------------
+
+def q_bucketed_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``q_order_priority_check`` answered from BUCKETED warehouse copies
+    of both fact tables — the relational serving split: orders and
+    lineitem are stored hash-bucketed AND sorted on their join keys
+    (``sources/index_store.ensure_bucketed_table``), so the semi join
+    plans with ZERO exchanges below it — each task zips bucket i of
+    orders with bucket i of lineitem, already sorted (no shuffle, no
+    sort).  The only exchange in the whole plan is the 5-row priority
+    rollup.
+
+    At 100 TB this is the layout decision that removes the biggest
+    shuffle a warehouse pays: the ingest sink buckets both fact tables
+    once, and every orders<->lineitem join afterwards — this check, Q4,
+    Q12, merge_upsert — is co-located.  The bucketed copies build once
+    per corpus snapshot (content-addressed, source-identity-keyed) and
+    re-declare as external tables in later sessions — metadata-only.
+    The ``merge`` hint pins SortMergeJoin so the measured row is the
+    co-located merge path, not a broadcast that only exists at test SF.
+
+    Identical arithmetic to the build-free twin, so it shares the
+    oracle."""
+    from ..sources.index_store import ensure_bucketed_table
+
+    o_tbl = ensure_bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+    l_tbl = ensure_bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
+    orders = spark.table(o_tbl)
+    li = spark.table(l_tbl).select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li.hint("merge"),
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_late_orders")
+    )
+
+
+ORACLES["bucketed_late_shipments"] = ORACLES["order_priority_check"]

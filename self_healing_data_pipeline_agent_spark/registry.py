@@ -56,6 +56,9 @@ QUERY_ORDER = [
     "priority_sample",
     "ngram_novelty",
     "edit_distance_dedup",
+    # (also never-green): the relational serving split — the co-located
+    #    bucketed fact-fact join served from stored bucketed copies --
+    "bucketed_late_shipments",
     # (also never-green): the near-dup contract served — the shipped
     #    multi-probe variant answered from the stored lsh_codes table --
     "embedding_near_dup_serve",
@@ -92,8 +95,8 @@ QUERY_ORDER = [
     "distinct_event_types",
     "hourly_windows",
     # -- r8-cohort filler (oldest remaining records, official-record
-    #    enumeration): 25 of the other 37 r8-aged greens fit below; the
-    #    last 12 (sessionization, simhash_fingerprints, simhash_near_dup,
+    #    enumeration): 24 of the other 37 r8-aged greens fit below; the
+    #    last 13 (semantic_dedup, sessionization, simhash_fingerprints, simhash_near_dup,
     #    sliding_windows, sole_late_supplier,
     #    streaming_profile_compaction2, supplier_part_breadth,
     #    tfidf_top_terms, theta_priority_overlap, tpch_q6, tpch_q8,
@@ -123,7 +126,6 @@ QUERY_ORDER = [
     "one_pass_profile",
     "payload_dedup",
     "prefix_filter_jaccard",
-    "semantic_dedup",
     # Below the 50-entry window: everything else carries an r9-r12
     # official green against current testdata and unchanged code.
     # scripts/window_audit.py tracks staleness (contract fingerprints);

@@ -235,3 +235,77 @@ def ensure_model(
         _prune_siblings(slot, sf_dir)
         return model
     return json.loads(blob.read_text())
+
+
+def ensure_bucketed_table(
+    spark: SparkSession,
+    sf_dir: str | Path,
+    table: str,
+    key: str,
+    n_buckets: int = 16,
+) -> str:
+    """Materialize a BUCKETED copy of ``table`` (hash-bucketed and sorted
+    by ``key`` into ``n_buckets`` files) under the index store and return
+    a catalog table name that reads it — the relational twin of the ANN
+    serving split: the layout is the index.
+
+    Two joins bucketed the same way on their join keys plan with ZERO
+    exchanges below the join (each task zips bucket i with bucket i) —
+    at 100 TB this is THE warehouse answer to the biggest shuffle in any
+    fact-fact plan: pay the shuffle once at ingest, then every
+    orders<->lineitem join is co-located forever.  Spark's in-memory
+    catalog drops table entries at session end while the FILES (with
+    bucket ids encoded in their names) persist, so a fresh session
+    re-declares an external bucketed table over the stored files —
+    metadata-only, no data pass."""
+    def build() -> DataFrame:
+        from pyspark.sql import functions as F
+
+        # one write task per bucket (repartition on the bucket key with
+        # matching modulus) -> ONE file per bucket, which is what lets a
+        # reader skip the per-task sort: multi-file buckets stay
+        # co-located but must re-sort inside each task
+        return (
+            spark.read.parquet(str(Path(sf_dir) / f"{table}.parquet"))
+            .repartition(n_buckets, F.col(key))
+        )
+
+    digest = _digest(sf_dir, table, f"bucket|{key}|{n_buckets}", build)
+    slot = _slot(f"bkt_{table}", digest)
+    data = slot / "data"
+    meta = slot / "meta.json"
+    tbl = f"bkt_{table}_{digest}"
+    if meta.is_file() and spark.catalog.tableExists(tbl):
+        return tbl
+    if not meta.is_file():
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(data, ignore_errors=True)
+        (
+            build()
+            .write.bucketBy(n_buckets, key)
+            .sortBy(key)
+            .option("path", str(data))
+            .mode("overwrite")
+            .saveAsTable(tbl)
+        )
+        meta.write_text(
+            json.dumps(
+                {
+                    "fingerprint": f"bucket|{key}|{n_buckets}",
+                    "sf_dir": str(Path(sf_dir).resolve()),
+                }
+            )
+        )
+        _prune_siblings(slot, sf_dir)
+        return tbl
+    # files stored by an earlier session: re-declare the external
+    # bucketed table over them (metadata-only; the bucket spec matches
+    # what the writer produced because the digest pins key/count/source)
+    schema = spark.read.parquet(str(data)).schema
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema)
+    spark.sql(
+        f"CREATE TABLE {tbl} ({cols}) USING PARQUET "
+        f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {n_buckets} BUCKETS "
+        f"LOCATION '{data}'"
+    )
+    return tbl

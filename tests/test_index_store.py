@@ -192,3 +192,36 @@ def test_missing_meta_triggers_rebuild(spark, store_dir):
         meta.unlink()
     ist.ensure_index(spark, SF_DIR, "t4", "fp", build)
     assert len(calls) == 2
+
+
+def test_bucketed_table_builds_once_then_redeclares(spark, store_dir):
+    """The bucketed warehouse copy must (a) build the files once, (b)
+    return the live catalog table on repeat calls, and (c) after the
+    catalog entry disappears (a fresh session), re-declare an external
+    bucketed table over the SAME stored files — metadata-only, same
+    rows, still bucketed."""
+    tbl = ist.ensure_bucketed_table(spark, SF_DIR, "orders", "o_orderkey")
+    n = spark.table(tbl).count()
+    files = sorted(
+        p.name for p in (store_dir / "bkt_orders").glob("*/data/*.parquet")
+    )
+    assert files, "bucketed files must be stored under the index store"
+
+    # repeat call: same table, no rebuild (files untouched)
+    assert ist.ensure_bucketed_table(spark, SF_DIR, "orders", "o_orderkey") == tbl
+    assert sorted(
+        p.name for p in (store_dir / "bkt_orders").glob("*/data/*.parquet")
+    ) == files
+
+    # simulate a fresh session: drop the catalog entry, keep the files
+    spark.sql(f"DROP TABLE {tbl}")
+    tbl2 = ist.ensure_bucketed_table(spark, SF_DIR, "orders", "o_orderkey")
+    assert tbl2 == tbl
+    assert spark.table(tbl2).count() == n
+    assert sorted(
+        p.name for p in (store_dir / "bkt_orders").glob("*/data/*.parquet")
+    ) == files, "re-declare must be metadata-only"
+    # the re-declared table still carries the bucket spec
+    ddl = spark.sql(f"SHOW CREATE TABLE {tbl2}").first()[0]
+    assert "CLUSTERED BY" in ddl and "16 BUCKETS" in ddl
+    spark.sql(f"DROP TABLE {tbl2}")

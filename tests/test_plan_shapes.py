@@ -1115,3 +1115,20 @@ def test_edit_distance_dedup_no_cartesian(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan and "Python" not in plan
     assert count_exchanges(df) <= 6
+
+
+def test_bucketed_join_no_exchange_below_join(spark, sf_dir):
+    """The bucketed fact-fact semi join must plan as SortMergeJoin with
+    ZERO exchanges below it (bucket i zips with bucket i); the only
+    exchange in the plan is the 5-row priority rollup."""
+    from self_healing_data_pipeline_agent_spark.operators.relational import (
+        q_bucketed_late_shipments,
+    )
+
+    df = q_bucketed_late_shipments(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan
+    # ONE exchange total (the rollup); with both scans bucketed on the
+    # join key, co-location needs no shuffle below the join
+    assert count_exchanges(df) == 1
+    assert plan.count("Bucketed: true") == 2
