@@ -252,6 +252,14 @@ HEADLINE = [
     # argument is the layout.
     "order_priority_check",
     "bucketed_late_shipments",
+    # r13: the text-ring maintenance row (lsh_index_refresh's posture on
+    # the substring postings index): standing postings from the stored
+    # artifact, only the ingest batch re-tokenized.  hard_negative_mining
+    # is excluded as REDUNDANT wall-clock (knn_cosine times the identical
+    # broadcast corpus scan; the per-role rank adds only window work);
+    # dup_cluster_stats likewise (duplicate_clusters times the whole CC
+    # fixpoint it rides; the size histogram adds two KB-sized aggs).
+    "substring_index_refresh",
 ]
 
 

@@ -76,6 +76,7 @@ EXPECTED = {
     # r13 operators
     "knn_classify": "BNLJ = tiny broadcast query set against the labeled corpus scan (knn_cosine's layout + a Q-by-labels vote agg)",
     "edit_distance_dedup": "shuffles: signature agg + band candidate join + the two doc_id-keyed text joins feeding the Levenshtein verify (minhash_lsh_pairs' shape with edit-distance verification)",
+    "hard_negative_mining": "BNLJ = tiny broadcast query set (with labels) against the labeled corpus scan — knn_cosine's layout ranked per (query, role)",
 }
 
 STREAMING = {"streaming_hourly_counts", "streaming_dq_profile", "stateful_sessions"}

@@ -3071,3 +3071,71 @@ SELECT cid, rn, vec_id, dist FROM (
 
 
 ORACLES["cluster_representatives"] = _cluster_reps_oracle()
+
+
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive pair mining for embedding-model training: for every
+    query vector, its most-similar SAME-label neighbor (the positive)
+    and its most-similar DIFFERENT-label neighbor (the hard negative) —
+    the (anchor, positive, hard-negative) triples a contrastive/triplet
+    trainer consumes, long-form: (query_id, role, neighbor_id, cosine),
+    ties to the lower neighbor_id.
+
+    Scale shape: identical to ``q_knn_cosine`` — broadcast the query
+    batch (now carrying its labels), stream the labeled corpus once, and
+    rank per (query, role) with WindowGroupLimit keeping only the top
+    row per group partial; nothing shuffles wider than (query_id, role).
+    At 100 TB the corpus scan is the same one-pass any mining epoch
+    pays; an indexed deployment swaps in `ann_*_serve` candidates per
+    role."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_norm"),
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERY_VECS).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_emb"),
+        l2_norm(F.col("embedding")).alias("c_norm"),
+    )
+    sim = dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.col("q_norm") * F.col("c_norm")
+    )
+    role = F.when(
+        F.col("q_label") == F.col("c_label"), F.lit("positive")
+    ).otherwise(F.lit("hard_negative"))
+    pairs = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", role.alias("role"), "neighbor_id", sim.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id", "role").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "role", "neighbor_id", "cosine")
+    )
+
+
+ORACLES["hard_negative_mining"] = f"""
+SELECT query_id, role, neighbor_id, cosine FROM (
+  SELECT a.vec_id AS query_id,
+         CASE WHEN a.label = b.label THEN 'positive'
+              ELSE 'hard_negative' END AS role,
+         b.vec_id AS neighbor_id,
+         {_DUCK_COS} AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id,
+                        CASE WHEN a.label = b.label THEN 'positive'
+                             ELSE 'hard_negative' END
+           ORDER BY {_DUCK_COS} DESC, b.vec_id ASC) AS rn
+  FROM embeddings a JOIN embeddings b
+    ON b.vec_id >= {N_QUERY_VECS} AND a.vec_id <> b.vec_id
+  WHERE a.vec_id < {N_QUERY_VECS}
+) WHERE rn = 1
+"""

@@ -4850,3 +4850,71 @@ SELECT doc_a, doc_b, edit_dist, edit_dist * 10000 // max_len AS edit_per_10k
 FROM scored
 WHERE edit_dist * 10000 // max_len <= {EDIT_DUP_PER_10K}
 """
+
+
+# --- X39: dedup cluster profile + incremental substring-index refresh -------
+
+def q_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size profile: (cluster_size, n_clusters) over the
+    LSH near-dup clusters — the one-table artifact dedup reports publish
+    (how much of the corpus sits in pairs vs. deep near-dup families,
+    and how many docs dedup would remove: sum((size-1) * n_clusters)).
+
+    Scale shape: rides the clustering fixpoint's output — one groupBy on
+    cluster_id (bounded by cluster count) then a groupBy on size (bounded
+    by the deepest family); both aggregates are map-side combined and
+    KB-sized."""
+    clusters = q_duplicate_clusters(spark, sf_dir)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+
+
+ORACLES["dup_cluster_stats"] = f"""
+WITH RECURSIVE {_DUCK_CC_CTES},
+sized AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM clusters GROUP BY cluster_id
+)
+SELECT cluster_size, COUNT(*) AS n_clusters FROM sized GROUP BY cluster_size
+"""
+
+
+SUBSTR_REFRESH_MOD = 10  # doc_id % 10 == 0 stands in for "the ingest batch"
+
+
+def q_substring_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance for the ExactSubstr ring's postings index:
+    the standing corpus (doc_id % SUBSTR_REFRESH_MOD != 0) serves from
+    the STORED 4-gram postings artifact; only the ingest batch is
+    re-tokenized and re-hashed — cost proportional to the batch, not the
+    corpus.  `lsh_index_refresh`'s posture applied to the most expensive
+    index build in the repo (r12 verdict called the postings build out;
+    the serve twin stores it, this is the append path that keeps it
+    fresh).  The oracle recomputes every posting, so the incremental
+    result is value-hash-identical to a full rebuild."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = ensure_index(
+        spark, sf_dir, "substr_grams_base",
+        f"{SUBSTR_INDEX_VERSION}|k{SUBSTR_K}|m{SUBSTR_REFRESH_MOD}",
+        lambda: _substr_gram_postings(
+            docs.filter(F.col("doc_id") % SUBSTR_REFRESH_MOD != 0)
+        ),
+        source_table="documents",
+    )
+    batch = _substr_gram_postings(
+        docs.filter(F.col("doc_id") % SUBSTR_REFRESH_MOD == 0)
+    )
+    return base.unionByName(batch)
+
+
+ORACLES["substring_index_refresh"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
+)
+SELECT doc_id, CAST(i - 1 AS BIGINT) AS p,
+       md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]) AS gh
+FROM toks, UNNEST(range(1, len(ts) - {SUBSTR_K - 2})) AS t(i)
+"""

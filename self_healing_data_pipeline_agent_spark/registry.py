@@ -59,6 +59,13 @@ QUERY_ORDER = [
     # (also never-green): the relational serving split — the co-located
     #    bucketed fact-fact join served from stored bucketed copies --
     "bucketed_late_shipments",
+    # -- r13 third wave (never-green): contrastive pair mining, the
+    #    dedup cluster-size profile, and incremental maintenance for the
+    #    substring postings index (lsh_index_refresh's posture on the
+    #    text ring) --
+    "hard_negative_mining",
+    "dup_cluster_stats",
+    "substring_index_refresh",
     # (also never-green): the near-dup contract served — the shipped
     #    multi-probe variant answered from the stored lsh_codes table --
     "embedding_near_dup_serve",
@@ -95,8 +102,9 @@ QUERY_ORDER = [
     "distinct_event_types",
     "hourly_windows",
     # -- r8-cohort filler (oldest remaining records, official-record
-    #    enumeration): 24 of the other 37 r8-aged greens fit below; the
-    #    last 13 (semantic_dedup, sessionization, simhash_fingerprints, simhash_near_dup,
+    #    enumeration): 21 of the other 37 r8-aged greens fit below; the
+    #    last 16 (one_pass_profile, payload_dedup, prefix_filter_jaccard,
+    #    semantic_dedup, sessionization, simhash_fingerprints, simhash_near_dup,
     #    sliding_windows, sole_late_supplier,
     #    streaming_profile_compaction2, supplier_part_breadth,
     #    tfidf_top_terms, theta_priority_overlap, tpch_q6, tpch_q8,
@@ -123,9 +131,6 @@ QUERY_ORDER = [
     "kll_quantile_bounds",
     "large_volume_customers",
     "late_data_profile",
-    "one_pass_profile",
-    "payload_dedup",
-    "prefix_filter_jaccard",
     # Below the 50-entry window: everything else carries an r9-r12
     # official green against current testdata and unchanged code.
     # scripts/window_audit.py tracks staleness (contract fingerprints);

@@ -296,6 +296,26 @@ def ensure_bucketed_table(
                 }
             )
         )
+        # drop superseded siblings' catalog entries BEFORE their files:
+        # a same-session rebuild (testdata refresh) would otherwise leave
+        # a live table name pointing at a pruned directory.  Mirrors
+        # _prune_siblings' staleness rule — parallel-SF siblings keep
+        # their files AND their catalog entries.
+        me = str(Path(sf_dir).resolve())
+        if slot.parent.is_dir():
+            for child in slot.parent.iterdir():
+                if not child.is_dir() or child == slot:
+                    continue
+                cmeta = child / "meta.json"
+                try:
+                    stale = (
+                        not cmeta.is_file()
+                        or json.loads(cmeta.read_text()).get("sf_dir") == me
+                    )
+                except (OSError, ValueError):
+                    stale = True
+                if stale:
+                    spark.sql(f"DROP TABLE IF EXISTS bkt_{table}_{child.name}")
         _prune_siblings(slot, sf_dir)
         return tbl
     # files stored by an earlier session: re-declare the external

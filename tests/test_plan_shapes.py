@@ -1132,3 +1132,41 @@ def test_bucketed_join_no_exchange_below_join(spark, sf_dir):
     # join key, co-location needs no shuffle below the join
     assert count_exchanges(df) == 1
     assert plan.count("Bucketed: true") == 2
+
+
+def test_hard_negative_mining_broadcast_single_shuffle(spark, sf_dir):
+    """Contrastive mining must broadcast the labeled query batch past the
+    corpus (BNLJ, corpus never shuffled) and rank per (query, role) with
+    the group limit kept partial — one exchange total."""
+    from self_healing_data_pipeline_agent_spark.operators.similarity import (
+        q_hard_negative_mining,
+    )
+
+    df = q_hard_negative_mining(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "Python" not in plan
+    assert count_exchanges(df) == 1
+
+
+def test_substring_index_refresh_retokenizes_only_the_batch(spark, sf_dir):
+    """The text-ring maintenance contract: the standing postings come
+    from the stored artifact (index-store parquet scan), the batch's
+    doc_id % predicate is pushed into the one documents scan, and the
+    only exchange is the batch's own per-doc window pass — never a
+    corpus-wide re-tokenization."""
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        q_substring_index_refresh,
+    )
+
+    df = q_substring_index_refresh(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "indexes" in plan, "standing postings not served from the store"
+    simple = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple")
+    assert simple.count("Scan parquet") == 2, simple
+    assert has_pushed_filter(df, "doc_id"), (
+        "batch predicate not pushed into the documents scan"
+    )
+    assert count_exchanges(df) == 1, "only the batch window may shuffle"
