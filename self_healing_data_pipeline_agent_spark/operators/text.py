@@ -4786,13 +4786,20 @@ GROUP BY s.doc_id
 """
 
 
-EDIT_DUP_PER_10K = 2000  # keep pairs within 20% edits of the longer doc
+# Keep pairs within 5% edits of the longer doc.  Corpus-calibrated the
+# same way JACCARD_THRESHOLD and EMBED_NEAR_DUP_COS were (the r7 lesson:
+# a threshold no candidate ever fails is dead code and its green is
+# hollow): banded-LSH candidates' edit ratios span 75-689 / 0-1454
+# per-10k units at sf0.001-0.1, so 500 EXCLUDES 2/1/20 candidate pairs
+# per SF while keeping 26/24/236 — the filter provably bites at every
+# test scale (pinned by test_edit_distance_threshold_is_selective).
+EDIT_DUP_PER_10K = 500
 
 
 def q_edit_distance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy-dup pairs verified by CHARACTER edit distance: banded-LSH
     candidates (same generation as ``q_minhash_lsh_pairs``) verified by
-    full Levenshtein, keeping pairs whose distance is <= 20% of the
+    full Levenshtein, keeping pairs whose distance is <= 5% of the
     longer text — the dedup contract for templated/OCR-variant corpora
     where shingle Jaccard under-counts single-character damage.
 

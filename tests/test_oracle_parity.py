@@ -197,3 +197,33 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() >= 0
     assert df.columns
+
+
+def test_edit_distance_threshold_is_selective(vacuity_duck):
+    """Non-vacuity for the edit-distance verify (the r7 threshold
+    lesson): at the driver's sf0.01 the EDIT_DUP_PER_10K filter must
+    EXCLUDE at least one banded-LSH candidate pair — a threshold no
+    candidate ever fails is dead code and its green checks nothing.
+    DuckDB-only; built on the shared candidate CTEs so a constant change
+    re-guards automatically."""
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        _DUCK_LSH_CTES,
+        EDIT_DUP_PER_10K,
+    )
+
+    sql = f"""WITH {_DUCK_LSH_CTES},
+scored AS (
+  SELECT CAST(levenshtein(da.text, db.text) AS BIGINT) AS ed,
+         CAST(greatest(len(da.text), len(db.text)) AS BIGINT) AS ml
+  FROM candidates c
+  JOIN documents da ON da.doc_id = c.doc_a
+  JOIN documents db ON db.doc_id = c.doc_b)
+SELECT COUNT(*),
+       SUM(CASE WHEN ed * 10000 // ml <= {EDIT_DUP_PER_10K} THEN 1 ELSE 0 END)
+FROM scored"""
+    n_cand, n_keep = vacuity_duck.sql(sql).fetchall()[0]
+    assert n_keep >= 1, "verify keeps nothing — threshold too tight"
+    assert n_keep < n_cand, (
+        "every candidate passes the edit threshold — the verify is "
+        "vacuous; tighten EDIT_DUP_PER_10K"
+    )
