@@ -260,6 +260,10 @@ HEADLINE = [
     # dup_cluster_stats likewise (duplicate_clusters times the whole CC
     # fixpoint it rides; the size histogram adds two KB-sized aggs).
     "substring_index_refresh",
+    # r13: per-user hourly gap-fill + LOCF — the time-series
+    # regularization row (grid generate + keyed join + one per-user
+    # window; ~1M grid rows at sf0.1, genuinely work-bound).
+    "event_gap_fill",
 ]
 
 

@@ -818,3 +818,99 @@ SELECT day,
        COUNT(*) FILTER (WHERE delta = -1) AS n_ends
 FROM run GROUP BY day
 """
+
+
+# --- X40: time-series regularization (hourly gap-fill + LOCF) ----------------
+
+def q_event_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user REGULAR hourly series over each user's active span, with
+    forward-fill: hours with no events get n_events = 0 and carry the
+    last observed hourly value (LOCF) — the time-series regularization
+    every downstream feature/monitoring job wants (feature stores train
+    on dense grids, not event streams).
+
+    Per (user, hour): n_events and the LAST event's value (rank by
+    (ts, event_id) — a total order, so "last" is engine-independent) in
+    exact 1e-4 integer units.  The grid is each user's [min hour, max
+    hour] span, so the first grid row always has an observation and the
+    fill never sees a leading NULL.
+
+    Scale shape: one (user, hour) aggregate (map-side combined), a tiny
+    per-user bounds agg whose `sequence()` explode is generated
+    map-side, one keyed left join grid<-hourly, and ONE per-user window
+    for the fill — nothing shuffles wider than user_id, and each user's
+    state is bounded by their span, not the corpus."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "ts",
+        "event_id",
+        to_units(F.coalesce(F.col("value"), F.lit(0.0))).alias("units"),
+    )
+    wlast = Window.partitionBy("user_id", "hour").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    hourly = (
+        ev.withColumn("rn", F.row_number().over(wlast))
+        .groupBy("user_id", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.when(F.col("rn") == 1, F.col("units"))).alias("last_units"),
+        )
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    wfill = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+            F.last("last_units", ignorenulls=True)
+            .over(wfill)
+            .cast("bigint")
+            .alias("filled_units"),
+        )
+    )
+
+
+ORACLES["event_gap_fill"] = """
+WITH hourly AS (
+  SELECT user_id, hour,
+         COUNT(*) AS n_events,
+         MAX(CASE WHEN rn = 1 THEN units END) AS last_units
+  FROM (
+    SELECT user_id, ts, date_trunc('hour', ts) AS hour,
+           CAST(FLOOR(COALESCE(value, 0.0) * 10000.0 + 0.5) AS BIGINT)
+             AS units,
+           ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  )
+  GROUP BY user_id, hour
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1
+        FROM hourly GROUP BY user_id)
+)
+SELECT g.user_id, g.hour,
+       CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events,
+       CAST(LAST_VALUE(h.last_units IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.hour
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS filled_units
+FROM grid g LEFT JOIN hourly h USING (user_id, hour)
+"""

@@ -1170,3 +1170,19 @@ def test_substring_index_refresh_retokenizes_only_the_batch(spark, sf_dir):
         "batch predicate not pushed into the documents scan"
     )
     assert count_exchanges(df) == 1, "only the batch window may shuffle"
+
+
+def test_event_gap_fill_bounded_shuffles(spark, sf_dir):
+    """Regularization must stay keyed on user_id end-to-end: the grid is
+    GENERATED map-side from the per-user bounds (a Generate over
+    sequence(), never a calendar cross join), and nothing shuffles wider
+    than (user_id, hour) / user_id — no cartesian, no Python."""
+    from self_healing_data_pipeline_agent_spark.operators.events import (
+        q_event_gap_fill,
+    )
+
+    df = q_event_gap_fill(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert re.search(r"\(\d+\) Generate", plan)  # sequence() explode
+    assert "CartesianProduct" not in plan and "Python" not in plan
+    assert count_exchanges(df) <= 4
