@@ -1092,11 +1092,16 @@ def test_knn_classify_broadcasts_queries_single_shuffle(spark, sf_dir):
 def test_ngram_novelty_bounded_shuffles_no_cartesian(spark, sf_dir):
     """The novelty profile is two keyed aggregations plus the join back:
     every shuffle is on the shingle hash or doc_id — bounded, no
-    cartesian, no Python."""
+    cartesian, no Python.  Cache cleared first: when an earlier test has
+    materialized the shared shingle cache, simple-mode explain renders
+    the InMemoryRelation's child plan (with its exchanges) inline — the
+    documented char_lm_model effect — and the count stops describing
+    this query's own shuffles."""
     from self_healing_data_pipeline_agent_spark.operators.text import (
         q_ngram_novelty,
     )
 
+    spark.catalog.clearCache()
     df = q_ngram_novelty(spark, sf_dir)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan and "Python" not in plan
@@ -1106,11 +1111,15 @@ def test_ngram_novelty_bounded_shuffles_no_cartesian(spark, sf_dir):
 def test_edit_distance_dedup_no_cartesian(spark, sf_dir):
     """The Levenshtein verify must run only on banded-LSH candidates:
     candidate generation is the equi-join on (band, band_sig), the text
-    joins are keyed on doc ids — no cartesian anywhere, no Python."""
+    joins are keyed on doc ids — no cartesian anywhere, no Python.
+    Cache cleared first (see test_ngram_novelty_bounded_shuffles_no_
+    cartesian: a warm shingle/signature cache inlines its child plan
+    into the rendered count)."""
     from self_healing_data_pipeline_agent_spark.operators.text import (
         q_edit_distance_dedup,
     )
 
+    spark.catalog.clearCache()
     df = q_edit_distance_dedup(spark, sf_dir)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan and "Python" not in plan
