@@ -264,6 +264,10 @@ HEADLINE = [
     # regularization row (grid generate + keyed join + one per-user
     # window; ~1M grid rows at sf0.1, genuinely work-bound).
     "event_gap_fill",
+    # r13: CDC apply — ordered I/U/D log resolved latest-wins against
+    # the base snapshot (merge_upsert_orders' multi-op generalization;
+    # benched next to it so the archive pairs single-op vs log apply).
+    "cdc_apply",
 ]
 
 

@@ -3003,3 +3003,87 @@ def q_bucketed_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["bucketed_late_shipments"] = ORACLES["order_priority_check"]
+
+
+# --- X41: CDC apply — ordered multi-op change log, latest-wins + deletes -----
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture APPLY: resolve an ordered I/U/D change log
+    against a base snapshot, latest-wins per key, DELETE removes — the
+    Debezium-to-warehouse materialization step, and the piece
+    ``merge_upsert_orders`` (single-op upsert) does not cover: a key can
+    carry several ops and only the LAST one counts.
+
+    Deterministic carve from ``orders`` (no extra fixtures): base = keys
+    not ≡ 0 (mod 7); the log has I(seq 1) for keys ≡ 0 (mod 7) at 110%
+    price, U(seq 2) for keys ≡ 0 (mod 3) at 105%, D(seq 3) for keys ≡ 0
+    (mod 6) — so mod-42 keys see insert→update→delete (net: gone),
+    mod-21 keys insert→update (net: the update's value), mod-6 keys
+    update→delete (net: gone).  All prices in exact 1e-4 integer units
+    (the reprices are integer `* n DIV 100`), so the applied table is
+    value-hash-exact.
+
+    Scale shape: ONE window over the log (stream-sized, keyed on the
+    change key) picks the latest op; the apply is a keyed left-anti
+    (base minus touched keys) unioned with the surviving ops — both
+    co-partitioned on the key, nothing corpus-wide reshuffles.  With the
+    X38 bucketed base the anti join is co-located too."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", to_units(F.col("o_totalprice")).alias("units")
+    )
+    base = orders.filter(F.col("o_orderkey") % 7 != 0)
+    ins = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", F.lit(1).alias("seq"), F.lit("I").alias("op"),
+        F.expr("units * 110 DIV 100").alias("units"),
+    )
+    upd = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", F.lit(2).alias("seq"), F.lit("U").alias("op"),
+        F.expr("units * 105 DIV 100").alias("units"),
+    )
+    dele = orders.filter(F.col("o_orderkey") % 6 == 0).select(
+        "o_orderkey", F.lit(3).alias("seq"), F.lit("D").alias("op"),
+        F.lit(None).cast("bigint").alias("units"),
+    )
+    log = ins.unionByName(upd).unionByName(dele)
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("seq"))
+    latest = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", "op", "units")
+    )
+    untouched = base.join(latest, "o_orderkey", "left_anti").select(
+        "o_orderkey", "units", F.lit("base").alias("src")
+    )
+    applied = latest.filter(F.col("op") != "D").select(
+        "o_orderkey", "units", F.col("op").alias("src")
+    )
+    return untouched.unionByName(applied)
+
+
+ORACLES["cdc_apply"] = """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(FLOOR(o_totalprice * 10000.0 + 0.5) AS BIGINT) AS units
+  FROM orders
+),
+base AS (SELECT * FROM o WHERE o_orderkey % 7 <> 0),
+log AS (
+  SELECT o_orderkey, 1 AS seq, 'I' AS op, units * 110 // 100 AS units
+  FROM o WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, 2, 'U', units * 105 // 100 FROM o WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, 3, 'D', NULL FROM o WHERE o_orderkey % 6 = 0
+),
+latest AS (
+  SELECT o_orderkey, op, units FROM (
+    SELECT o_orderkey, op, units,
+           ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+    FROM log
+  ) WHERE rn = 1
+)
+SELECT b.o_orderkey, b.units, 'base' AS src
+FROM base b ANTI JOIN latest l ON b.o_orderkey = l.o_orderkey
+UNION ALL
+SELECT o_orderkey, units, op AS src FROM latest WHERE op <> 'D'
+"""

@@ -67,8 +67,10 @@ QUERY_ORDER = [
     "dup_cluster_stats",
     "substring_index_refresh",
     # (also never-green): per-user hourly gap-fill + LOCF — time-series
-    #    regularization for feature/monitoring consumers --
+    #    regularization for feature/monitoring consumers — and CDC apply
+    #    (ordered I/U/D log, latest-wins, deletes) --
     "event_gap_fill",
+    "cdc_apply",
     # (also never-green): the near-dup contract served — the shipped
     #    multi-probe variant answered from the stored lsh_codes table --
     "embedding_near_dup_serve",
@@ -105,8 +107,9 @@ QUERY_ORDER = [
     "distinct_event_types",
     "hourly_windows",
     # -- r8-cohort filler (oldest remaining records, official-record
-    #    enumeration): 20 of the other 37 r8-aged greens fit below; the
-    #    last 17 (late_data_profile, one_pass_profile, payload_dedup,
+    #    enumeration): 19 of the other 37 r8-aged greens fit below; the
+    #    last 18 (large_volume_customers, late_data_profile,
+    #    one_pass_profile, payload_dedup,
     #    prefix_filter_jaccard,
     #    semantic_dedup, sessionization, simhash_fingerprints, simhash_near_dup,
     #    sliding_windows, sole_late_supplier,
@@ -133,7 +136,6 @@ QUERY_ORDER = [
     "jaccard_pairs",
     "json_extract",
     "kll_quantile_bounds",
-    "large_volume_customers",
     # Below the 50-entry window: everything else carries an r9-r12
     # official green against current testdata and unchanged code.
     # scripts/window_audit.py tracks staleness (contract fingerprints);

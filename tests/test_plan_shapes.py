@@ -1195,3 +1195,19 @@ def test_event_gap_fill_bounded_shuffles(spark, sf_dir):
     assert re.search(r"\(\d+\) Generate", plan)  # sequence() explode
     assert "CartesianProduct" not in plan and "Python" not in plan
     assert count_exchanges(df) <= 4
+
+
+def test_cdc_apply_stream_sized_window_keyed_anti(spark, sf_dir):
+    """CDC apply must resolve the log with ONE key-partitioned window
+    (stream-sized) and apply via a keyed anti join + union — exchanges
+    bounded at 2 (the log window + the anti join's key partitioning /
+    broadcast), no cartesian, no Python."""
+    from self_healing_data_pipeline_agent_spark.operators.relational import (
+        q_cdc_apply,
+    )
+
+    df = q_cdc_apply(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan and "Python" not in plan
+    assert "LeftAnti" in plan
+    assert count_exchanges(df) <= 2
