@@ -257,8 +257,9 @@ HEADLINE = [
     # artifact, only the ingest batch re-tokenized.  hard_negative_mining
     # is excluded as REDUNDANT wall-clock (knn_cosine times the identical
     # broadcast corpus scan; the per-role rank adds only window work);
-    # dup_cluster_stats likewise (duplicate_clusters times the whole CC
-    # fixpoint it rides; the size histogram adds two KB-sized aggs).
+    # dup_cluster_stats and dedup_rate_by_source likewise
+    # (duplicate_clusters times the whole CC fixpoint they ride; the
+    # histogram/per-source slices add only KB-sized aggs).
     "substring_index_refresh",
     # r13: per-user hourly gap-fill + LOCF — the time-series
     # regularization row (grid generate + keyed join + one per-user

@@ -4925,3 +4925,43 @@ SELECT doc_id, CAST(i - 1 AS BIGINT) AS p,
        md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]) AS gh
 FROM toks, UNNEST(range(1, len(ts) - {SUBSTR_K - 2})) AS t(i)
 """
+
+
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication rate: of each source's documents, how many
+    sit in an LSH near-dup cluster — (source, n_docs, n_dup_docs,
+    dup_per_10k, exact integers).  The per-provenance slice of the
+    dedup report (``q_dup_cluster_stats`` is the per-cluster slice):
+    which feeds are redundant decides crawl budgets and per-source
+    sampling caps upstream.
+
+    Scale shape: the cluster membership table (docs-in-pairs-sized)
+    joins the (doc_id, source) projection on doc_id, then ONE tiny agg
+    on source — nothing new shuffles wider than doc_id, and the
+    clustering fixpoint it rides is the already-bounded X8 pipeline."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    clustered = q_duplicate_clusters(spark, sf_dir).select("doc_id").distinct()
+    flagged = docs.join(
+        clustered.withColumn("dup", F.lit(1)), "doc_id", "left"
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("dup", F.lit(0))).cast("bigint").alias("n_dup_docs"),
+        )
+        .withColumn("dup_per_10k", F.expr("n_dup_docs * 10000 DIV n_docs"))
+    )
+
+
+ORACLES["dedup_rate_by_source"] = f"""
+WITH RECURSIVE {_DUCK_CC_CTES},
+member AS (SELECT DISTINCT doc_id FROM clusters)
+SELECT d.source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       CAST(SUM(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         * 10000 // COUNT(*) AS dup_per_10k
+FROM documents d LEFT JOIN member m ON d.doc_id = m.doc_id
+GROUP BY d.source
+"""

@@ -71,6 +71,8 @@ QUERY_ORDER = [
     #    (ordered I/U/D log, latest-wins, deletes) --
     "event_gap_fill",
     "cdc_apply",
+    # (also never-green): the per-source slice of the dedup report --
+    "dedup_rate_by_source",
     # (also never-green): the near-dup contract served — the shipped
     #    multi-probe variant answered from the stored lsh_codes table --
     "embedding_near_dup_serve",
@@ -107,9 +109,9 @@ QUERY_ORDER = [
     "distinct_event_types",
     "hourly_windows",
     # -- r8-cohort filler (oldest remaining records, official-record
-    #    enumeration): 19 of the other 37 r8-aged greens fit below; the
-    #    last 18 (large_volume_customers, late_data_profile,
-    #    one_pass_profile, payload_dedup,
+    #    enumeration): 18 of the other 37 r8-aged greens fit below; the
+    #    last 19 (kll_quantile_bounds, large_volume_customers,
+    #    late_data_profile, one_pass_profile, payload_dedup,
     #    prefix_filter_jaccard,
     #    semantic_dedup, sessionization, simhash_fingerprints, simhash_near_dup,
     #    sliding_windows, sole_late_supplier,
@@ -135,7 +137,6 @@ QUERY_ORDER = [
     "idle_rich_customers",
     "jaccard_pairs",
     "json_extract",
-    "kll_quantile_bounds",
     # Below the 50-entry window: everything else carries an r9-r12
     # official green against current testdata and unchanged code.
     # scripts/window_audit.py tracks staleness (contract fingerprints);
