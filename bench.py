@@ -269,6 +269,10 @@ HEADLINE = [
     # the base snapshot (merge_upsert_orders' multi-op generalization;
     # benched next to it so the archive pairs single-op vs log apply).
     "cdc_apply",
+    # r13: the closed-form regression fit — one sufficient-stats
+    # aggregate past a per-order count join; the in-engine-training
+    # family's cheapest member, benched to pin the one-pass shape.
+    "linreg_price_per_item",
 ]
 
 

@@ -3087,3 +3087,79 @@ FROM base b ANTI JOIN latest l ON b.o_orderkey = l.o_orderkey
 UNION ALL
 SELECT o_orderkey, units, op AS src FROM latest WHERE op <> 'D'
 """
+
+
+# --- X42: in-engine closed-form regression (exact integer normal equations) --
+
+def q_linreg_price_per_item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority least-squares fit of order price (cents) against item
+    count — closed-form simple regression from the normal equations, all
+    in exact BIGINT: slope = (n*Sxy - Sx*Sy) DIV (n*Sxx - Sx^2) truncated
+    to cents-per-item, intercept = (Sy - slope*Sx) DIV n from the
+    truncated slope.  The regression member of the in-engine-training
+    family (X25 k-means, X26 power iteration, X28 perceptron): sufficient
+    statistics are one map-side-combined aggregate — the treeAggregate
+    shape — and the solve is constant-time per group.
+
+    Integer-overflow audit at sf0.1 (n<=30k/group, x<=7 items, y<=6e7
+    cents): n*Sxy <= 4e17, Sx*Sy <= 4e17, slope*Sx <= 2e12 — all inside
+    BIGINT with >10x margin.  The cross-products grow ~n^2, so at 1e9
+    rows you rescale the sums by n first (the X26 posture) — same
+    arithmetic, smaller units.
+
+    Scale shape: one per-order count aggregate (shuffles lineitem on its
+    FK once), a broadcastable join back to orders, then ONE 5-group
+    sufficient-stats aggregate; nothing else moves."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("y"),
+    )
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    j = orders.join(items, orders.o_orderkey == items.l_orderkey).select(
+        "o_orderpriority", "x", "y"
+    )
+    stats = j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return (
+        stats.withColumn(
+            "slope_cents", F.expr("(n * sxy - sx * sy) DIV (n * sxx - sx * sx)")
+        )
+        .withColumn("intercept_cents", F.expr("(sy - slope_cents * sx) DIV n"))
+        .select("o_orderpriority", "n", "slope_cents", "intercept_cents")
+    )
+
+
+ORACLES["linreg_price_per_item"] = """
+WITH j AS (
+  SELECT o.o_orderpriority,
+         i.x,
+         CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS y
+  FROM orders o
+  JOIN (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS x
+        FROM lineitem GROUP BY l_orderkey) i
+    ON o.o_orderkey = i.l_orderkey
+),
+s AS (
+  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM j GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n,
+       (n * sxy - sx * sy) // (n * sxx - sx * sx) AS slope_cents,
+       (sy - ((n * sxy - sx * sy) // (n * sxx - sx * sx)) * sx) // n
+         AS intercept_cents
+FROM s
+"""

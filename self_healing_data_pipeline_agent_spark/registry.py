@@ -71,8 +71,11 @@ QUERY_ORDER = [
     #    (ordered I/U/D log, latest-wins, deletes) --
     "event_gap_fill",
     "cdc_apply",
-    # (also never-green): the per-source slice of the dedup report --
+    # (also never-green): the per-source slice of the dedup report, and
+    #    the closed-form regression member of the in-engine-training
+    #    family (exact integer normal equations) --
     "dedup_rate_by_source",
+    "linreg_price_per_item",
     # (also never-green): the near-dup contract served — the shipped
     #    multi-probe variant answered from the stored lsh_codes table --
     "embedding_near_dup_serve",
@@ -109,8 +112,8 @@ QUERY_ORDER = [
     "distinct_event_types",
     "hourly_windows",
     # -- r8-cohort filler (oldest remaining records, official-record
-    #    enumeration): 18 of the other 37 r8-aged greens fit below; the
-    #    last 19 (kll_quantile_bounds, large_volume_customers,
+    #    enumeration): 17 of the other 37 r8-aged greens fit below; the
+    #    last 20 (json_extract, kll_quantile_bounds, large_volume_customers,
     #    late_data_profile, one_pass_profile, payload_dedup,
     #    prefix_filter_jaccard,
     #    semantic_dedup, sessionization, simhash_fingerprints, simhash_near_dup,
@@ -136,7 +139,6 @@ QUERY_ORDER = [
     "hll_distinct_profile",
     "idle_rich_customers",
     "jaccard_pairs",
-    "json_extract",
     # Below the 50-entry window: everything else carries an r9-r12
     # official green against current testdata and unchanged code.
     # scripts/window_audit.py tracks staleness (contract fingerprints);
