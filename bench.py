@@ -273,6 +273,16 @@ HEADLINE = [
     # aggregate past a per-order count join; the in-engine-training
     # family's cheapest member, benched to pin the one-pass shape.
     "linreg_price_per_item",
+    # r14: the image-modality near-dup row — band explode + equi-join +
+    # Hamming verify over the STORED 40-byte dHash table (the
+    # encode/decode kernels run at build only; best-of-N reports the
+    # steady serving cost, the production number).
+    "image_near_dup",
+    # r14: the CDC apply against the X38 bucketed base — benched next to
+    # its shuffle-planned twin above so the archive pairs them (the
+    # snapshot side plans zero exchanges; only the stream-sized log
+    # shuffles).
+    "bucketed_cdc_apply",
 ]
 
 

@@ -1,0 +1,89 @@
+"""Idle-host adjudication runs for flagged bench rows.
+
+The repo's noise protocol (BENCH.md "Reading the table"): a query whose
+driver number swings while its DuckDB twin stays flat is a PLAN PROBLEM
+until adjudicated — and the adjudication must be an ARCHIVED run
+sequence, not prose (the r12 lesson).  This script produces that
+artifact: for each named query it runs the Spark plan up to N times
+(bench methodology: local[16], noop sink, full run list printed so
+cold/warm/steal structure is visible) and its DuckDB oracle 3 times on
+the same parquet, in one process, on what should be an idle host.
+
+Usage:  python scripts/adjudicate.py graph_pagerank char_lm_perplexity
+        SPARK_GRAFT_SF_DIR=... SPARK_GRAFT_ADJ_RUNS=6 python scripts/adjudicate.py ...
+
+Paste the printed sequences into BENCH.md's adjudication section.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import duckdb  # noqa: E402
+
+from self_healing_data_pipeline_agent_spark.registry import (  # noqa: E402
+    all_oracles,
+    all_queries,
+)
+from self_healing_data_pipeline_agent_spark.session import get_spark  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def main() -> None:
+    names = sys.argv[1:]
+    if not names:
+        sys.exit("usage: adjudicate.py <query> [query ...]")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_runs = int(os.environ.get("SPARK_GRAFT_ADJ_RUNS", "6"))
+    cpus = int(os.environ.get("SPARK_GRAFT_BENCH_CPUS", "16"))
+    queries, oracles = all_queries(), all_oracles()
+    missing = [n for n in names if n not in queries]
+    if missing:
+        sys.exit(f"unknown queries: {missing}")
+
+    spark = get_spark(app_name="adjudicate", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    # same warmup as bench.py: JIT, noop-sink init, file-listing caches
+    queries["row_count"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    out: dict[str, dict] = {}
+    for name in names:
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs.append(round(time.perf_counter() - t0, 2))
+        drs = []
+        if name in oracles:
+            for _ in range(3):
+                t0 = time.perf_counter()
+                con.sql(oracles[name]).fetchall()
+                drs.append(round(time.perf_counter() - t0, 2))
+        out[name] = {"spark_runs": runs, "spark_best": min(runs),
+                     "duck_runs": drs, "duck_best": min(drs) if drs else None}
+        print(f"{name}: spark {runs} -> best {min(runs)}"
+              + (f"; duck {drs} -> best {min(drs)}" if drs else ""))
+    print(json.dumps({"sf_dir": sf_dir, "cpus": cpus, "results": out}))
+
+
+if __name__ == "__main__":
+    main()

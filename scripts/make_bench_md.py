@@ -51,6 +51,10 @@ _BUILD_TWINS = set(SERVE_PAIRS.values())
 # non-pair roles: rows whose label isn't a build/serve twin relationship
 EXTRA_ROLES = {
     "lsh_index_refresh": "incremental maintenance",
+    "substring_index_refresh": "incremental maintenance",
+    "bucketed_late_shipments": "bucketed layout (vs order_priority_check)",
+    "bucketed_cdc_apply": "bucketed layout (vs cdc_apply)",
+    "image_near_dup": "serve (img_dhash artifact)",
 }
 
 

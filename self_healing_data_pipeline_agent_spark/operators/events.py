@@ -829,17 +829,25 @@ def q_event_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     every downstream feature/monitoring job wants (feature stores train
     on dense grids, not event streams).
 
-    Per (user, hour): n_events and the LAST event's value (rank by
+    Per (user, hour): n_events and the LAST event's value (ordered by
     (ts, event_id) — a total order, so "last" is engine-independent) in
     exact 1e-4 integer units.  The grid is each user's [min hour, max
     hour] span, so the first grid row always has an observation and the
     fill never sees a leading NULL.
 
-    Scale shape: one (user, hour) aggregate (map-side combined), a tiny
-    per-user bounds agg whose `sequence()` explode is generated
-    map-side, one keyed left join grid<-hourly, and ONE per-user window
-    for the fill — nothing shuffles wider than user_id, and each user's
-    state is bounded by their span, not the corpus."""
+    The per-hour "last" is ``max_by(units, struct(ts, event_id))`` IN
+    the (user, hour) aggregate itself — struct comparison is
+    lexicographic by field order, the same total order the oracle's
+    ROW_NUMBER ranks by — so the rank-then-aggregate window pass the r13
+    shape paid is gone: one shuffle stage fewer, value-identical (r13
+    verdict item #7).
+
+    Scale shape: one (user, hour) aggregate (map-side combined — max_by
+    partials merge associatively, unlike a rank), a tiny per-user bounds
+    agg whose `sequence()` explode is generated map-side, one keyed left
+    join grid<-hourly, and ONE per-user window for the fill — nothing
+    shuffles wider than user_id, and each user's state is bounded by
+    their span, not the corpus."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.date_trunc("hour", F.col("ts")).alias("hour"),
@@ -847,16 +855,9 @@ def q_event_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         to_units(F.coalesce(F.col("value"), F.lit(0.0))).alias("units"),
     )
-    wlast = Window.partitionBy("user_id", "hour").orderBy(
-        F.desc("ts"), F.desc("event_id")
-    )
-    hourly = (
-        ev.withColumn("rn", F.row_number().over(wlast))
-        .groupBy("user_id", "hour")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.max(F.when(F.col("rn") == 1, F.col("units"))).alias("last_units"),
-        )
+    hourly = ev.groupBy("user_id", "hour").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max_by("units", F.struct("ts", "event_id")).alias("last_units"),
     )
     grid = (
         hourly.groupBy("user_id")

@@ -1196,3 +1196,223 @@ SELECT doc_id,
             AS BIGINT) AS sum_b
 FROM r
 """
+
+
+# --- X43: image near-dup — perceptual dHash over decoded rasters -------------
+
+# Hamming threshold for the verify stage.  3 is EXACTLY the 4-band
+# pigeonhole bound: a pair differing in all four 16-bit bands has
+# Hamming >= 4, so every pair at <= 3 agrees bit-exactly on at least one
+# band and banded blocking loses nothing — recall is exact among pairs
+# whose agreeing band is informative (nonzero; see IMG_BANDS note).
+# Corpus-calibrated so the verify provably bites (candidates -> kept:
+# 354->45 / 400->37 / 41712->2102 at sf0.001/0.01/0.1).
+IMG_HAM_MAX = 3
+IMG_BANDS = 4
+IMG_BLOCK_GRID = 8  # 8x8 gradient grid -> 64-bit hash
+
+IMG_HASH_SCHEMA = StructType(
+    [StructField("doc_id", LongType())]
+    + [StructField(f"b{k}", LongType()) for k in range(IMG_BANDS)]
+)
+
+
+def _img_hash_kernel(
+    batches: "Iterator[pd.DataFrame]",
+) -> "Iterator[pd.DataFrame]":
+    """mapInPandas kernel: PNG payload -> registry decode -> 8x8 block
+    dHash, emitted as four 16-bit band values (BIGINT-safe, no sign
+    games).  All integer: gray = r+g+b per pixel (no division), block =
+    sum of its 2x2 pixel grays, bit(y,x) = block[y][(x+1)%8] >
+    block[y][x] (horizontal gradient, wraparound).  A mean-threshold
+    aHash collapses on this corpus (blank/padded regions pin most bits);
+    the gradient form keeps per-band entropy, which is what banded
+    blocking needs."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = np.frombuffer(
+                decode_payload(payload, "png"), dtype=np.uint8
+            ).reshape(PNG_H, PNG_W, 3)
+            gray = arr.sum(axis=2, dtype=np.int64)
+            g = IMG_BLOCK_GRID
+            blocks = gray.reshape(g, PNG_H // g, g, PNG_W // g).sum(axis=(1, 3))
+            bits = (np.roll(blocks, -1, axis=1) > blocks).astype(np.int64)
+            flat = bits.reshape(g * g)
+            bands = [
+                int(sum(int(flat[16 * k + j]) << j for j in range(16)))
+                for k in range(IMG_BANDS)
+            ]
+            rows.append((doc_id, *bands))
+        yield pd.DataFrame(rows, columns=[f.name for f in IMG_HASH_SCHEMA.fields])
+
+
+def _img_hash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted (doc_id, b0..b3) perceptual-hash table — the image
+    ring's index artifact.  The encode/decode/hash kernels are the BUILD
+    pass and run exactly once per corpus snapshot: the near-dup query
+    consumes this table three times (band explode + both verify sides),
+    and without the store the Python decode would re-run per consumer —
+    at 100 TB that is re-decoding the image corpus three times per
+    query.  Stored rows are 40-byte codes; the rasters never persist."""
+    from ..sources.index_store import ensure_index
+    from ..sources.tables import spread
+
+    def build() -> DataFrame:
+        docs = spread(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        )
+        payloads = docs.mapInPandas(
+            _png_encode_kernel,
+            schema=StructType(
+                [
+                    StructField("doc_id", LongType()),
+                    StructField("payload", BinaryType()),
+                ]
+            ),
+        )
+        return payloads.mapInPandas(_img_hash_kernel, schema=IMG_HASH_SCHEMA)
+
+    return ensure_index(
+        spark, sf_dir, "img_dhash",
+        f"dhash|{IMG_BLOCK_GRID}|{IMG_BANDS}", build,
+        source_table="documents",
+    )
+
+
+def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup pairs over the IMAGE modality — the dedup
+    ring's missing member (X8 covers text shingles, X9 embeddings; the
+    X35 codec ring decodes rasters but nothing dedups them): every
+    document encodes to a real PNG, decodes back through the codec
+    registry (CRC + inflate + unfilter — the hash is computed from
+    DECODED bytes, so the round-trip is on the verified path), and hashes
+    to a 64-bit block-gradient dHash carried as four 16-bit bands.
+
+    Blocking is the simhash_near_dup_blocked posture: band-value
+    equi-join, verify = exact Hamming over the four band XORs,
+    <= IMG_HAM_MAX.  A band participates in blocking only if it is
+    INFORMATIVE (nonzero): an all-zero band is a zero-gradient blank
+    region — padding, margins — shared by most of any real corpus, i.e.
+    the classic LSH hot bucket that turns banded blocking back into the
+    quadratic all-pairs join (measured here: with zero bands kept, EVERY
+    pair collides at every SF).  The documented recall trade: a pair
+    whose ONLY agreeing band is blank (two near-empty images) is not
+    surfaced — blank regions carry no identity.
+
+    Scale shape: the hash table is a STORED index artifact (build = two
+    chained map-only Arrow kernels, once per corpus snapshot; see
+    ``_img_hash_index``), so the query moves only 40-byte hash rows —
+    band explode, equi-join on (band, value), pair distinct, two keyed
+    joins back to the hash table for the verify.  The raster bytes never
+    shuffle and never decode twice."""
+    hashes = _img_hash_index(spark, sf_dir)
+    keys = hashes.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"b{k}") for k in range(IMG_BANDS)])).alias(
+            "k", "v"
+        ),
+    ).filter(F.col("v") != 0)
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ha = hashes.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{k}").alias(f"xa{k}") for k in range(IMG_BANDS)],
+    )
+    hb = hashes.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{k}").alias(f"xb{k}") for k in range(IMG_BANDS)],
+    )
+    ham = sum(
+        F.expr(f"bit_count(xa{k} ^ xb{k})") for k in range(IMG_BANDS)
+    ).cast("bigint")
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= IMG_HAM_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# Analytic twin: the codec is lossless (tripwired by multimodal_decode_png),
+# so the decoded raster IS the space-padded 768-char text prefix and the
+# whole hash is exact integer arithmetic on character codes.  j in 0..11
+# encodes (dy = j//6, dx = (j%6)//3, c = j%3) of a block's 2x2x3 bytes.
+ORACLES["image_near_dup"] = f"""
+WITH r AS (
+  SELECT doc_id,
+         rpad(substr(text, 1, {PNG_RASTER_BYTES}), {PNG_RASTER_BYTES}, ' ')
+           AS raster
+  FROM documents
+),
+blk AS (
+  SELECT doc_id,
+         list_transform(range(64), b ->
+           list_sum(list_transform(range(12), j ->
+             ascii(substr(raster,
+               CAST(((2 * (b // 8) + j // 6) * {PNG_W}
+                     + 2 * (b % 8) + (j % 6) // 3) * 3 + j % 3 + 1 AS INT),
+               1))))) AS blocks
+  FROM r
+),
+bits AS (
+  SELECT doc_id,
+         list_transform(range(64), b ->
+           CASE WHEN blocks[CAST((b // 8) * 8 + ((b % 8) + 1) % 8 AS INT) + 1]
+                     > blocks[CAST(b AS INT) + 1]
+                THEN 1 ELSE 0 END) AS bits
+  FROM blk
+),
+bands AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(16),
+           j -> bits[CAST(j AS INT) + 1] * (1 << CAST(j AS INT))))
+           AS BIGINT) AS b0,
+         CAST(list_sum(list_transform(range(16),
+           j -> bits[CAST(j AS INT) + 17] * (1 << CAST(j AS INT))))
+           AS BIGINT) AS b1,
+         CAST(list_sum(list_transform(range(16),
+           j -> bits[CAST(j AS INT) + 33] * (1 << CAST(j AS INT))))
+           AS BIGINT) AS b2,
+         CAST(list_sum(list_transform(range(16),
+           j -> bits[CAST(j AS INT) + 49] * (1 << CAST(j AS INT))))
+           AS BIGINT) AS b3
+  FROM bits
+),
+keys AS (
+  SELECT * FROM (
+    SELECT doc_id, k,
+           CASE k WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS v
+    FROM bands, range(4) t(k)
+  ) WHERE v <> 0
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM keys a JOIN keys b ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT doc_a, doc_b,
+         CAST(bit_count(xor(xa.b0, xb.b0)) + bit_count(xor(xa.b1, xb.b1))
+            + bit_count(xor(xa.b2, xb.b2)) + bit_count(xor(xa.b3, xb.b3))
+            AS BIGINT) AS hamming
+  FROM cand
+  JOIN bands xa ON cand.doc_a = xa.doc_id
+  JOIN bands xb ON cand.doc_b = xb.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM verified WHERE hamming <= {IMG_HAM_MAX}
+"""

@@ -3060,6 +3060,65 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return untouched.unionByName(applied)
 
 
+def q_bucketed_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``q_cdc_apply`` answered against the X38 BUCKETED base — the
+    promise in cdc_apply's docstring ("with the X38 bucketed base the
+    anti join co-locates too") measured, not asserted: base orders come
+    from the stored hash-bucketed copy (``ensure_bucketed_table``), so
+    the keyed left-anti plans with ZERO exchanges on the base side —
+    bucket i of the base zips with partition i of the resolved log.
+
+    The log side shuffles ONCE, by hand, into the bucket layout
+    (``repartition(n_buckets, key)`` — the same Murmur3 hash
+    partitioning the bucket spec declares): the latest-op window and the
+    anti join BOTH ride that single exchange, so the whole apply plan
+    carries exactly one shuffle, and it moves only the stream-sized
+    change log.  At 100 TB this is the CDC steady state a warehouse
+    wants: the nightly Debezium batch shuffles (tiny), the snapshot
+    never does.
+
+    Identical carve and arithmetic to the build-free twin, so it shares
+    the oracle."""
+    from ..sources.index_store import ensure_bucketed_table
+
+    n_buckets = 16
+    o_tbl = ensure_bucketed_table(spark, sf_dir, "orders", "o_orderkey", n_buckets)
+    orders = spark.table(o_tbl).select(
+        "o_orderkey", to_units(F.col("o_totalprice")).alias("units")
+    )
+    base = orders.filter(F.col("o_orderkey") % 7 != 0)
+    ins = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", F.lit(1).alias("seq"), F.lit("I").alias("op"),
+        F.expr("units * 110 DIV 100").alias("units"),
+    )
+    upd = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", F.lit(2).alias("seq"), F.lit("U").alias("op"),
+        F.expr("units * 105 DIV 100").alias("units"),
+    )
+    dele = orders.filter(F.col("o_orderkey") % 6 == 0).select(
+        "o_orderkey", F.lit(3).alias("seq"), F.lit("D").alias("op"),
+        F.lit(None).cast("bigint").alias("units"),
+    )
+    log = (
+        ins.unionByName(upd)
+        .unionByName(dele)
+        .repartition(n_buckets, F.col("o_orderkey"))
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("seq"))
+    latest = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", "op", "units")
+    )
+    untouched = base.join(
+        latest.hint("merge"), "o_orderkey", "left_anti"
+    ).select("o_orderkey", "units", F.lit("base").alias("src"))
+    applied = latest.filter(F.col("op") != "D").select(
+        "o_orderkey", "units", F.col("op").alias("src")
+    )
+    return untouched.unionByName(applied)
+
+
 ORACLES["cdc_apply"] = """
 WITH o AS (
   SELECT o_orderkey,
@@ -3088,6 +3147,8 @@ UNION ALL
 SELECT o_orderkey, units, op AS src FROM latest WHERE op <> 'D'
 """
 
+ORACLES["bucketed_cdc_apply"] = ORACLES["cdc_apply"]
+
 
 # --- X42: in-engine closed-form regression (exact integer normal equations) --
 
@@ -3106,6 +3167,14 @@ def q_linreg_price_per_item(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT with >10x margin.  The cross-products grow ~n^2, so at 1e9
     rows you rescale the sums by n first (the X26 posture) — same
     arithmetic, smaller units.
+
+    Degenerate groups: when a priority group has ZERO variance in item
+    count, n*Sxx - Sx^2 = 0 and BOTH engines return NULL slope/intercept
+    (integer DIV by zero is NULL in Spark and DuckDB alike) — the
+    regression is undefined on a vertical-line group, and NULL is the
+    declared signal, not an error.  Never fires on TPC-H-shaped data
+    (every priority mixes item counts 1..7); a caller that must flag the
+    case filters ``slope_cents IS NULL``.
 
     Scale shape: one per-order count aggregate (shuffles lineitem on its
     FK once), a broadcastable join back to orders, then ONE 5-group

@@ -37,109 +37,88 @@ _MODULES = [
 # (tests/test_oracle_parity.py, which runs ALL pairs) — not the official
 # record — decides what needs the window.
 QUERY_ORDER = [
-    # -- r13 new operators (never-green): the ExactSubstr ring's serving
-    #    twin — spans answered from the stored winnowed-fingerprint +
-    #    4-gram postings artifacts, the eighth index-store family — and
-    #    the incremental LSH index refresh (standing corpus served from
-    #    the artifact, only the ingest batch re-coded; oracle recodes
-    #    everything, so the incremental path is hash-checked exact) --
-    "substring_dup_serve",
-    "lsh_index_refresh",
-    # -- r13 second wave (never-green): the selection/inference ring —
-    #    majority-vote kNN label inference, per-cluster coreset
-    #    representatives (served from the stored kmivf_centroids model),
-    #    weighted priority sampling (Duffield-Lund-Thorup, all-integer),
-    #    per-doc n-gram novelty, and edit-distance verification of LSH
-    #    candidates --
-    "knn_classify",
-    "cluster_representatives",
-    "priority_sample",
-    "ngram_novelty",
-    "edit_distance_dedup",
-    # (also never-green): the relational serving split — the co-located
-    #    bucketed fact-fact join served from stored bucketed copies --
-    "bucketed_late_shipments",
-    # -- r13 third wave (never-green): contrastive pair mining, the
-    #    dedup cluster-size profile, and incremental maintenance for the
-    #    substring postings index (lsh_index_refresh's posture on the
-    #    text ring) --
-    "hard_negative_mining",
-    "dup_cluster_stats",
-    "substring_index_refresh",
-    # (also never-green): per-user hourly gap-fill + LOCF — time-series
-    #    regularization for feature/monitoring consumers — and CDC apply
-    #    (ordered I/U/D log, latest-wins, deletes) --
+    # -- r14 new operators (never-green): the image-modality near-dup
+    #    (perceptual block-gradient dHash over decoded PNG rasters,
+    #    banded equi-join blocking, Hamming verify — X43, the dedup
+    #    ring's missing modality) and the CDC apply against the X38
+    #    bucketed base (zero exchanges on the snapshot side) --
+    "image_near_dup",
+    "bucketed_cdc_apply",
+    # -- r14 changed-implementation fail-closed re-checks: event_gap_fill
+    #    dropped its rank-window pass (per-hour last is now
+    #    max_by(units, struct(ts, event_id)) inside the one aggregate —
+    #    r13 verdict #7; same total order, value-identical per local
+    #    parity); bucketed_late_shipments' ensure_bucketed_table now
+    #    routes its build through load_table (r13 ADVICE — normalization
+    #    parity for future bucketed tables; plain read for orders) --
     "event_gap_fill",
-    "cdc_apply",
-    # (also never-green): the per-source slice of the dedup report, and
-    #    the closed-form regression member of the in-engine-training
-    #    family (exact integer normal equations) --
-    "dedup_rate_by_source",
+    "bucketed_late_shipments",
+    # (also fail-closed): linreg gained a degenerate-group docstring
+    #    note overlapping its source span — doc-only, but the window
+    #    audit cannot know that, so the record is re-earned in-window --
     "linreg_price_per_item",
-    # (also never-green): the near-dup contract served — the shipped
-    #    multi-probe variant answered from the stored lsh_codes table --
-    "embedding_near_dup_serve",
-    # -- r13 changed-implementation fail-closed re-checks: the LSH
-    #    carving study now unpacks its sign bits from the stored
-    #    lsh_codes artifact and reads the persisted near_dup_truth table
-    #    (r12 verdict #3; 8.05 s -> ~4-6 s steady); ann_lsh_serve shares
-    #    the extracted module-level builder; substring_dup_spans'
-    #    postings build moved into the helper the serve twin persists.
-    #    Values unchanged per local parity; records re-earned in-window --
-    "embedding_lsh_tuning",
-    "ann_lsh_serve",
-    "substring_dup_spans",  # also the r8 cohort (double reason)
-    # -- r13 changed-oracle fail-closed re-checks: the power-iteration
-    #    rescale divisors gained the >=1 degenerate-corpus clamp on BOTH
-    #    engines (r12 ADVICE; values unchanged on real corpora — the
-    #    clamp only binds when max|w| < PC_SCALE) --
-    "embedding_top_pc",
-    "embedding_top2_pc",
-    "embedding_pca_coords",
     # -- rows-only recurring slot: progress metrics have no SQL twin, so
     #    this never earns a green hash and re-takes a seat every round --
     "streaming_state_metrics",
-    # -- the r8-cohort MUST-window (r12 verdict #1): the 10 queries that
-    #    spilled from the r12 filler as new operators landed --
-    "merge_upsert_orders",
-    "order_lag_lead",
-    "promo_revenue_share",
-    "quantile_profile",
-    "regional_supplier_volume",
-    "rolling_order_totals",
-    "semi_join_open_orders",
-    "shipping_priority",
-    "distinct_event_types",
-    "hourly_windows",
-    # -- r8-cohort filler (oldest remaining records, official-record
-    #    enumeration): 17 of the other 37 r8-aged greens fit below; the
-    #    last 20 (json_extract, kll_quantile_bounds, large_volume_customers,
-    #    late_data_profile, one_pass_profile, payload_dedup,
-    #    prefix_filter_jaccard,
-    #    semantic_dedup, sessionization, simhash_fingerprints, simhash_near_dup,
-    #    sliding_windows, sole_late_supplier,
-    #    streaming_profile_compaction2, supplier_part_breadth,
-    #    tfidf_top_terms, theta_priority_overlap, tpch_q6, tpch_q8,
-    #    user_rolling_hour) spill to the r14 window — r14 MUST-window
-    #    those with whatever else ages out --
-    "ann_ivf_topk",
-    "anti_join_no_f_orders",
-    "approx_distinct_counts",
-    "char_lm_perplexity",
-    "chunk_with_overlap",
-    "cohort_retention",
-    "concentrated_value_parts",
-    "contamination_score",
-    "curate_corpus",
-    "customer_churn_sketch",
-    "embedding_near_dup",
-    "embedding_near_dup_lsh",
-    "grouped_dq_profile",
-    "healing_proposals",
-    "hll_distinct_profile",
-    "idle_rich_customers",
-    "jaccard_pairs",
-    # Below the 50-entry window: everything else carries an r9-r12
+    # -- the r8-aged cohort (r13 verdict #1, driver-gate obligation):
+    #    the 20 oldest official greens, whose record would otherwise
+    #    date to r8 against current testdata --
+    "json_extract",
+    "kll_quantile_bounds",
+    "large_volume_customers",
+    "late_data_profile",
+    "one_pass_profile",
+    "payload_dedup",
+    "prefix_filter_jaccard",
+    "semantic_dedup",
+    "sessionization",
+    "simhash_fingerprints",
+    "simhash_near_dup",
+    "sliding_windows",
+    "sole_late_supplier",
+    "streaming_profile_compaction2",
+    "supplier_part_breadth",
+    "tfidf_top_terms",
+    "theta_priority_overlap",
+    "tpch_q6",
+    "tpch_q8",
+    "user_rolling_hour",
+    # -- r9-aged filler (oldest remaining records, official-record
+    #    enumeration): 24 of the 47 r9-aged greens fit below; the other
+    #    23 (referential_orphans, repetition_ratio, revenue_by_nation, rollup_summary,
+    #    row_count, salted_hot_key_agg, setop_except, setop_intersect,
+    #    shard_manifest, status_metrics, stratified_sample,
+    #    streaming_cardinality_profile, streaming_churn_profile,
+    #    streaming_dedup_jittered, streaming_enriched_counts,
+    #    streaming_error_orphans, streaming_session_windows,
+    #    streaming_sketch_rollup, text_quality, token_stats_by_lang,
+    #    train_val_split, vocab_growth, zorder_pruning) spill to the r15
+    #    window — r15 MUST-window those with whatever else ages out --
+    "ann_lsh_topk",
+    "bloom_decontaminate",
+    "dup_ngram_coverage",
+    "embedding_norm_stats",
+    "embedding_quant_codebook",
+    "exact_dedup_docs",
+    "funnel_conversion",
+    "heavy_hitters",
+    "jl_projection",
+    "kll_quantile_drift",
+    "knn_cosine",
+    "label_centroids",
+    "minhash_lsh_pairs",
+    "mixture_epochs",
+    "mixture_resample",
+    "multimodal_decode_ppm",
+    "multimodal_decode_ppm_stream",
+    "multimodal_decode_wav",
+    "null_fractions",
+    "order_priority_check",
+    "pack_sequences",
+    "pii_scrub",
+    "point_lookup",
+    "recent_errors",
+    # Below the 50-entry window: everything else carries an r11-r13
     # official green against current testdata and unchanged code.
     # scripts/window_audit.py tracks staleness (contract fingerprints);
     # local parity re-verifies the full surface each session at

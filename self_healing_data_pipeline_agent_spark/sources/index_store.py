@@ -39,6 +39,8 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .tables import load_table
+
 _REPO_ROOT = Path(__file__).resolve().parents[2]
 
 # ONE store-wide version knob (r12 ADVICE): folded into every digest here,
@@ -144,29 +146,36 @@ def _slot(name: str, digest: str) -> Path:
     return _store_root() / name / digest
 
 
+def _is_stale_sibling(child: Path, sf_dir: str | Path) -> bool:
+    """THE staleness rule, shared by the file pruner and the bucketed
+    catalog-drop loop so they can never disagree (a divergence would
+    leave live catalog names over deleted directories): a sibling digest
+    is stale iff its meta is missing/unreadable (crashed partial build)
+    or it was built from the SAME corpus directory (superseded snapshot
+    or params).  Siblings for OTHER corpus directories are parallel
+    indexes (sf0.001 / sf0.01 / sf0.1 coexist), not stale state."""
+    meta = child / "meta.json"
+    try:
+        return (
+            not meta.is_file()
+            or json.loads(meta.read_text()).get("sf_dir")
+            == str(Path(sf_dir).resolve())
+        )
+    except (OSError, ValueError):
+        return True
+
+
 def _prune_siblings(slot: Path, sf_dir: str | Path) -> None:
-    """Drop SUPERSEDED digests of the same index name: same corpus
-    directory (older snapshot / older params) or a crashed partial build
-    (no meta).  Slots for OTHER corpus directories are parallel indexes
-    (sf0.001 / sf0.01 / sf0.1 coexist across the test, gate, and bench
-    runs), not stale state — pruning them caused a rebuild per SF
-    switch."""
+    """Drop SUPERSEDED digests of the same index name (rule:
+    :func:`_is_stale_sibling`); pruning parallel-SF siblings caused a
+    rebuild per SF switch, so only same-corpus/crashed slots go."""
     parent = slot.parent
     if not parent.is_dir():
         return
-    me = str(Path(sf_dir).resolve())
     for child in parent.iterdir():
         if not child.is_dir() or child == slot:
             continue
-        meta = child / "meta.json"
-        try:
-            stale = (
-                not meta.is_file()
-                or json.loads(meta.read_text()).get("sf_dir") == me
-            )
-        except (OSError, ValueError):
-            stale = True
-        if stale:
+        if _is_stale_sibling(child, sf_dir):
             shutil.rmtree(child, ignore_errors=True)
 
 
@@ -261,14 +270,14 @@ def ensure_bucketed_table(
     def build() -> DataFrame:
         from pyspark.sql import functions as F
 
+        # Route through load_table so the bucketed copy sees the SAME
+        # normalized view of the table every operator reads (events.ts
+        # nanos-as-long would otherwise bucket raw and silently diverge).
         # one write task per bucket (repartition on the bucket key with
         # matching modulus) -> ONE file per bucket, which is what lets a
         # reader skip the per-task sort: multi-file buckets stay
         # co-located but must re-sort inside each task
-        return (
-            spark.read.parquet(str(Path(sf_dir) / f"{table}.parquet"))
-            .repartition(n_buckets, F.col(key))
-        )
+        return load_table(spark, sf_dir, table).repartition(n_buckets, F.col(key))
 
     digest = _digest(sf_dir, table, f"bucket|{key}|{n_buckets}", build)
     slot = _slot(f"bkt_{table}", digest)
@@ -298,23 +307,15 @@ def ensure_bucketed_table(
         )
         # drop superseded siblings' catalog entries BEFORE their files:
         # a same-session rebuild (testdata refresh) would otherwise leave
-        # a live table name pointing at a pruned directory.  Mirrors
-        # _prune_siblings' staleness rule — parallel-SF siblings keep
+        # a live table name pointing at a pruned directory.  Shares
+        # _is_stale_sibling with _prune_siblings so the catalog drops and
+        # the file prunes can never disagree — parallel-SF siblings keep
         # their files AND their catalog entries.
-        me = str(Path(sf_dir).resolve())
         if slot.parent.is_dir():
             for child in slot.parent.iterdir():
                 if not child.is_dir() or child == slot:
                     continue
-                cmeta = child / "meta.json"
-                try:
-                    stale = (
-                        not cmeta.is_file()
-                        or json.loads(cmeta.read_text()).get("sf_dir") == me
-                    )
-                except (OSError, ValueError):
-                    stale = True
-                if stale:
+                if _is_stale_sibling(child, sf_dir):
                     spark.sql(f"DROP TABLE IF EXISTS bkt_{table}_{child.name}")
         _prune_siblings(slot, sf_dir)
         return tbl

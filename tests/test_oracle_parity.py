@@ -227,3 +227,52 @@ FROM scored"""
         "every candidate passes the edit threshold — the verify is "
         "vacuous; tighten EDIT_DUP_PER_10K"
     )
+
+
+def test_image_hash_banding_guard_is_load_bearing(vacuity_duck):
+    """Two guards on the image near-dup blocking at the driver's sf0.01,
+    DuckDB-only over the oracle's own CTE chain (a constant change
+    re-guards automatically):
+
+    1. The informative-band rule must be LOAD-BEARING: counting
+       candidates WITH zero bands kept must blow up toward all-pairs
+       (this corpus pins the padding bands to zero for most docs — the
+       LSH hot bucket the rule exists to drop).  If this stops being
+       true the guard is dead code and should go.
+    2. The Hamming verify must bite: kept pairs strictly fewer than
+       candidates (the r7 vacuous-threshold lesson).
+    """
+    from self_healing_data_pipeline_agent_spark.operators.multimodal import (
+        IMG_HAM_MAX,
+        ORACLES as MM_ORACLES,
+    )
+
+    base = MM_ORACLES["image_near_dup"]
+    prefix = base[: base.rindex("SELECT")]
+    n_cand, n_keep = vacuity_duck.sql(
+        prefix
+        + f"""SELECT COUNT(*),
+       SUM(CASE WHEN hamming <= {IMG_HAM_MAX} THEN 1 ELSE 0 END)
+FROM verified"""
+    ).fetchall()[0]
+    n_docs = vacuity_duck.sql("SELECT COUNT(*) FROM documents").fetchall()[0][0]
+    all_pairs = n_docs * (n_docs - 1) // 2
+    # guard 1: with the zero-band filter ON, candidates are sub-quadratic
+    assert n_cand < all_pairs // 10, (
+        f"banded blocking is near-all-pairs ({n_cand}/{all_pairs}) even "
+        "with the informative-band rule — blocking is broken"
+    )
+    unguarded = vacuity_duck.sql(
+        prefix.replace(") WHERE v <> 0", ")")
+        + "SELECT COUNT(*) FROM cand"
+    ).fetchall()[0][0]
+    assert unguarded > n_cand * 10, (
+        "dropping zero bands no longer changes candidate volume — the "
+        "informative-band guard is dead code; remove it"
+    )
+    # guard 2: the Hamming verify is non-vacuous
+    assert n_keep >= 1, "verify keeps nothing — threshold too tight"
+    assert n_keep < n_cand, (
+        "every candidate passes the Hamming threshold — the verify is "
+        "vacuous; lower IMG_HAM_MAX"
+    )

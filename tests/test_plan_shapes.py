@@ -1143,6 +1143,29 @@ def test_bucketed_join_no_exchange_below_join(spark, sf_dir):
     assert plan.count("Bucketed: true") == 2
 
 
+def test_bucketed_cdc_apply_colocated_anti_join(spark, sf_dir):
+    """The bucketed CDC apply must plan the keyed left-anti as a
+    SortMergeJoin with ZERO exchanges on the base side (the snapshot
+    never shuffles): every Exchange in the plan is the stream-sized
+    log's own REPARTITION_BY_NUM into the bucket layout (the window and
+    the anti join both ride it; the subtree appears twice because
+    ``latest`` feeds both the anti join and the applied branch)."""
+    from self_healing_data_pipeline_agent_spark.operators.relational import (
+        q_bucketed_cdc_apply,
+    )
+
+    df = q_bucketed_cdc_apply(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan
+    assert "LeftAnti" in plan
+    assert "Bucketed: true" in plan
+    n_ex = count_exchanges(df)
+    assert n_ex == plan.count("REPARTITION_BY_NUM") == 2, (
+        "every exchange must be the log's hand-placed bucket-layout "
+        "repartition — any other exchange means the base side shuffled"
+    )
+
+
 def test_hard_negative_mining_broadcast_single_shuffle(spark, sf_dir):
     """Contrastive mining must broadcast the labeled query batch past the
     corpus (BNLJ, corpus never shuffled) and rank per (query, role) with
@@ -1194,7 +1217,13 @@ def test_event_gap_fill_bounded_shuffles(spark, sf_dir):
     plan = formatted_plan(df)
     assert re.search(r"\(\d+\) Generate", plan)  # sequence() explode
     assert "CartesianProduct" not in plan and "Python" not in plan
-    assert count_exchanges(df) <= 4
+    # r14: the per-hour "last" moved from rank-window+groupBy into
+    # max_by inside the (user, hour) aggregate — one exchange fewer,
+    # and the r13 shape's rank window is gone entirely.
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, (
+        "only the LOCF fill may use a window node"
+    )
+    assert count_exchanges(df) <= 3
 
 
 def test_cdc_apply_stream_sized_window_keyed_anti(spark, sf_dir):
@@ -1211,3 +1240,22 @@ def test_cdc_apply_stream_sized_window_keyed_anti(spark, sf_dir):
     assert "CartesianProduct" not in plan and "Python" not in plan
     assert "LeftAnti" in plan
     assert count_exchanges(df) <= 2
+
+
+def test_image_near_dup_serves_codes_only(spark, sf_dir):
+    """The image near-dup must SERVE from the stored dHash artifact:
+    no Python in the query plan (the encode/decode/hash kernels belong
+    to the build pass), no cartesian product (the candidate join is a
+    banded equi-join), and the verify joins move only hash rows."""
+    from self_healing_data_pipeline_agent_spark.operators.multimodal import (
+        q_image_near_dup,
+    )
+
+    df = q_image_near_dup(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Python" not in plan and "MapInPandas" not in plan, (
+        "raster kernels leaked into the serve plan — the hash table "
+        "must come from the index store"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
