@@ -283,6 +283,22 @@ HEADLINE = [
     # snapshot side plans zero exchanges; only the stream-sized log
     # shuffles).
     "bucketed_cdc_apply",
+    # r14: image-ring maintenance — standing hashes from the stored
+    # artifact, only the ingest batch (10%) re-encoded/decoded/hashed
+    # through the Arrow kernels; the image-ingest steady state.
+    "image_index_refresh",
+    # r14: BM25 more-like-this retrieval — the cached tf aggregate (one
+    # corpus explode) feeding broadcast-joined doc-frequency/query/scalar
+    # sides and one (query, doc) scoring aggregate; the work-bound
+    # lexical-IR row.
+    "bm25_topk",
+    # r14: the salted JOIN demo next to the salted agg — SMJ on
+    # (key, _salt), the hot key spread over 16 tasks by construction.
+    "salted_skew_join",
+    # r14: X38's maintenance member — the semi join over the
+    # ingest-appended bucketed orders (multi-file buckets: co-location
+    # kept, in-task sort paid); benched next to the one-file layout row.
+    "bucketed_ingest_join",
 ]
 
 

@@ -55,6 +55,9 @@ EXTRA_ROLES = {
     "bucketed_late_shipments": "bucketed layout (vs order_priority_check)",
     "bucketed_cdc_apply": "bucketed layout (vs cdc_apply)",
     "image_near_dup": "serve (img_dhash artifact)",
+    "image_index_refresh": "incremental maintenance",
+    "bucketed_ingest_join": "bucketed layout, ingest-appended (vs order_priority_check)",
+    "image_dup_clusters": "report (CC over image pairs)",
 }
 
 

@@ -31,6 +31,12 @@ EXPECTED = {
     "embedding_near_dup": "BNLJ = documented brute-force small-scale twin of LSH",
     "simhash_near_dup": "BNLJ = hamming-band non-equi pair join, broadcast side",
     "tfidf_top_terms": "BNLJ = 1-row corpus-size broadcast crossJoin",
+    "bm25_topk": (
+        "BNLJ = 1-row N/avgdl scalar broadcast crossJoin; shuffles: the "
+        "cached tf aggregate feeds 4 consumers (dl/dfreq/queries/scoring) "
+        "— one corpus explode, the rest move vocabulary- or "
+        "candidate-sized rows (pinned by test_plan_shapes)"
+    ),
     "source_mix": "BNLJ = 1-row corpus-total broadcast crossJoin",
     "idle_rich_customers": "BNLJ = 1-row global-average broadcast crossJoin",
     "jaccard_pairs": "shuffles: cached shingle set feeds 3 consumers",

@@ -454,6 +454,83 @@ GROUP BY 1
 """
 
 
+# --- skew-safe JOIN on the same manufactured hot key -------------------------
+
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALTED equi-join over the same hot-keyed stream as
+    ``q_salted_hot_key_agg`` — the other half of ``functions/skew.py``
+    (``with_salt`` + ``explode_salts``), which until r14 had no declared
+    query exercising it: each event joins its key's profile row (first
+    event id + key cardinality, derived from the stream itself — the
+    reference-profile enrichment shape), with ~70% of all rows sharing
+    ONE join key.
+
+    A naive shuffle join puts every 'hot' row into a single reducer —
+    the 100 TB straggler.  AQE's skew-split is the first-line fix but is
+    ineligible in several real shapes (bucketed/co-partitioned scans,
+    plans that must preserve partitioning for a downstream window);
+    salting is the deterministic fallback: the big side salts into
+    SALT_N deterministic buckets (hash-derived, retry-safe), the small
+    side replicates once per salt, and the join key becomes (key, _salt)
+    — the hot key's rows spread over SALT_N tasks by construction.  The
+    ``merge`` hint pins the SortMergeJoin so the measured plan is the
+    at-scale path (a profile dimension with billions of user rows does
+    not broadcast), not a test-SF broadcast.
+
+    The salt changes the PLAN, never the values: the verification
+    aggregate (per-key event count, the key's profile attributes passed
+    through the join, exact unit sums) hash-matches the unsalted oracle
+    SQL."""
+    from ..functions.skew import explode_salts, with_salt
+
+    df = load_table(spark, sf_dir, "events")
+    key = F.when(
+        F.pmod(F.col("event_id"), F.lit(10)) < 7, F.lit("hot")
+    ).otherwise(
+        F.concat(F.lit("u"), F.pmod(F.col("user_id"), F.lit(100)).cast("string"))
+    )
+    keyed = df.select(
+        key.alias("agg_key"),
+        "event_id",
+        to_units(F.coalesce(F.col("value"), F.lit(0.0))).alias("units"),
+    )
+    dim = keyed.groupBy("agg_key").agg(
+        F.min("event_id").alias("first_event"),
+        F.count(F.lit(1)).alias("key_n"),
+    )
+    joined = with_salt(keyed).join(
+        explode_salts(dim).hint("merge"), ["agg_key", "_salt"]
+    )
+    return joined.groupBy("agg_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("first_event").alias("first_event"),
+        F.min("key_n").alias("key_n"),
+        (F.sum("units").cast("double") / F.lit(UNIT_SCALE)).alias("total_value"),
+    )
+
+
+ORACLES["salted_skew_join"] = """
+WITH keyed AS (
+  SELECT CASE WHEN event_id % 10 < 7 THEN 'hot'
+              ELSE 'u' || CAST(user_id % 100 AS VARCHAR) END AS agg_key,
+         event_id,
+         CAST(FLOOR(COALESCE(value, 0.0) * 10000.0 + 0.5) AS BIGINT) AS units
+  FROM events
+),
+dim AS (
+  SELECT agg_key, MIN(event_id) AS first_event, COUNT(*) AS key_n
+  FROM keyed GROUP BY agg_key
+)
+SELECT k.agg_key,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(d.first_event) AS first_event,
+       MIN(d.key_n) AS key_n,
+       CAST(SUM(k.units) AS DOUBLE) / 10000.0 AS total_value
+FROM keyed k JOIN dim d ON k.agg_key = d.agg_key
+GROUP BY k.agg_key
+"""
+
+
 # --- z-score anomaly profile -------------------------------------------------
 
 ZSCORE_CUTOFF = 3.0

@@ -1261,26 +1261,31 @@ def _img_hash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.index_store import ensure_index
     from ..sources.tables import spread
 
-    def build() -> DataFrame:
-        docs = spread(
-            load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        )
-        payloads = docs.mapInPandas(
-            _png_encode_kernel,
-            schema=StructType(
-                [
-                    StructField("doc_id", LongType()),
-                    StructField("payload", BinaryType()),
-                ]
-            ),
-        )
-        return payloads.mapInPandas(_img_hash_kernel, schema=IMG_HASH_SCHEMA)
-
     return ensure_index(
         spark, sf_dir, "img_dhash",
-        f"dhash|{IMG_BLOCK_GRID}|{IMG_BANDS}", build,
+        f"dhash|{IMG_BLOCK_GRID}|{IMG_BANDS}",
+        lambda: _img_hashed(
+            spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+        ),
         source_table="documents",
     )
+
+
+def _img_hashed(docs: DataFrame) -> DataFrame:
+    """text -> PNG -> registry decode -> dHash bands: the two chained
+    map-only Arrow kernels, shared by the full-corpus artifact build and
+    the refresh operator's batch side (ONE code path, so the incremental
+    table is hash-identical to a full rebuild by construction)."""
+    payloads = docs.mapInPandas(
+        _png_encode_kernel,
+        schema=StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+    return payloads.mapInPandas(_img_hash_kernel, schema=IMG_HASH_SCHEMA)
 
 
 def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1353,8 +1358,10 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so the decoded raster IS the space-padded 768-char text prefix and the
 # whole hash is exact integer arithmetic on character codes.  j in 0..11
 # encodes (dy = j//6, dx = (j%6)//3, c = j%3) of a block's 2x2x3 bytes.
-ORACLES["image_near_dup"] = f"""
-WITH r AS (
+# Shared band CTE chain (text -> raster -> blocks -> dHash bits -> four
+# 16-bit band values), used by both image-ring oracles so the near-dup
+# check and the refresh check can never disagree on the hash.
+_DUCK_IMG_BANDS_CTES = f"""r AS (
   SELECT doc_id,
          rpad(substr(text, 1, {PNG_RASTER_BYTES}), {PNG_RASTER_BYTES}, ' ')
            AS raster
@@ -1393,7 +1400,11 @@ bands AS (
            j -> bits[CAST(j AS INT) + 49] * (1 << CAST(j AS INT))))
            AS BIGINT) AS b3
   FROM bits
-),
+)"""
+
+# bands -> informative-band blocking -> Hamming verify, shared by the
+# near-dup oracle and the cluster oracle (one chain, they cannot drift).
+_DUCK_IMG_PAIRS_CTES = f"""{_DUCK_IMG_BANDS_CTES},
 keys AS (
   SELECT * FROM (
     SELECT doc_id, k,
@@ -1413,6 +1424,97 @@ verified AS (
   FROM cand
   JOIN bands xa ON cand.doc_a = xa.doc_id
   JOIN bands xb ON cand.doc_b = xb.doc_id
-)
+)"""
+
+ORACLES["image_near_dup"] = f"""
+WITH {_DUCK_IMG_PAIRS_CTES}
 SELECT doc_a, doc_b, hamming FROM verified WHERE hamming <= {IMG_HAM_MAX}
+"""
+
+
+# Every IMG_REFRESH_MOD-th doc is "the ingest batch" for the refresh
+# operator (the lsh_index_refresh convention: a deterministic 10% carve,
+# so the incremental path is hash-checked against a full recompute).
+IMG_REFRESH_MOD = 10
+
+
+def q_image_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, b0..b3) perceptual hashes for the FULL corpus, assembled
+    incrementally — ``lsh_index_refresh``'s posture on the image ring:
+    stored hashes for the standing slice (doc_id % IMG_REFRESH_MOD != 0,
+    persisted once per corpus snapshot) unioned with freshly
+    encoded/decoded/hashed rows for the ingest batch (doc_id %
+    IMG_REFRESH_MOD == 0).
+
+    Scale shape: the standing side is a pure 40-byte-row artifact scan —
+    the rasters are never re-decoded; the batch side runs the two Arrow
+    kernels over ONLY the new documents (map-only, no shuffle, cost
+    proportional to the batch).  At 100 TB this is the image-ingest
+    steady state: decode and hash the arriving blobs, append to the hash
+    table, leave the billions of standing rows untouched.  Both sides
+    share ``_img_hashed`` — one code path, so the incremental table is
+    bit-identical to a full rebuild by construction (the oracle
+    recomputes everything and the driver hash-checks)."""
+    from ..sources.index_store import ensure_index
+    from ..sources.tables import spread
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = ensure_index(
+        spark, sf_dir, "img_dhash_base",
+        f"dhash|{IMG_BLOCK_GRID}|{IMG_BANDS}|{IMG_REFRESH_MOD}",
+        lambda: _img_hashed(
+            spread(docs.filter(F.col("doc_id") % IMG_REFRESH_MOD != 0))
+        ),
+        source_table="documents",
+    )
+    batch = _img_hashed(docs.filter(F.col("doc_id") % IMG_REFRESH_MOD == 0))
+    return base.unionByName(batch)
+
+
+ORACLES["image_index_refresh"] = f"""
+WITH {_DUCK_IMG_BANDS_CTES}
+SELECT doc_id, b0, b1, b2, b3 FROM bands
+"""
+
+
+def q_image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs -> duplicate CLUSTERS — the image ring's
+    dedup-report member, completing the modality's build/serve/maintain/
+    report story the text ring already has (duplicate_clusters /
+    dup_cluster_stats): a dedup pipeline keys on one representative per
+    cluster, not per pair.
+
+    Edges are ``q_image_near_dup``'s banded-and-verified pairs (served
+    from the stored hash artifact); clustering is the shared iterative
+    min-label fixpoint (``text._connected_components`` — one shuffle per
+    round, O(cluster diameter) rounds, convergence driver-checked, never
+    a recursive CTE on the Spark side).  The DuckDB twin recomputes the
+    SAME pair chain and clusters it with a recursive CTE, so the
+    iterative operator stays fully value-checked."""
+    from .text import _connected_components
+
+    pairs = q_image_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    return _connected_components(pairs)
+
+
+ORACLES["image_dup_clusters"] = f"""
+WITH RECURSIVE {_DUCK_IMG_PAIRS_CTES},
+pairs AS (
+  SELECT doc_a, doc_b FROM verified WHERE hamming <= {IMG_HAM_MAX}
+),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach (doc_id, peer) AS (
+  SELECT doc_a, doc_b FROM edges
+  UNION
+  SELECT r.doc_id, e.doc_b FROM reach r JOIN edges e ON r.peer = e.doc_a
+),
+clusters AS (
+  SELECT doc_id, LEAST(doc_id, MIN(peer)) AS cluster_id
+  FROM reach GROUP BY doc_id
+)
+SELECT doc_id, cluster_id FROM clusters
 """

@@ -3150,6 +3150,48 @@ SELECT o_orderkey, units, op AS src FROM latest WHERE op <> 'D'
 ORACLES["bucketed_cdc_apply"] = ORACLES["cdc_apply"]
 
 
+def q_bucketed_ingest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``q_order_priority_check`` against the INGEST-MAINTAINED bucketed
+    orders — X38's missing maintenance member: the standing slice was
+    written bucketed once, the arriving batch (o_orderkey % 10 == 0) was
+    APPENDED with the same bucket spec (one extra file per bucket, the
+    standing files untouched — ``ensure_bucketed_ingest_table``), and
+    the fact-fact semi join STILL plans with zero exchanges below it.
+
+    What the multi-file buckets cost is sortedness, not co-location: the
+    plan keeps ``Bucketed: true`` on both scans and no exchange under
+    the join, but pays an in-task Sort on the appended side — a
+    per-task, memory-bounded merge instead of the cluster-wide shuffle
+    an unbucketed ingest would force on every downstream join.  At
+    100 TB this is the warehouse steady state between compactions:
+    append bucket-aligned files nightly, compact back to one file per
+    bucket when the sort tax outgrows the compaction cost.
+
+    Base+batch together are exactly the full orders table, so the query
+    shares order_priority_check's oracle (the layout changes the plan,
+    not the answer)."""
+    from ..sources.index_store import (
+        ensure_bucketed_ingest_table,
+        ensure_bucketed_table,
+    )
+
+    o_tbl = ensure_bucketed_ingest_table(spark, sf_dir, "orders", "o_orderkey")
+    l_tbl = ensure_bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
+    orders = spark.table(o_tbl)
+    li = spark.table(l_tbl).select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li.hint("merge"),
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_late_orders")
+    )
+
+
+ORACLES["bucketed_ingest_join"] = ORACLES["order_priority_check"]
+
+
 # --- X42: in-engine closed-form regression (exact integer normal equations) --
 
 def q_linreg_price_per_item(spark: SparkSession, sf_dir: str) -> DataFrame:

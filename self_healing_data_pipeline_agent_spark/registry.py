@@ -44,6 +44,21 @@ QUERY_ORDER = [
     #    bucketed base (zero exchanges on the snapshot side) --
     "image_near_dup",
     "bucketed_cdc_apply",
+    # (also never-green): incremental maintenance for the image-hash
+    #    artifact (lsh_index_refresh's posture on the image ring) and
+    #    BM25 more-like-this retrieval (X45, the lexical counterpart of
+    #    the embedding kNN) --
+    "image_index_refresh",
+    "bm25_topk",
+    # (also never-green): the salted JOIN — the explode_salts half of
+    #    functions/skew.py finally exercised by a declared query --
+    "salted_skew_join",
+    # (also never-green): the image ring's cluster report (CC over the
+    #    banded-verified image pairs) and X38's maintenance member — the
+    #    ingest-appended bucketed table whose fact-fact join stays
+    #    co-located on multi-file buckets --
+    "image_dup_clusters",
+    "bucketed_ingest_join",
     # -- r14 changed-implementation fail-closed re-checks: event_gap_fill
     #    dropped its rank-window pass (per-hour last is now
     #    max_by(units, struct(ts, event_id)) inside the one aggregate —
@@ -57,6 +72,10 @@ QUERY_ORDER = [
     #    note overlapping its source span — doc-only, but the window
     #    audit cannot know that, so the record is re-earned in-window --
     "linreg_price_per_item",
+    # (also fail-closed): session_concurrency's source span overlaps the
+    #    r14 events.py edits per git log -L (line shift, not semantics —
+    #    local parity is green) — record re-earned in-window --
+    "session_concurrency",
     # -- rows-only recurring slot: progress metrics have no SQL twin, so
     #    this never earns a green hash and re-takes a seat every round --
     "streaming_state_metrics",
@@ -84,8 +103,11 @@ QUERY_ORDER = [
     "tpch_q8",
     "user_rolling_hour",
     # -- r9-aged filler (oldest remaining records, official-record
-    #    enumeration): 24 of the 47 r9-aged greens fit below; the other
-    #    23 (referential_orphans, repetition_ratio, revenue_by_nation, rollup_summary,
+    #    enumeration): 18 of the 47 r9-aged greens fit below; the other
+    #    29 (null_fractions, order_priority_check, pack_sequences,
+    #    pii_scrub, point_lookup, recent_errors,
+    #    referential_orphans,
+    #    repetition_ratio, revenue_by_nation, rollup_summary,
     #    row_count, salted_hot_key_agg, setop_except, setop_intersect,
     #    shard_manifest, status_metrics, stratified_sample,
     #    streaming_cardinality_profile, streaming_churn_profile,
@@ -112,12 +134,6 @@ QUERY_ORDER = [
     "multimodal_decode_ppm",
     "multimodal_decode_ppm_stream",
     "multimodal_decode_wav",
-    "null_fractions",
-    "order_priority_check",
-    "pack_sequences",
-    "pii_scrub",
-    "point_lookup",
-    "recent_errors",
     # Below the 50-entry window: everything else carries an r11-r13
     # official green against current testdata and unchanged code.
     # scripts/window_audit.py tracks staleness (contract fingerprints);

@@ -305,23 +305,37 @@ def ensure_bucketed_table(
                 }
             )
         )
-        # drop superseded siblings' catalog entries BEFORE their files:
-        # a same-session rebuild (testdata refresh) would otherwise leave
-        # a live table name pointing at a pruned directory.  Shares
-        # _is_stale_sibling with _prune_siblings so the catalog drops and
-        # the file prunes can never disagree — parallel-SF siblings keep
-        # their files AND their catalog entries.
-        if slot.parent.is_dir():
-            for child in slot.parent.iterdir():
-                if not child.is_dir() or child == slot:
-                    continue
-                if _is_stale_sibling(child, sf_dir):
-                    spark.sql(f"DROP TABLE IF EXISTS bkt_{table}_{child.name}")
+        _drop_stale_catalog_siblings(spark, slot, sf_dir, f"bkt_{table}")
         _prune_siblings(slot, sf_dir)
         return tbl
-    # files stored by an earlier session: re-declare the external
-    # bucketed table over them (metadata-only; the bucket spec matches
-    # what the writer produced because the digest pins key/count/source)
+    _redeclare_bucketed(spark, tbl, data, key, n_buckets)
+    return tbl
+
+
+def _drop_stale_catalog_siblings(
+    spark: SparkSession, slot: Path, sf_dir: str | Path, prefix: str
+) -> None:
+    """Drop superseded siblings' catalog entries BEFORE their files: a
+    same-session rebuild (testdata refresh) would otherwise leave a live
+    table name pointing at a pruned directory.  Shares
+    ``_is_stale_sibling`` with ``_prune_siblings`` so the catalog drops
+    and the file prunes can never disagree — parallel-SF siblings keep
+    their files AND their catalog entries."""
+    if not slot.parent.is_dir():
+        return
+    for child in slot.parent.iterdir():
+        if not child.is_dir() or child == slot:
+            continue
+        if _is_stale_sibling(child, sf_dir):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{child.name}")
+
+
+def _redeclare_bucketed(
+    spark: SparkSession, tbl: str, data: Path, key: str, n_buckets: int
+) -> None:
+    """Files stored by an earlier session: re-declare the external
+    bucketed table over them (metadata-only; the bucket spec matches
+    what the writer produced because the digest pins key/count/source)."""
     schema = spark.read.parquet(str(data)).schema
     cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema)
     spark.sql(
@@ -329,4 +343,93 @@ def ensure_bucketed_table(
         f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {n_buckets} BUCKETS "
         f"LOCATION '{data}'"
     )
+
+
+def ensure_bucketed_ingest_table(
+    spark: SparkSession,
+    sf_dir: str | Path,
+    table: str,
+    key: str,
+    n_buckets: int = 16,
+    batch_mod: int = 10,
+) -> str:
+    """The INGEST-MAINTAINED bucketed table: the standing slice (key %
+    batch_mod != 0) is written bucketed first, then the arriving batch
+    (key % batch_mod == 0) is APPENDED with the same bucket spec — one
+    extra file per bucket, batch-proportional write, the standing files
+    untouched.  This is how a bucketed warehouse actually lives: the
+    nightly ingest appends bucket-aligned files; it never rewrites the
+    snapshot.
+
+    The maintained layout trades sortedness for append cost: multi-file
+    buckets keep the hash co-location (joins still plan ZERO exchanges
+    on this side) but drop the sorted-metadata guarantee, so a merge
+    join pays an in-task sort — a per-task memory-bounded merge, never a
+    cluster-wide shuffle.  Periodic compaction back to one file per
+    bucket (re-running the full build) restores sort-free reads.
+
+    Idempotent and content-addressed like every artifact: the digest
+    pins source identity + params + the transitive builder source, and
+    ``batch_applied`` in the meta records that the append happened, so a
+    re-run serves the stored table instead of double-appending."""
+    def build() -> DataFrame:
+        from pyspark.sql import functions as F
+
+        return (
+            load_table(spark, sf_dir, table)
+            .filter(F.col(key) % batch_mod != 0)
+            .repartition(n_buckets, F.col(key))
+        )
+
+    def batch() -> DataFrame:
+        from pyspark.sql import functions as F
+
+        return (
+            load_table(spark, sf_dir, table)
+            .filter(F.col(key) % batch_mod == 0)
+            .repartition(n_buckets, F.col(key))
+        )
+
+    digest = _digest(
+        sf_dir, table, f"bucket_ingest|{key}|{n_buckets}|{batch_mod}", build
+    )
+    slot = _slot(f"bkti_{table}", digest)
+    data = slot / "data"
+    meta = slot / "meta.json"
+    tbl = f"bkti_{table}_{digest}"
+    if meta.is_file() and spark.catalog.tableExists(tbl):
+        return tbl
+    if not meta.is_file():
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(data, ignore_errors=True)
+        (
+            build()
+            .write.bucketBy(n_buckets, key)
+            .sortBy(key)
+            .option("path", str(data))
+            .mode("overwrite")
+            .saveAsTable(tbl)
+        )
+        # the ingest append: same bucket spec, new files only — the
+        # standing bucket files are not rewritten (their mtimes prove it)
+        (
+            batch()
+            .write.bucketBy(n_buckets, key)
+            .sortBy(key)
+            .mode("append")
+            .saveAsTable(tbl)
+        )
+        meta.write_text(
+            json.dumps(
+                {
+                    "fingerprint": f"bucket_ingest|{key}|{n_buckets}|{batch_mod}",
+                    "sf_dir": str(Path(sf_dir).resolve()),
+                    "batch_applied": True,
+                }
+            )
+        )
+        _drop_stale_catalog_siblings(spark, slot, sf_dir, f"bkti_{table}")
+        _prune_siblings(slot, sf_dir)
+        return tbl
+    _redeclare_bucketed(spark, tbl, data, key, n_buckets)
     return tbl

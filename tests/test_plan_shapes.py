@@ -1259,3 +1259,114 @@ def test_image_near_dup_serves_codes_only(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_image_index_refresh_rehashes_only_the_batch(spark, sf_dir):
+    """The image-ring maintenance contract: standing hashes come from the
+    stored artifact (parquet scan, no Python), the batch's doc_id %
+    predicate reaches the one documents scan, and the whole plan is
+    shuffle-free — the kernels are map-only and union adds no exchange.
+    A corpus-wide re-decode would show as a third scan or Python above
+    the artifact side."""
+    from self_healing_data_pipeline_agent_spark.operators.multimodal import (
+        q_image_index_refresh,
+    )
+
+    df = q_image_index_refresh(spark, sf_dir)
+    plan = formatted_plan(df)
+    simple = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple")
+    assert simple.count("Scan parquet") == 2, simple
+    assert has_pushed_filter(df, "doc_id"), (
+        "batch predicate not pushed into the documents scan"
+    )
+    assert count_exchanges(df) == 0
+    # encode + hash kernel nodes, batch side only
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 2
+
+
+def test_bm25_topk_broadcasts_everything_small(spark, sf_dir):
+    """BM25 retrieval must broadcast every small side — the query term
+    batch, the per-term doc frequencies (vocabulary-sized), and the
+    1-row N/avgdl scalar — so the only corpus-sized movement is the
+    token-stream aggregation and the doc-length join.  No cartesian
+    beyond the 1-row scalar crossJoin, no Python."""
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        q_bm25_topk,
+    )
+
+    df = q_bm25_topk(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    # the shared tf aggregate must be CACHED: per-consumer column pruning
+    # defeats ReuseExchange here, and without the cache the static plan
+    # runs the corpus explode once per consumer (measured: 10 scans)
+    assert "InMemoryTableScan" in plan
+    scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert scans <= 1, f"corpus re-scanned {scans}x — tf cache lost"
+
+
+def test_salted_skew_join_spreads_hot_key(spark, sf_dir):
+    """The salted join must actually join on (key, _salt) through a
+    SortMergeJoin (the merge hint pins the at-scale path — a broadcast
+    would bypass the salt entirely and the demo would pin nothing), with
+    the small side replicated via a Generate over sequence()."""
+    from self_healing_data_pipeline_agent_spark.operators.events import (
+        q_salted_skew_join,
+    )
+
+    df = q_salted_skew_join(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan
+    assert "_salt" in plan
+    assert re.search(r"\(\d+\) Generate", plan)  # explode_salts replication
+    assert "CartesianProduct" not in plan and "Python" not in plan
+
+
+def test_bucketed_ingest_join_colocated_with_sort_tax(spark, sf_dir):
+    """The ingest-maintained bucketed join must keep co-location (zero
+    exchanges below the join — ONE exchange total, the 5-row rollup) on
+    multi-file buckets, paying an in-task Sort instead: Bucketed scans on
+    both sides, SortMergeJoin, and at least one explicit Sort node (the
+    appended side lost the one-file-per-bucket sorted-metadata
+    guarantee)."""
+    from self_healing_data_pipeline_agent_spark.operators.relational import (
+        q_bucketed_ingest_join,
+    )
+
+    df = q_bucketed_ingest_join(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan
+    assert count_exchanges(df) == 1
+    assert plan.count("Bucketed: true") == 2
+    assert re.search(r"\(\d+\) Sort\b", plan), (
+        "no in-task sort — either the append produced one file per "
+        "bucket (test setup broke) or the pin is stale"
+    )
+
+
+def test_bucketed_ingest_append_leaves_standing_files_untouched(spark, sf_dir):
+    """The maintenance CONTRACT: re-running the ensure serves the stored
+    table (idempotent — no double-append: row count equals the source
+    table), and the layout carries >1 file per bucket (the appended
+    ingest batch) with every file a bucket-id-named parquet."""
+    from pathlib import Path
+
+    from self_healing_data_pipeline_agent_spark.sources.index_store import (
+        _slot,
+        ensure_bucketed_ingest_table,
+    )
+    from self_healing_data_pipeline_agent_spark.sources.tables import load_table
+
+    tbl = ensure_bucketed_ingest_table(spark, sf_dir, "orders", "o_orderkey")
+    n1 = spark.table(tbl).count()
+    tbl2 = ensure_bucketed_ingest_table(spark, sf_dir, "orders", "o_orderkey")
+    assert tbl2 == tbl
+    assert spark.table(tbl2).count() == n1, "re-ensure double-appended"
+    assert n1 == load_table(spark, sf_dir, "orders").count()
+    digest = tbl.rsplit("_", 1)[1]
+    data = _slot("bkti_orders", digest) / "data"
+    files = sorted(p.name for p in Path(data).glob("*.parquet"))
+    assert len(files) == 32, files  # 16 buckets x (standing + appended)
