@@ -468,8 +468,12 @@ def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     A naive shuffle join puts every 'hot' row into a single reducer —
     the 100 TB straggler.  AQE's skew-split is the first-line fix but is
     ineligible in several real shapes (bucketed/co-partitioned scans,
-    plans that must preserve partitioning for a downstream window);
-    salting is the deterministic fallback: the big side salts into
+    plans that must preserve partitioning for a downstream window, and
+    shuffles shared by multiple consumers — measured on THIS shape:
+    with skew thresholds forced down to 8KB/factor-2, the executed
+    adaptive plan shows only ``AQEShuffleRead coalesced``, no skew
+    split, because the probe-side exchange is co-consumed by the dim
+    aggregate); salting is the deterministic fallback: the big side salts into
     SALT_N deterministic buckets (hash-derived, retry-safe), the small
     side replicates once per salt, and the join key becomes (key, _salt)
     — the hot key's rows spread over SALT_N tasks by construction.  The
