@@ -587,3 +587,40 @@ def test_ppm_stream_roundtrip_property(frames, data):
     if payload:
         with _pytest.raises(ValueError):
             _ppm_stream_decode(payload[:-1])
+
+
+# --- X43 image near-dup: the pigeonhole recall bound -------------------------
+#
+# The banded blocking's correctness claim is mathematical: a pair whose
+# 64-bit hashes differ in at most IMG_HAM_MAX = 3 bits CANNOT differ in
+# all four 16-bit bands (4 bands differing means >= 4 bits), so band
+# equality loses no pair inside the verify threshold — recall is exact
+# among pairs whose agreeing band is informative.  Pin the bound itself
+# so a future threshold/band-count change that breaks the relationship
+# (e.g. IMG_HAM_MAX = 4 with 4 bands) fails loudly here instead of
+# silently costing recall.
+
+@given(
+    h1=st.integers(min_value=0, max_value=2**64 - 1),
+    flips=st.sets(st.integers(min_value=0, max_value=63), max_size=3),
+)
+def test_image_banding_pigeonhole_recall(h1, flips):
+    from self_healing_data_pipeline_agent_spark.operators.multimodal import (
+        IMG_BANDS,
+        IMG_HAM_MAX,
+    )
+
+    assert IMG_HAM_MAX < IMG_BANDS, (
+        "the pigeonhole guarantee requires ham_max < n_bands — a pair "
+        "differing in every band has Hamming >= n_bands"
+    )
+    h2 = h1
+    for b in flips:
+        h2 ^= 1 << b
+    assert bin(h1 ^ h2).count("1") <= IMG_HAM_MAX
+    bands1 = [(h1 >> (16 * k)) & 0xFFFF for k in range(IMG_BANDS)]
+    bands2 = [(h2 >> (16 * k)) & 0xFFFF for k in range(IMG_BANDS)]
+    assert any(a == b for a, b in zip(bands1, bands2)), (
+        "a pair inside the Hamming threshold shares no band — "
+        "banded blocking would lose it"
+    )
