@@ -286,6 +286,10 @@ HEADLINE = [
     # r14: image-ring maintenance — standing hashes from the stored
     # artifact, only the ingest batch (10%) re-encoded/decoded/hashed
     # through the Arrow kernels; the image-ingest steady state.
+    # image_dup_clusters is excluded as REDUNDANT wall-clock (the
+    # duplicate_clusters row times the identical CC fixpoint over a
+    # larger pair set; the image edges add only the artifact scan
+    # image_near_dup already times).
     "image_index_refresh",
     # r14: BM25 more-like-this retrieval — the cached tf aggregate (one
     # corpus explode) feeding broadcast-joined doc-frequency/query/scalar

@@ -57,7 +57,6 @@ EXTRA_ROLES = {
     "image_near_dup": "serve (img_dhash artifact)",
     "image_index_refresh": "incremental maintenance",
     "bucketed_ingest_join": "bucketed layout, ingest-appended (vs order_priority_check)",
-    "image_dup_clusters": "report (CC over image pairs)",
 }
 
 
