@@ -296,6 +296,10 @@ HEADLINE = [
     # sides and one (query, doc) scoring aggregate; the work-bound
     # lexical-IR row.
     "bm25_topk",
+    # r15: the BM25 serve twin — postings (tf/dl/df/N/avgdl denormalized)
+    # persisted via ensure_index; serving = artifact scan + broadcast
+    # query terms + the same truncated-unit scoring (serve = production).
+    "bm25_serve",
     # r14: the salted JOIN demo next to the salted agg — SMJ on
     # (key, _salt), the hot key spread over 16 tasks by construction.
     "salted_skew_join",
@@ -303,6 +307,14 @@ HEADLINE = [
     # ingest-appended bucketed orders (multi-file buckets: co-location
     # kept, in-task sort paid); benched next to the one-file layout row.
     "bucketed_ingest_join",
+    # r15: the lifecycle's compaction member — same join over the
+    # compacted (one file per bucket) table, sort-free again; benched
+    # next to the sort-taxed row so the archive pairs the trade.
+    # cross_modal_dedup is excluded as REDUNDANT wall-clock (the
+    # image_near_dup, minhash_lsh_serve and embedding_near_dup_serve
+    # rows already time all three pair chains; the report adds three
+    # KB-sized membership joins).
+    "bucketed_compaction",
 ]
 
 
@@ -316,8 +328,76 @@ TABLES = (
 NOISE_RATIO = 2.0
 MAX_RUNS = 4
 WARMING_RATIO = 0.85  # newest run >15% under the prior best = still warming
-NOISY_ARCHIVE_CHARS = 300  # cap on the archived noisy-name string
+# 200 (was 300 through r14): the r15 stall-defense fields below cost the
+# line ~150 chars and the 2000-char tail guarantee is zero-sum; 200 still
+# holds the ~9 most expensive noisy names (r14's full list was ~140)
+NOISY_ARCHIVE_CHARS = 200  # cap on the archived noisy-name string
 DUCK_QUERY_TIMEOUT_S = 120  # watchdog cap per oracle execution
+
+# SUSTAINED-stall defense (r14 verdict #2): the >NOISE_RATIO consecutive-
+# run resampler above catches a stall that lands BETWEEN two runs, but
+# during a minutes-long steal burst consecutive runs of the same query
+# AGREE (both inflated) and pass it — the r14 record carried six rows
+# 10-80x over their archived steady states, contiguous in run order,
+# none flagged.  Two independent detectors close that class:
+#  - REFERENCE CHECK: each best-of-N is compared against the archived
+#    quiet-window steady state (BENCH.md's machine-generated table);
+#    rows > REF_OUTLIER_RATIO x steady (and above the scheduler-floor
+#    guard) are RE-QUEUED for a second sampling pass at session END —
+#    minutes later, typically outside the burst.  Rows still outlying
+#    after the re-pass are flagged noisy, so a contaminated record
+#    self-identifies instead of silently failing the gate.
+#  - STEAL COUNTER: /proc/stat steal-tick deltas are captured around
+#    each query's sampling; a query whose window lost more than
+#    STEAL_FLAG_PCT% of machine capacity to the hypervisor is flagged
+#    noisy regardless of agreement, and the per-query percentages for
+#    the archived top rows ride the JSON line (``steal_pct_top``).
+REF_OUTLIER_RATIO = 3.0
+REF_OUTLIER_FLOOR = 1.0  # sub-second rows bounce off the scheduler floor
+STEAL_FLAG_PCT = 5  # >=5% of machine capacity stolen during sampling
+
+
+def _steal_ticks() -> int | None:
+    """Aggregate hypervisor steal ticks (USER_HZ, summed across CPUs)
+    from /proc/stat; None where unreadable (non-Linux, masked procfs)."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        return int(parts[8])  # user nice system idle iowait irq softirq STEAL
+    except (OSError, IndexError, ValueError):
+        return None
+
+
+def _steal_pct(t0: int | None, wall_s: float) -> int | None:
+    """Percent of total machine capacity stolen since tick-count ``t0``."""
+    t1 = _steal_ticks()
+    if t0 is None or t1 is None or wall_s <= 0:
+        return None
+    hz = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+    return round(100.0 * (t1 - t0) / hz / (wall_s * (os.cpu_count() or 1)))
+
+
+def _load_reference(path: str | None = None) -> dict[str, float]:
+    """Archived quiet-window steady states: parse BENCH.md's measurement
+    table (machine-generated by scripts/make_bench_md.py) into
+    {query: spark_seconds}.  Missing/unparseable file -> {} and the
+    reference check no-ops — the bench must never fail for want of its
+    own archive."""
+    import re
+
+    path = path or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH.md"
+    )
+    ref: dict[str, float] = {}
+    try:
+        with open(path) as fh:
+            for line in fh:
+                m = re.match(r"\|\s*(\w+)\s*\|\s*([0-9.]+)\s*\|", line)
+                if m:
+                    ref[m.group(1)] = float(m.group(2))
+    except OSError:
+        return {}
+    return ref
 
 # Per-query entries kept in the archived JSON line (the most expensive
 # ones); the rest fold into oq_n/oq_sum.  Since r12 the SAME top names
@@ -485,6 +565,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     noisy: list[str] = []
     errors: list[str] = []
+    steal_pct: dict[str, int] = {}
+    session_steal0 = _steal_ticks()
+    session_t0 = time.perf_counter()
     for name in names:
         try:
             if name.endswith("_serve"):
@@ -495,9 +578,18 @@ def main() -> None:
                 # rule with the still-warming second run as the min —
                 # observed 3.49 s recorded for a 1.45 s steady state)
                 _time_spark(queries, name, spark, sf_dir)
+            st0, w0 = _steal_ticks(), time.perf_counter()
             runs, was_noisy = _sample_runs(
                 lambda: _time_spark(queries, name, spark, sf_dir)
             )
+            pct = _steal_pct(st0, time.perf_counter() - w0)
+            if pct is not None:
+                steal_pct[name] = pct
+                # a sustained burst inflates consecutive runs TOGETHER,
+                # so the agreement-based resampler cannot see it — the
+                # steal counter can, and the flag makes the record
+                # self-identify as contaminated
+                was_noisy = was_noisy or pct >= STEAL_FLAG_PCT
             if was_noisy:
                 noisy.append(name)
             timings[name] = round(min(runs), 3)
@@ -507,6 +599,42 @@ def main() -> None:
             print(f"# spark query failed for {name}: {exc}", file=sys.stderr)
 
     duck_timings = _bench_duckdb(names, sf_dir)
+
+    # Session-end re-queue (after the DuckDB sweep, so the second pass
+    # sits minutes from the first — outside a typical burst): rows whose
+    # best-of-N exceeds REF_OUTLIER_RATIO x the archived quiet-window
+    # steady state get one more sampling pass; the min of both passes is
+    # recorded, and a row STILL outlying is flagged noisy.
+    ref = _load_reference()
+    requeued: list[str] = []
+    for name in names:
+        steady = ref.get(name)
+        if not steady or name not in timings:
+            continue
+        cut = max(REF_OUTLIER_RATIO * steady, REF_OUTLIER_FLOOR)
+        if timings[name] <= cut:
+            continue
+        try:
+            runs, _ = _sample_runs(
+                lambda: _time_spark(queries, name, spark, sf_dir)
+            )
+            requeued.append(name)
+            timings[name] = min(timings[name], round(min(runs), 3))
+            if timings[name] > cut and name not in noisy:
+                noisy.append(name)
+        except Exception as exc:  # noqa: BLE001
+            print(f"# requeue failed for {name}: {exc}", file=sys.stderr)
+    if requeued:
+        print(f"# requeued_vs_reference: {json.dumps(requeued)}", file=sys.stderr)
+    session_steal_s = None
+    if session_steal0 is not None and (t1 := _steal_ticks()) is not None:
+        hz = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+        session_steal_s = round((t1 - session_steal0) / hz, 1)
+        print(
+            f"# session_steal_cpu_s: {session_steal_s} over "
+            f"{round(time.perf_counter() - session_t0, 1)} s wall",
+            file=sys.stderr,
+        )
     # ratio over the queries BOTH engines completed, so a one-sided
     # failure skews neither numerator nor denominator
     common = set(timings) & set(duck_timings)
@@ -534,6 +662,9 @@ def main() -> None:
             duck_total=duck_total,
             ratio=round(spark_common / duck_total, 3) if duck_total else None,
             duck_timings=duck_timings,
+            steal_pct=steal_pct,
+            steal_s=session_steal_s,
+            n_requeued=len(requeued),
         )
     )
     spark.stop()
@@ -541,7 +672,7 @@ def main() -> None:
 
 def _result_line(
     *, total, sf, timings, noisy, errors, duck_total, ratio,
-    duck_timings=None,
+    duck_timings=None, steal_pct=None, steal_s=None, n_requeued=0,
 ) -> str:
     """One-line JSON result sized to survive the driver's 2000-char TAIL
     keep whole: the Spark per-query dict is the FINAL key (r4 lost it to
@@ -615,6 +746,17 @@ def _result_line(
             "spark_vs_duckdb_ratio": ratio,
             "oq_n": len(rest),
             "oq_sum": round(sum(rest), 2),
+            # sustained-stall self-identification (r14 verdict #2):
+            # total hypervisor steal during the Spark sweep, how many
+            # rows the reference check re-queued, and — positionally
+            # aligned with the ``queries`` keys below — the percent of
+            # machine capacity stolen during each top row's sampling
+            # window (a contaminated record carries its own evidence)
+            "steal_s": steal_s,
+            "n_requeued": n_requeued,
+            "steal_pct_top": ",".join(
+                str(min((steal_pct or {}).get(n, 0), 99)) for n, _ in top
+            ),
             # oracle times for the SAME top names (adjudication column:
             # a per-query Spark regression with a flat duck twin is a
             # plan problem; both moving together is host noise)

@@ -45,6 +45,7 @@ SERVE_PAIRS = {
     "semantic_dedup_serve": "semantic_dedup",
     "substring_dup_serve": "substring_dup_spans",
     "embedding_near_dup_serve": "embedding_near_dup_mp",
+    "bm25_serve": "bm25_topk",
 }
 _BUILD_TWINS = set(SERVE_PAIRS.values())
 
@@ -57,6 +58,7 @@ EXTRA_ROLES = {
     "image_near_dup": "serve (img_dhash artifact)",
     "image_index_refresh": "incremental maintenance",
     "bucketed_ingest_join": "bucketed layout, ingest-appended (vs order_priority_check)",
+    "bucketed_compaction": "bucketed layout, compacted (vs bucketed_ingest_join)",
 }
 
 

@@ -1103,23 +1103,33 @@ def _png_encode_kernel(
     batches: "Iterator[pd.DataFrame]",
 ) -> "Iterator[pd.DataFrame]":
     """mapInPandas kernel: text -> real PNG bytes (the blob-ingest side;
-    at 100 TB this stage is replaced by reading stored blobs)."""
+    at 100 TB this stage is replaced by reading stored blobs).
+
+    ASCII invariant (r14 ADVICE): the whole image ring's Spark/DuckDB
+    equivalence rests on the raster prefix being SINGLE-BYTE text — the
+    DuckDB twins slice by CHARACTER (substr/rpad/ascii) while this
+    kernel slices by character then encodes to BYTES, so one non-ASCII
+    char in the first PNG_RASTER_BYTES chars would make the two rasters
+    diverge (and the byte length overflow).  The corpus is verified
+    all-ASCII at every SF (test_char_lm_corpus_is_pure_ascii), and the
+    check below turns a future corpus change into a named failure here
+    instead of a bare raster-length ValueError downstream."""
     import pandas as pd
 
     for pdf in batches:
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "payload": [
-                    png_encode(
-                        t[:PNG_RASTER_BYTES]
-                        .ljust(PNG_RASTER_BYTES)
-                        .encode("utf-8")
-                    )
-                    for t in pdf["text"]
-                ],
-            }
-        )
+        payloads = []
+        for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+            prefix = t[:PNG_RASTER_BYTES].ljust(PNG_RASTER_BYTES)
+            raw = prefix.encode("utf-8")
+            if len(raw) != PNG_RASTER_BYTES:
+                raise ValueError(
+                    f"doc {doc_id}: non-ASCII text in the first "
+                    f"{PNG_RASTER_BYTES} chars ({len(raw)} utf-8 bytes) — "
+                    "the image ring's character/byte equivalence with its "
+                    "DuckDB twin no longer holds for this corpus"
+                )
+            payloads.append(png_encode(raw))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
 
 def _png_decode_kernel(
@@ -1518,3 +1528,135 @@ clusters AS (
 )
 SELECT doc_id, cluster_id FROM clusters
 """
+
+
+# --- X46: cross-modality dedup agreement report ------------------------------
+#
+# The dedup ring detects duplicates in three id-joinable modality spaces
+# (text shingles -> MinHash-LSH, embeddings -> hyperplane LSH, image
+# rasters -> dHash bands).  A curation pipeline wants them TOGETHER:
+# a document flagged by text but not by image is template reuse (same
+# words, different rendering); flagged by image but not text is the OCR-
+# variant class (same rendering, garbled words); flagged only in
+# embedding space is semantic-only duplication.  This report joins the
+# three membership sets into one per-doc agreement table.
+
+
+def q_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document modality-agreement report over the three near-dup
+    rings: ``dup_text`` / ``dup_embed`` / ``dup_image`` flag membership
+    in at least one verified near-dup pair of that modality, and
+    ``agreement`` names the curation class (cross_confirmed /
+    template_reuse / ocr_variant / semantic_only / unique).
+
+    All three pair sources are the SERVE paths — stored artifacts, not
+    rebuilds: text pairs from the persisted MinHash signature table
+    (``q_minhash_lsh_serve``), embedding pairs from the stored
+    ``lsh_codes`` hyperplane signatures (``q_embedding_near_dup_serve``),
+    image pairs from the stored 40-byte dHash table
+    (``q_image_near_dup``).  Membership per modality is one explode +
+    distinct over pairs (KB-sized at any scale: pairs, not corpus); the
+    report is three keyed left joins from ``documents`` — broadcastable
+    at 100 TB since dup membership is corpus-sublinear — plus the
+    embeddings id scan that distinguishes "not a dup in embedding space"
+    from "has no embedding" (``dup_embed`` is NULL for docs without an
+    embedding row; the id spaces share doc_id = vec_id by construction
+    of the synthetic corpus, asserted by the testdata manifest).
+
+    Deliberately membership-level, not cluster-id-level: the agreement
+    classes need only "is doc in any pair", which keeps the DuckDB twin
+    a pure composition of the three pair chains — no recursive-CTE
+    transitive closure (the engine-hostile shape ``leakage_safe_split``
+    measured at ~39 s vs 1.9 s)."""
+    from .similarity import q_embedding_near_dup_serve
+    from .text import q_minhash_lsh_serve
+
+    def members(pairs: DataFrame, a: str, b: str) -> DataFrame:
+        return (
+            pairs.select(
+                F.explode(F.array(F.col(a), F.col(b))).alias("doc_id")
+            )
+            .distinct()
+            .withColumn("hit", F.lit(True))
+        )
+
+    tdup = members(q_minhash_lsh_serve(spark, sf_dir), "doc_a", "doc_b")
+    edup = members(
+        q_embedding_near_dup_serve(spark, sf_dir), "vec_a", "vec_b"
+    )
+    idup = members(q_image_near_dup(spark, sf_dir), "doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    emb_ids = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(F.col("vec_id").alias("doc_id"))
+        .withColumn("has_emb", F.lit(True))
+    )
+    joined = (
+        docs.join(tdup.withColumnRenamed("hit", "t_hit"), "doc_id", "left")
+        .join(emb_ids, "doc_id", "left")
+        .join(edup.withColumnRenamed("hit", "e_hit"), "doc_id", "left")
+        .join(idup.withColumnRenamed("hit", "i_hit"), "doc_id", "left")
+    )
+    dup_text = F.coalesce(F.col("t_hit"), F.lit(False))
+    dup_embed = F.when(
+        F.col("has_emb").isNull(), F.lit(None).cast("boolean")
+    ).otherwise(F.coalesce(F.col("e_hit"), F.lit(False)))
+    dup_image = F.coalesce(F.col("i_hit"), F.lit(False))
+    agreement = (
+        F.when(dup_text & dup_image, "cross_confirmed")
+        .when(dup_text, "template_reuse")
+        .when(dup_image, "ocr_variant")
+        .when(F.coalesce(dup_embed, F.lit(False)), "semantic_only")
+        .otherwise("unique")
+    )
+    return joined.select(
+        "doc_id",
+        dup_text.alias("dup_text"),
+        dup_embed.alias("dup_embed"),
+        dup_image.alias("dup_image"),
+        agreement.alias("agreement"),
+    )
+
+
+def _cross_modal_oracle() -> str:
+    """Compose the three pair chains (each already a standalone
+    WITH..SELECT oracle) as derived tables — membership per modality is
+    explode+distinct over each chain's pairs, the report three left
+    joins.  Built lazily at import via the sibling modules' ORACLES so
+    the twin can never drift from the per-modality oracles it reuses."""
+    from .similarity import ORACLES as _SIM_ORACLES
+    from .text import ORACLES as _TEXT_ORACLES
+
+    def member_cte(name: str, sql: str, a: str, b: str) -> str:
+        return f"""{name} AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT unnest([{a}, {b}]) AS doc_id FROM (
+{sql}
+    ) pairs_q
+  ) ids_q
+)"""
+
+    return f"""
+WITH {member_cte("tdup", _TEXT_ORACLES["minhash_lsh_pairs"], "doc_a", "doc_b")},
+{member_cte("edup", _SIM_ORACLES["embedding_near_dup_mp"], "vec_a", "vec_b")},
+{member_cte("idup", ORACLES["image_near_dup"], "doc_a", "doc_b")}
+SELECT d.doc_id,
+       (t.doc_id IS NOT NULL) AS dup_text,
+       CASE WHEN ev.vec_id IS NULL THEN NULL
+            ELSE (e.doc_id IS NOT NULL) END AS dup_embed,
+       (i.doc_id IS NOT NULL) AS dup_image,
+       CASE WHEN t.doc_id IS NOT NULL AND i.doc_id IS NOT NULL
+              THEN 'cross_confirmed'
+            WHEN t.doc_id IS NOT NULL THEN 'template_reuse'
+            WHEN i.doc_id IS NOT NULL THEN 'ocr_variant'
+            WHEN e.doc_id IS NOT NULL THEN 'semantic_only'
+            ELSE 'unique' END AS agreement
+FROM documents d
+LEFT JOIN tdup t ON d.doc_id = t.doc_id
+LEFT JOIN embeddings ev ON d.doc_id = ev.vec_id
+LEFT JOIN edup e ON d.doc_id = e.doc_id
+LEFT JOIN idup i ON d.doc_id = i.doc_id
+"""
+
+
+ORACLES["cross_modal_dedup"] = _cross_modal_oracle()

@@ -3192,6 +3192,49 @@ def q_bucketed_ingest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["bucketed_ingest_join"] = ORACLES["order_priority_check"]
 
 
+def q_bucketed_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``q_order_priority_check`` against the COMPACTED bucketed orders —
+    the lifecycle's third member (build → ingest-append → compact):
+    ``ensure_compacted_bucketed_table`` rewrites the ingest-appended
+    multi-file buckets back to one file per bucket, and this join plans
+    SORT-FREE again on the orders side — co-location AND sortedness
+    restored, the exact inverse of ``q_bucketed_ingest_join``'s in-task
+    sort tax (pinned by test_bucketed_compaction_restores_sort_free_join).
+
+    At 100 TB this completes the bucketed warehouse's steady loop:
+    nightly ingest appends bucket-aligned files (batch-proportional,
+    standing files untouched), downstream merge joins pay a per-task
+    sort that grows with file count, and the periodic compaction — one
+    bucket-local rewrite, no cluster-wide shuffle — resets it.  The
+    compacted table is content-addressed against the ingest table's own
+    digest, so a new ingest batch or corpus snapshot re-compacts
+    automatically.
+
+    Compaction preserves the rows exactly (base+batch = full orders), so
+    the query shares order_priority_check's oracle — the layout changes
+    the plan, not the answer."""
+    from ..sources.index_store import (
+        ensure_bucketed_table,
+        ensure_compacted_bucketed_table,
+    )
+
+    o_tbl = ensure_compacted_bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+    l_tbl = ensure_bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
+    orders = spark.table(o_tbl)
+    li = spark.table(l_tbl).select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li.hint("merge"),
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_late_orders")
+    )
+
+
+ORACLES["bucketed_compaction"] = ORACLES["order_priority_check"]
+
+
 # --- X42: in-engine closed-form regression (exact integer normal equations) --
 
 def q_linreg_price_per_item(spark: SparkSession, sf_dir: str) -> DataFrame:

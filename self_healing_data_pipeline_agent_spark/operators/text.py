@@ -4980,6 +4980,14 @@ BM25_N_QUERIES = 5   # doc_id < 5 are the query documents (knn convention)
 BM25_TOP_K = 10
 BM25_K1_X10 = 12     # k1 = 1.2, carried x10 so constants stay integer
 BM25_B_X100 = 75     # b = 0.75
+# Measured floor(y+0.5) boundary margin for every per-term contribution
+# y = score*1e6, at all three SFs (test_bm25_units_margin): the minimum
+# observed distance is 3.4e-6 units (sf0.1) ~= 29,000 ulps at y~1e6 —
+# a last-ulp libm ln()/division divergence between JVM and DuckDB moves
+# y by a few ulps, so no truncated unit (and therefore no rank) can
+# flip while the margin holds.  EPS sits just under the observed floor;
+# a corpus change eroding the margin fails the tripwire, not the hash.
+BM25_UNITS_EDGE_EPS = 1e-6
 
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4996,7 +5004,14 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc) sum; the sum is then exact BIGINT arithmetic in any order (a
     double sum would be accumulation-order-dependent and Spark's partial
     aggregation order is not DuckDB's), and the rank uses (score_units
-    desc, doc_id asc) — a total order both engines agree on.
+    desc, doc_id asc) — a total order both engines agree on.  Residual
+    risk, MEASURED not assumed (r14 ADVICE): truncation removes order-
+    dependence but a contribution landing within an ulp of a floor
+    boundary would still flip one unit between engines — so the distance
+    of every contribution from its boundary is tripwired at all test SFs
+    (``BM25_UNITS_EDGE_EPS``, test_bm25_units_margin; min observed
+    3.4e-6 units ~= 1e4 ulps).  With units stable, ranks are stable: the
+    tie-break is doc_id, which both engines order identically.
 
     Scale shape: one (doc, term) tf aggregate (the corpus shuffle,
     map-side combined and bounded by vocabulary x docs), a tiny per-term
@@ -5078,7 +5093,11 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLES["bm25_topk"] = f"""
+# Shared CTE chain (token stream -> tf/dl/df/scalars -> query terms ->
+# per-contribution pre-floor score y = score*1e6), used by BOTH bm25
+# oracles and by test_bm25_units_margin so the margin tripwire measures
+# the exact expression the hash check runs.
+BM25_PREFLOOR_CTES = f"""
 WITH terms AS (
   SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents
 ), tf AS (
@@ -5095,20 +5114,23 @@ WITH terms AS (
 ), qterms AS (
   SELECT DISTINCT doc_id AS q_id, term FROM tf
   WHERE doc_id < {BM25_N_QUERIES}
-), contrib AS (
+), prefloor AS (
   SELECT q.q_id, tf.doc_id,
-         CAST(FLOOR(
-           LN((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+         LN((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
            * (tf.tf * ({BM25_K1_X10} / 10.0 + 1.0))
            / (tf.tf + ({BM25_K1_X10} / 10.0)
               * (1.0 - {BM25_B_X100} / 100.0
                  + ({BM25_B_X100} / 100.0) * dl.dl / s.avgdl))
-           * 1000000.0 + 0.5) AS BIGINT) AS cu
+           * 1000000.0 AS y
   FROM tf
   JOIN qterms q ON tf.term = q.term AND tf.doc_id <> q.q_id
   JOIN dfreq f ON tf.term = f.term
   JOIN dl ON tf.doc_id = dl.doc_id
   CROSS JOIN scal s
+)"""
+
+ORACLES["bm25_topk"] = f"""{BM25_PREFLOOR_CTES}, contrib AS (
+  SELECT q_id, doc_id, CAST(FLOOR(y + 0.5) AS BIGINT) AS cu FROM prefloor
 ), scores AS (
   SELECT q_id, doc_id, CAST(SUM(cu) AS BIGINT) AS score_units
   FROM contrib GROUP BY q_id, doc_id
@@ -5120,3 +5142,104 @@ SELECT q_id, rn, doc_id, score_units FROM (
   FROM scores
 ) WHERE rn <= {BM25_TOP_K}
 """
+
+
+def q_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``q_bm25_topk`` served from a STORED posting artifact — the ring's
+    missing serve twin (r14 verdict): the inverted index IS retrieval's
+    canonical serving artifact, and the build-inline row was re-running
+    the corpus explode + tf/dl/df aggregation on every query batch.
+
+    The artifact (``sources/index_store.ensure_index``) is the
+    denormalized scored-ready posting table — one row per (doc_id, term)
+    carrying tf, the doc's dl, the term's df, and the corpus scalars
+    N/avgdl — so serving is a parquet scan + one broadcast join of the
+    query batch's term rows + the same truncated-unit scoring arithmetic
+    as the build-inline twin (bit-identical: tf/dl/df/N are BIGINTs and
+    avgdl round-trips parquet DOUBLE exactly), then ONE (query, doc)
+    aggregate and the top-k window.  No tokenization, no corpus-wide
+    aggregation, nothing Python on the serve path.
+
+    At 100 TB the posting table is the thing a retrieval deployment
+    actually stores (Lucene's segments, partitioned by term); per query
+    batch the cluster pays one posting-table scan restricted by the
+    broadcast term filter — this row measures exactly that steady state.
+    Identical arithmetic, so it shares the oracle."""
+    from ..sources.index_store import ensure_index
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        terms = docs.select("doc_id", F.explode(_tokens_col()).alias("term"))
+        tf = (
+            terms.groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+            .cache()
+        )
+        dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        scal = dl.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+        )
+        return (
+            tf.join(F.broadcast(dfreq), "term")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(scal))
+        )
+
+    post = ensure_index(
+        spark,
+        sf_dir,
+        "bm25_postings",
+        f"bm25|{BM25_N_QUERIES}|{BM25_K1_X10}|{BM25_B_X100}",
+        build,
+        source_table="documents",
+    )
+    qterms = post.filter(F.col("doc_id") < BM25_N_QUERIES).select(
+        F.col("doc_id").alias("q_id"), "term"
+    )
+    k1 = BM25_K1_X10 / 10.0
+    b = BM25_B_X100 / 100.0
+    contrib = (
+        post.join(F.broadcast(qterms), "term")
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "doc_id",
+            F.floor(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+                * 1000000.0
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("cu"),
+        )
+    )
+    scores = contrib.groupBy("q_id", "doc_id").agg(
+        F.sum("cu").alias("score_units")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("score_units"), F.asc("doc_id")
+    )
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BM25_TOP_K)
+        .select(
+            "q_id",
+            F.col("rn").cast("bigint").alias("rn"),
+            "doc_id",
+            "score_units",
+        )
+    )
+
+
+ORACLES["bm25_serve"] = ORACLES["bm25_topk"]

@@ -37,104 +37,94 @@ _MODULES = [
 # (tests/test_oracle_parity.py, which runs ALL pairs) — not the official
 # record — decides what needs the window.
 QUERY_ORDER = [
-    # -- r14 new operators (never-green): the image-modality near-dup
-    #    (perceptual block-gradient dHash over decoded PNG rasters,
-    #    banded equi-join blocking, Hamming verify — X43, the dedup
-    #    ring's missing modality) and the CDC apply against the X38
-    #    bucketed base (zero exchanges on the snapshot side) --
-    "image_near_dup",
-    "bucketed_cdc_apply",
-    # (also never-green): incremental maintenance for the image-hash
-    #    artifact (lsh_index_refresh's posture on the image ring) and
-    #    BM25 more-like-this retrieval (X45, the lexical counterpart of
-    #    the embedding kNN) --
-    "image_index_refresh",
-    "bm25_topk",
-    # (also never-green): the salted JOIN — the explode_salts half of
-    #    functions/skew.py finally exercised by a declared query --
-    "salted_skew_join",
-    # (also never-green): the image ring's cluster report (CC over the
-    #    banded-verified image pairs) and X38's maintenance member — the
-    #    ingest-appended bucketed table whose fact-fact join stays
-    #    co-located on multi-file buckets --
-    "image_dup_clusters",
+    # -- r15 new operators (never-green): the BM25 serve twin (postings
+    #    persisted via ensure_index, serving = artifact scan + broadcast
+    #    score — the inverted index is retrieval's canonical serving
+    #    artifact), the bucketed-warehouse lifecycle's COMPACTION member
+    #    (multi-file buckets rewritten to one file per bucket, merge
+    #    join sort-free again — pinned), and the cross-modality dedup
+    #    agreement report (text/embedding/image near-dup membership
+    #    joined per doc, all three from stored artifacts) --
+    "bm25_serve",
+    "bucketed_compaction",
+    "cross_modal_dedup",
+    # -- r15 fail-closed re-checks: ensure_bucketed_ingest_table's digest
+    #    now folds the enclosing function's code fingerprint (r14 ADVICE
+    #    — the batch carve/append logic was unhashed), so the stored
+    #    artifact rebuilt; and the session grew
+    #    spark.sql.legacy.bucketedTableScan.outputOrdering=true (one-
+    #    file-per-bucket scans now advertise their sort), which reshapes
+    #    every bucketed join's plan — all four bucketed rows re-earn
+    #    their greens in-window --
     "bucketed_ingest_join",
-    # -- r14 changed-implementation fail-closed re-checks: event_gap_fill
-    #    dropped its rank-window pass (per-hour last is now
-    #    max_by(units, struct(ts, event_id)) inside the one aggregate —
-    #    r13 verdict #7; same total order, value-identical per local
-    #    parity); bucketed_late_shipments' ensure_bucketed_table now
-    #    routes its build through load_table (r13 ADVICE — normalization
-    #    parity for future bucketed tables; plain read for orders) --
-    "event_gap_fill",
     "bucketed_late_shipments",
-    # (also fail-closed): linreg gained a degenerate-group docstring
-    #    note overlapping its source span — doc-only, but the window
-    #    audit cannot know that, so the record is re-earned in-window --
+    "bucketed_cdc_apply",
+    # (also fail-closed): linreg_price_per_item's source span shifted
+    #    by the q_bucketed_compaction insertion above it, and
+    #    bm25_topk's oracle was refactored onto the shared
+    #    BM25_PREFLOOR_CTES chain the margin tripwire measures (same
+    #    floor(y+0.5) expression — value-identical, local parity green);
+    #    both records re-earned --
     "linreg_price_per_item",
-    # (also fail-closed): session_concurrency's source span overlaps the
-    #    r14 events.py edits per git log -L (line shift, not semantics —
-    #    local parity is green) — record re-earned in-window --
-    "session_concurrency",
+    "bm25_topk",
     # -- rows-only recurring slot: progress metrics have no SQL twin, so
     #    this never earns a green hash and re-takes a seat every round --
     "streaming_state_metrics",
-    # -- the r8-aged cohort (r13 verdict #1, driver-gate obligation):
-    #    the 20 oldest official greens, whose record would otherwise
-    #    date to r8 against current testdata --
-    "json_extract",
-    "kll_quantile_bounds",
-    "large_volume_customers",
-    "late_data_profile",
-    "one_pass_profile",
-    "payload_dedup",
-    "prefix_filter_jaccard",
-    "semantic_dedup",
-    "sessionization",
-    "simhash_fingerprints",
-    "simhash_near_dup",
-    "sliding_windows",
-    "sole_late_supplier",
-    "streaming_profile_compaction2",
-    "supplier_part_breadth",
-    "tfidf_top_terms",
-    "theta_priority_overlap",
-    "tpch_q6",
-    "tpch_q8",
-    "user_rolling_hour",
-    # -- r9-aged filler (oldest remaining records, official-record
-    #    enumeration): 18 of the 47 r9-aged greens fit below; the other
-    #    29 (null_fractions, order_priority_check, pack_sequences,
-    #    pii_scrub, point_lookup, recent_errors,
-    #    referential_orphans,
-    #    repetition_ratio, revenue_by_nation, rollup_summary,
-    #    row_count, salted_hot_key_agg, setop_except, setop_intersect,
-    #    shard_manifest, status_metrics, stratified_sample,
-    #    streaming_cardinality_profile, streaming_churn_profile,
-    #    streaming_dedup_jittered, streaming_enriched_counts,
-    #    streaming_error_orphans, streaming_session_windows,
-    #    streaming_sketch_rollup, text_quality, token_stats_by_lang,
-    #    train_val_split, vocab_growth, zorder_pruning) spill to the r15
-    #    window — r15 MUST-window those with whatever else ages out --
-    "ann_lsh_topk",
-    "bloom_decontaminate",
-    "dup_ngram_coverage",
-    "embedding_norm_stats",
-    "embedding_quant_codebook",
-    "exact_dedup_docs",
-    "funnel_conversion",
-    "heavy_hitters",
-    "jl_projection",
-    "kll_quantile_drift",
-    "knn_cosine",
-    "label_centroids",
-    "minhash_lsh_pairs",
-    "mixture_epochs",
-    "mixture_resample",
-    "multimodal_decode_ppm",
-    "multimodal_decode_ppm_stream",
-    "multimodal_decode_wav",
-    # Below the 50-entry window: everything else carries an r11-r13
+    # -- the 29 r9-aged spill queries (r14 verdict #3 / the r14
+    #    registry's own "r15 MUST-window" list): their official greens
+    #    date to r9 against current testdata; re-earned here --
+    "null_fractions",
+    "order_priority_check",
+    "pack_sequences",
+    "pii_scrub",
+    "point_lookup",
+    "recent_errors",
+    "referential_orphans",
+    "repetition_ratio",
+    "revenue_by_nation",
+    "rollup_summary",
+    "row_count",
+    "salted_hot_key_agg",
+    "setop_except",
+    "setop_intersect",
+    "shard_manifest",
+    "status_metrics",
+    "stratified_sample",
+    "streaming_cardinality_profile",
+    "streaming_churn_profile",
+    "streaming_dedup_jittered",
+    "streaming_enriched_counts",
+    "streaming_error_orphans",
+    "streaming_session_windows",
+    "streaming_sketch_rollup",
+    "text_quality",
+    "token_stats_by_lang",
+    "train_val_split",
+    "vocab_growth",
+    "zorder_pruning",
+    # -- r11-aged filler (oldest remaining official records, alphabetic
+    #    enumeration of the r11 cohort): 12 fit below; the remaining
+    #    r11-aged greens (chunk_dedup, corr_profile, cube_summary,
+    #    customer_order_distribution, decontaminate_docs,
+    #    dedup_first_lineitem, dominant_part_suppliers, dsir_select,
+    #    dsir_weights, duplicate_clusters, format_interchange,
+    #    fulfillment_lag, graph_pagerank, graph_pagerank_by_region,
+    #    heavy_hitters_by_lang, histogram_profile, kmeans_embeddings,
+    #    lang_guess, leakage_safe_split, ...) spill to the r16 window —
+    #    r16 MUST-window those with whatever else ages out --
+    "activity_streaks",
+    "ann_int8_rerank",
+    "ann_ivf_kmeans_topk",
+    "ann_jl_rerank",
+    "ann_pq_adc_topk",
+    "anomaly_zscore",
+    "approx_quantile_profile",
+    "attribution_asof",
+    "bloom_sized_decontaminate",
+    "ccnet_ppl_buckets",
+    "char_lm_doc_counts",
+    "char_lm_model",
+    # Below the 50-entry window: everything else carries an r11-r14
     # official green against current testdata and unchanged code.
     # scripts/window_audit.py tracks staleness (contract fingerprints);
     # local parity re-verifies the full surface each session at

@@ -52,6 +52,17 @@ def get_spark(
         # Broadcast joins for dimension tables (default 10MB is fine; make
         # the intent explicit so a cluster deploy reviews it consciously).
         .config("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        # Trust SORTED BY metadata on bucketed scans: Spark 3.0 stopped
+        # advertising bucketed-scan output ordering by default
+        # (SPARK-28595) because the claim is wrong for multi-file
+        # buckets; behind this flag the ordering is reported ONLY when a
+        # bucket has exactly one file — precisely the layout
+        # ensure_bucketed_table / ensure_compacted_bucketed_table pay a
+        # per-bucket write task to produce.  Without it every bucketed
+        # merge join re-sorts sorted data; with it the one-file layout
+        # is sort-free and the ingest-appended layout still (correctly)
+        # pays its in-task sort.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         # Local mode hosts all 32 executor threads in the driver JVM —
         # size the heap so cached shingle sets / broadcast builds never

@@ -390,8 +390,20 @@ def ensure_bucketed_ingest_table(
             .repartition(n_buckets, F.col(key))
         )
 
+    # The digest's code: component hashes only `build`; the sibling
+    # `batch()` closure and the append call below are equally
+    # behavior-defining for the stored layout, so fold the ENCLOSING
+    # function's fingerprint (whose getsource covers build, batch, AND
+    # the append sequence, plus their transitive helpers) into the
+    # params string — otherwise editing the batch carve or the append
+    # alone would serve a stale artifact (r14 ADVICE; fail-loud at
+    # oracle parity, but the rebuild must be automatic).
     digest = _digest(
-        sf_dir, table, f"bucket_ingest|{key}|{n_buckets}|{batch_mod}", build
+        sf_dir,
+        table,
+        f"bucket_ingest|{key}|{n_buckets}|{batch_mod}"
+        f"|encl:{_code_fingerprint(ensure_bucketed_ingest_table)}",
+        build,
     )
     slot = _slot(f"bkti_{table}", digest)
     data = slot / "data"
@@ -429,6 +441,96 @@ def ensure_bucketed_ingest_table(
             )
         )
         _drop_stale_catalog_siblings(spark, slot, sf_dir, f"bkti_{table}")
+        _prune_siblings(slot, sf_dir)
+        return tbl
+    _redeclare_bucketed(spark, tbl, data, key, n_buckets)
+    return tbl
+
+
+def ensure_compacted_bucketed_table(
+    spark: SparkSession,
+    sf_dir: str | Path,
+    table: str,
+    key: str,
+    n_buckets: int = 16,
+    batch_mod: int = 10,
+) -> str:
+    """COMPACTION — the lifecycle member ``ensure_bucketed_ingest_table``'s
+    docstring promises: rewrite the ingest-appended multi-file buckets
+    back to ONE file per bucket, restoring the sorted-metadata guarantee
+    (Spark trusts a bucketed scan's SORTED BY only at one file per
+    bucket), so merge joins against the compacted table plan SORT-FREE
+    again — the inverse of the in-task sort tax the append introduced.
+
+    The read side is the stored ingest table itself (never the source
+    parquet — compaction is warehouse maintenance, not re-ingest): one
+    co-partitioned pass, ``repartition(n_buckets, key)`` matching the
+    bucket spec so each write task emits exactly one bucket file.  At
+    100 TB this is the nightly/weekly OPTIMIZE job: append-heavy ingest
+    accumulates files per bucket and the sort tax on every downstream
+    merge join grows with file count; compaction pays one bucket-local
+    rewrite (no cluster-wide shuffle — rows already live in their
+    bucket) to reset it.
+
+    Content-addressed like every artifact: the params string carries the
+    SOURCE table name (whose digest pins corpus identity, ingest params,
+    and the ingest builder's transitive code — the closure-value blind
+    spot ``_code_fingerprint`` documents), so a testdata refresh or an
+    ingest-logic change rebuilds the compacted copy automatically."""
+    src_tbl = ensure_bucketed_ingest_table(
+        spark, sf_dir, table, key, n_buckets, batch_mod
+    )
+
+    def build() -> DataFrame:
+        from pyspark.sql import functions as F
+
+        # Plain FILE scan of the ingest table's stored data, NOT
+        # spark.table(src_tbl): read through the bucketed catalog entry
+        # and the planner can drop the repartition below (the scan
+        # already advertises the bucket hash partitioning) while the
+        # actual read splits pack several small bucket files per task —
+        # the write then fans each task across multiple buckets and the
+        # "compacted" layout lands at >1 file per bucket (measured:
+        # 4 buckets per task at sf0.001), which is exactly what
+        # compaction exists to remove.  A plain scan pins the Exchange,
+        # so each write task holds exactly one bucket's rows.
+        src_data = _slot(f"bkti_{table}", src_tbl.rsplit("_", 1)[1]) / "data"
+        return spark.read.parquet(str(src_data)).repartition(
+            n_buckets, F.col(key)
+        )
+
+    digest = _digest(
+        sf_dir,
+        table,
+        f"bucket_compact|{key}|{n_buckets}|{batch_mod}|src:{src_tbl}",
+        build,
+    )
+    slot = _slot(f"bktc_{table}", digest)
+    data = slot / "data"
+    meta = slot / "meta.json"
+    tbl = f"bktc_{table}_{digest}"
+    if meta.is_file() and spark.catalog.tableExists(tbl):
+        return tbl
+    if not meta.is_file():
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(data, ignore_errors=True)
+        (
+            build()
+            .write.bucketBy(n_buckets, key)
+            .sortBy(key)
+            .option("path", str(data))
+            .mode("overwrite")
+            .saveAsTable(tbl)
+        )
+        meta.write_text(
+            json.dumps(
+                {
+                    "fingerprint": f"bucket_compact|{key}|{n_buckets}|{batch_mod}",
+                    "sf_dir": str(Path(sf_dir).resolve()),
+                }
+            )
+        )
+        _drop_stale_catalog_siblings(spark, slot, sf_dir, f"bktc_{table}")
         _prune_siblings(slot, sf_dir)
         return tbl
     _redeclare_bucketed(spark, tbl, data, key, n_buckets)

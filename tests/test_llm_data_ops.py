@@ -1445,3 +1445,49 @@ def test_pq_codebook_partitions_each_block(spark, sf_dir):
         by_block[r["block"]] = by_block.get(r["block"], 0) + r["n_vecs"]
         assert r["n_vecs"] > 0 and r["centroid_l1"] > 0
     assert by_block == {m: n for m in range(PQ_M)}
+
+
+def test_bm25_units_margin():
+    """The BM25 cross-engine float tripwire (r14 verdict #4 / ADVICE):
+    every per-term contribution's pre-floor value y = score*1e6 must sit
+    >= BM25_UNITS_EDGE_EPS from its floor(y + 0.5) truncation boundary
+    (|frac(y) - 0.5| >= eps) at all three SFs, so a last-ulp libm
+    ln()/division divergence between JVM and DuckDB can never flip a
+    truncated unit.  With units stable the BIGINT sums — and therefore
+    the (score_units desc, doc_id asc) ranks — are engine-exact, so no
+    separate rank-tie assertion is needed: ties resolve on doc_id, which
+    both engines order identically.  Built from the same shared CTE
+    chain as the oracle (the char_lm_model_edge posture)."""
+    import math
+
+    import duckdb
+
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        BM25_PREFLOOR_CTES,
+        BM25_UNITS_EDGE_EPS,
+    )
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'/root/testdata/{sf}/documents.parquet'"
+        )
+        ys = [
+            r[0]
+            for r in con.sql(
+                f"{BM25_PREFLOOR_CTES} SELECT y FROM prefloor"
+            ).fetchall()
+        ]
+        con.close()
+        assert ys, f"{sf}: empty contribution set"
+        bad = [
+            y
+            for y in ys
+            if abs((y - math.floor(y)) - 0.5) < BM25_UNITS_EDGE_EPS
+        ]
+        assert not bad, (
+            f"{sf}: {len(bad)} of {len(ys)} contributions within "
+            f"{BM25_UNITS_EDGE_EPS} of the unit truncation boundary "
+            f"(first 3: {bad[:3]})"
+        )

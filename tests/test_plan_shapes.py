@@ -1019,7 +1019,7 @@ def test_lsh_index_refresh_recodes_only_the_batch(spark, sf_dir):
 
 
 def test_every_serve_family_reads_the_index_store(spark, sf_dir):
-    """All eight *_serve twins (r12-r13) must source their candidates
+    """All ten *_serve twins (r12-r15) must source their candidates
     from a STORED artifact scan — 'indexes' appearing in the formatted
     plan is the cheap invariant that none of them silently regressed to
     re-deriving the index inline."""
@@ -1027,7 +1027,7 @@ def test_every_serve_family_reads_the_index_store(spark, sf_dir):
 
     qs = all_queries()
     serves = sorted(n for n in qs if n.endswith("_serve"))
-    assert len(serves) == 9, serves
+    assert len(serves) == 10, serves
     for name in serves:
         plan = formatted_plan(qs[name](spark, sf_dir))
         if name == "bpe_encode_serve":
@@ -1370,3 +1370,92 @@ def test_bucketed_ingest_append_leaves_standing_files_untouched(spark, sf_dir):
     data = _slot("bkti_orders", digest) / "data"
     files = sorted(p.name for p in Path(data).glob("*.parquet"))
     assert len(files) == 32, files  # 16 buckets x (standing + appended)
+
+
+def test_bucketed_compaction_restores_sort_free_join(spark, sf_dir):
+    """The lifecycle's compaction pin — the exact INVERSE of
+    test_bucketed_ingest_join_colocated_with_sort_tax: after the
+    multi-file buckets are rewritten to one file per bucket, the merge
+    join keeps co-location (one exchange total, the 5-row rollup; both
+    scans Bucketed) AND sheds the in-task Sort — with one file per
+    bucket the scan's SORTED BY metadata is trusted again (the
+    legacy.bucketedTableScan.outputOrdering session pin), so the join
+    consumes stored order."""
+    from self_healing_data_pipeline_agent_spark.operators.relational import (
+        q_bucketed_compaction,
+    )
+
+    df = q_bucketed_compaction(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan
+    assert count_exchanges(df) == 1
+    assert plan.count("Bucketed: true") == 2
+    assert not re.search(r"\(\d+\) Sort\b", plan), (
+        "in-task sort survived compaction — either a bucket carries "
+        ">1 file (the write's task/bucket alignment broke) or the "
+        "sorted-scan session pin is gone"
+    )
+
+
+def test_bucketed_compaction_one_file_per_bucket(spark, sf_dir):
+    """The compacted LAYOUT contract: same rows as the source table
+    (compaction moves bytes, never rows), exactly n_buckets files (one
+    per bucket — what the sort-free read above depends on), and the
+    ensure is idempotent (second call serves the same catalog table)."""
+    from pathlib import Path
+
+    from self_healing_data_pipeline_agent_spark.sources.index_store import (
+        _slot,
+        ensure_compacted_bucketed_table,
+    )
+    from self_healing_data_pipeline_agent_spark.sources.tables import load_table
+
+    tbl = ensure_compacted_bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+    assert ensure_compacted_bucketed_table(
+        spark, sf_dir, "orders", "o_orderkey"
+    ) == tbl
+    n = spark.table(tbl).count()
+    assert n == load_table(spark, sf_dir, "orders").count()
+    digest = tbl.rsplit("_", 1)[1]
+    data = _slot("bktc_orders", digest) / "data"
+    files = sorted(p.name for p in Path(data).glob("*.parquet"))
+    assert len(files) == 16, files  # one file per bucket
+
+
+def test_bm25_serve_scans_postings_only(spark, sf_dir):
+    """The BM25 serving contract: no tokenization in the query plan —
+    the corpus explode (Generate) and the tf/dl/df aggregation belong to
+    the build pass; serving is the stored posting artifact scanned
+    (twice: query-term filter + corpus side), one broadcast hash join on
+    term, one (q_id, doc_id) aggregate, and the top-k window."""
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        q_bm25_serve,
+    )
+
+    df = q_bm25_serve(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Generate" not in plan, (
+        "a corpus explode leaked into the serve plan — the postings "
+        "must come from the index store"
+    )
+    assert "Python" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "bm25_postings" in plan  # both sides scan the stored artifact
+
+
+def test_cross_modal_dedup_serves_from_stored_artifacts(spark, sf_dir):
+    """The agreement report must compose the three SERVE paths: all
+    three modality artifacts (minhash signature table, embedding LSH
+    codes, image dHash table) appear as index-store parquet scans, and
+    no Python stage runs (the md5 signature loop, hyperplane folds and
+    raster kernels all belong to their build passes)."""
+    from self_healing_data_pipeline_agent_spark.operators.multimodal import (
+        q_cross_modal_dedup,
+    )
+
+    df = q_cross_modal_dedup(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Python" not in plan and "MapInPandas" not in plan
+    for artifact in ("minhash_sigs", "lsh_codes", "img_dhash"):
+        assert artifact in plan, f"{artifact} not served from the store"
+    assert "CartesianProduct" not in plan
