@@ -63,15 +63,23 @@ def main() -> None:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    # an adjudication sequence must certify its own window: per-run
+    # hypervisor steal (percent of machine capacity, bench.py's counter)
+    # rides next to every timing, so "idle host" is measured, not claimed
+    from bench import _steal_pct, _steal_ticks
+
     out: dict[str, dict] = {}
     for name in names:
         runs = []
+        steals = []
         for _ in range(n_runs):
-            t0 = time.perf_counter()
+            st0, t0 = _steal_ticks(), time.perf_counter()
             queries[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            runs.append(round(time.perf_counter() - t0, 2))
+            wall = time.perf_counter() - t0
+            runs.append(round(wall, 2))
+            steals.append(_steal_pct(st0, wall))
         drs = []
         if name in oracles:
             for _ in range(3):
@@ -79,8 +87,10 @@ def main() -> None:
                 con.sql(oracles[name]).fetchall()
                 drs.append(round(time.perf_counter() - t0, 2))
         out[name] = {"spark_runs": runs, "spark_best": min(runs),
+                     "steal_pct": steals,
                      "duck_runs": drs, "duck_best": min(drs) if drs else None}
         print(f"{name}: spark {runs} -> best {min(runs)}"
+              + f" (steal% {steals})"
               + (f"; duck {drs} -> best {min(drs)}" if drs else ""))
     print(json.dumps({"sf_dir": sf_dir, "cpus": cpus, "results": out}))
 

@@ -235,3 +235,53 @@ def test_bench_sample_runs_warming_vs_noise():
     # MAX_RUNS bounds a never-converging host
     runs, noisy = bench._sample_runs(feed([8.0, 4.0, 2.0, 1.0, 0.5]))
     assert len(runs) == bench.MAX_RUNS
+
+
+def test_bench_reference_check_helpers(monkeypatch):
+    """The sustained-stall defenses (r14 verdict #2): _load_reference
+    parses BENCH.md's machine-generated table into {query: steady_s}
+    (and returns {} on a missing file, never raising), and _steal_pct
+    converts /proc/stat steal-tick deltas into percent-of-capacity."""
+    sys.path.insert(0, REPO)
+    import os
+
+    import bench
+
+    ref = bench._load_reference()
+    assert len(ref) > 100, "BENCH.md table rows not parsed"
+    assert all(isinstance(v, float) and v > 0 for v in ref.values())
+    assert "tpch_q1" in ref and "repetition_ratio" in ref
+    assert bench._load_reference("/nonexistent/BENCH.md") == {}
+
+    hz = os.sysconf("SC_CLK_TCK")
+    ncpu = os.cpu_count() or 1
+    # 10% of capacity stolen over 10 s: delta = 0.1 * 10 * hz * ncpu
+    monkeypatch.setattr(
+        bench, "_steal_ticks", lambda: int(1000 + 0.1 * 10 * hz * ncpu)
+    )
+    assert bench._steal_pct(1000, 10.0) == 10
+    monkeypatch.setattr(bench, "_steal_ticks", lambda: None)
+    assert bench._steal_pct(1000, 10.0) is None
+    assert bench._steal_pct(None, 10.0) is None
+
+
+def test_bench_result_line_steal_fields():
+    """The stall-defense fields ride the archived JSON line: steal_s /
+    n_requeued scalars and steal_pct_top positionally aligned (comma
+    string) with the ``queries`` keys, clamped to 2 digits."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    timings = {n: float(i + 1) for i, n in enumerate(bench.HEADLINE)}
+    line = bench._result_line(
+        total=1.0, sf=0.1, timings=timings, noisy=[], errors=[],
+        duck_total=1.0, ratio=1.0, duck_timings={},
+        steal_pct={n: 150 for n in bench.HEADLINE}, steal_s=12.3,
+        n_requeued=2,
+    )
+    parsed = json.loads(line)
+    assert parsed["steal_s"] == 12.3
+    assert parsed["n_requeued"] == 2
+    pcts = parsed["steal_pct_top"].split(",")
+    assert len(pcts) == len(parsed["queries"])
+    assert all(p == "99" for p in pcts)  # clamped
