@@ -996,3 +996,46 @@ SELECT g.user_id, g.hour,
            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS filled_units
 FROM grid g LEFT JOIN hourly h USING (user_id, hour)
 """
+
+
+def q_bucketed_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``q_sessionization`` from a BUCKETED events copy — the layout's
+    third payoff class after joins (X38) and aggregates
+    (streaming_bucketed_ingest): WINDOW functions.  With events stored
+    hash-bucketed on user_id, the per-user lag/cumsum window's
+    ClusteredDistribution is already satisfied by the scan, and the
+    downstream (user_id, session_id) rollup rides the same partitioning
+    (user_id is a subset of its grouping keys) — the whole sessionize ->
+    rollup pipeline plans with ZERO exchanges (pinned).  What remains is
+    the per-user (ts, event_id) in-task sort the window needs anyway;
+    nothing moves across the cluster.
+
+    At 100 TB this is why an event warehouse buckets on user/entity id:
+    every sessionization, funnel, attribution and rolling-window job —
+    the entire X13/X14 family — runs shuffle-free off the stored layout,
+    paying only bounded per-user sorts.  Identical arithmetic, so it
+    shares sessionization's oracle."""
+    from ..sources.index_store import ensure_bucketed_table
+
+    e_tbl = ensure_bucketed_table(spark, sf_dir, "events", "user_id")
+    df = spark.table(e_tbl)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts"))
+    prev_us = F.lag(ts_us).over(w)
+    new_session = (
+        prev_us.isNull() | ((ts_us - prev_us) > SESSION_GAP_MICROS)
+    ).cast("int")
+    with_session = df.select(
+        "user_id", "event_id", "ts",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("session_id"),
+    )
+    return with_session.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+ORACLES["bucketed_sessionization"] = ORACLES["sessionization"]

@@ -48,6 +48,15 @@ QUERY_ORDER = [
     "bm25_serve",
     "bucketed_compaction",
     "cross_modal_dedup",
+    # (also never-green): the lifecycle's streaming front door — each
+    #    micro-batch appended bucket-aligned with an event_id anti-join
+    #    dedup, exactly-once under the staged at-least-once replay; the
+    #    per-user rollup over the ingested table plans shuffle-free --
+    "streaming_bucketed_ingest",
+    # (also never-green): the layout's window-function payoff — the
+    #    whole sessionize -> rollup pipeline over user_id-bucketed
+    #    events plans with zero exchanges --
+    "bucketed_sessionization",
     # -- r15 fail-closed re-checks: ensure_bucketed_ingest_table's digest
     #    now folds the enclosing function's code fingerprint (r14 ADVICE
     #    — the batch carve/append logic was unhashed), so the stored
@@ -103,8 +112,9 @@ QUERY_ORDER = [
     "vocab_growth",
     "zorder_pruning",
     # -- r11-aged filler (oldest remaining official records, alphabetic
-    #    enumeration of the r11 cohort): 12 fit below; the remaining
-    #    r11-aged greens (chunk_dedup, corr_profile, cube_summary,
+    #    enumeration of the r11 cohort): 10 fit below; the remaining
+    #    r11-aged greens (char_lm_doc_counts, char_lm_model, chunk_dedup,
+    #    corr_profile, cube_summary,
     #    customer_order_distribution, decontaminate_docs,
     #    dedup_first_lineitem, dominant_part_suppliers, dsir_select,
     #    dsir_weights, duplicate_clusters, format_interchange,
@@ -122,8 +132,6 @@ QUERY_ORDER = [
     "attribution_asof",
     "bloom_sized_decontaminate",
     "ccnet_ppl_buckets",
-    "char_lm_doc_counts",
-    "char_lm_model",
     # Below the 50-entry window: everything else carries an r11-r14
     # official green against current testdata and unchanged code.
     # scripts/window_audit.py tracks staleness (contract fingerprints);

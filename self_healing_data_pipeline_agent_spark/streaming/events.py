@@ -1821,3 +1821,105 @@ def streaming_state_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_streaming_state_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_state_metrics(spark, sf_dir)
+
+
+# --- X44+: streaming ingest INTO the bucketed warehouse -----------------------
+#
+# The lifecycle's front door.  X38/X44 assume an ingest process that
+# appends bucket-aligned files to the warehouse (build -> ingest-append ->
+# compact); this member IS that process, as a stream: every micro-batch
+# lands as one parquet file per bucket with the table's own bucket spec,
+# so the co-located joins and shuffle-free aggregates the bucketed layout
+# buys are preserved CONTINUOUSLY — no rebuild between batches, no
+# downstream replan.  Compaction (ensure_compacted_bucketed_table)
+# periodically resets the per-bucket file count the appends accumulate.
+
+BKT_INGEST_BUCKETS = 16
+
+
+def streaming_bucketed_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """foreachBatch ingest of the events stream into a BUCKETED table
+    (bucketBy user_id — the analytical key every sessionization/
+    enrichment downstream groups or joins on), EXACTLY-ONCE under
+    at-least-once delivery: the staged stream redelivers every event
+    (two micro-batches, each the full file), and each batch is
+    anti-joined on event_id against the standing table before its
+    append, so replayed events land zero times and the final table is
+    value-identical to the batch source.
+
+    Scale shape per micro-batch: the dedup probe is a keyed anti join
+    (batch-sized left side; at 100 TB the standing side prunes to the
+    batch's key range via the layout), and the append is
+    repartition(n_buckets, user_id) -> one bucket-aligned file per
+    bucket, batch-proportional, standing files untouched — the same
+    append contract as ensure_bucketed_ingest_table, produced by a
+    stream instead of a batch carve.  The payoff is measured in the
+    returned aggregate: the per-user rollup plans with ZERO exchanges —
+    the bucketed scan already satisfies the aggregation's hash
+    distribution (pinned by test_streaming_bucketed_ingest_agg_shuffle_free).
+
+    Delivery semantics vs the sketch rollup above: HLL merges are
+    idempotent so replay is FREE there; a plain TABLE append is not —
+    exactly-once needs the event_id dedup, which is what this member
+    demonstrates (the foreachBatch-idempotency half of the streaming
+    story; Delta/Iceberg's MERGE plays this role in production)."""
+    stream = read_events_stream(
+        spark, sf_dir, replay=True, max_files_per_trigger=1
+    )
+    store = _session_tmpdir("bkt_stream_ingest_")
+    tbl = f"stream_bkt_events_{uuid.uuid4().hex[:8]}"
+    data = str(Path(store) / "data")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        fresh = batch_df
+        if spark.catalog.tableExists(tbl):
+            standing = spark.table(tbl).select("event_id")
+            fresh = batch_df.join(standing, "event_id", "left_anti")
+        writer = (
+            fresh.repartition(BKT_INGEST_BUCKETS, F.col("user_id"))
+            .write.bucketBy(BKT_INGEST_BUCKETS, "user_id")
+            .sortBy("user_id")
+            .mode("append")
+        )
+        if not spark.catalog.tableExists(tbl):
+            writer = writer.option("path", data)
+        writer.saveAsTable(tbl)
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    from ..functions.stable import _units as to_units
+
+    return (
+        spark.table(tbl)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(to_units(F.coalesce(F.col("value"), F.lit(0.0))))
+            .cast("bigint")
+            .alias("value_units"),
+        )
+    )
+
+
+def q_streaming_bucketed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_bucketed_ingest(spark, sf_dir)
+
+
+# Exact oracle over the batch source: the stream delivered every event
+# twice and the event_id dedup kept exactly one copy, so the ingested
+# table's per-user rollup equals the plain batch aggregate.
+ORACLES["streaming_bucketed_ingest"] = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(COALESCE(value, 0.0) * 10000 + 0.5) AS BIGINT))
+            AS BIGINT) AS value_units
+FROM events GROUP BY user_id
+"""

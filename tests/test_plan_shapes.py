@@ -1459,3 +1459,45 @@ def test_cross_modal_dedup_serves_from_stored_artifacts(spark, sf_dir):
     for artifact in ("minhash_sigs", "lsh_codes", "img_dhash"):
         assert artifact in plan, f"{artifact} not served from the store"
     assert "CartesianProduct" not in plan
+
+
+def test_streaming_bucketed_ingest_agg_shuffle_free(spark, sf_dir):
+    """The streaming-ingest payoff pin: after foreachBatch appended its
+    micro-batches bucket-aligned (and anti-join-deduped the replayed
+    delivery), the per-user rollup over the ingested table plans with
+    ZERO exchanges — the bucketed scan satisfies the aggregation's hash
+    distribution, so the warehouse's analytical key never reshuffles.
+    Row count doubles as the exactly-once check: the staged stream
+    delivered every event twice."""
+    from self_healing_data_pipeline_agent_spark.sources.tables import load_table
+    from self_healing_data_pipeline_agent_spark.streaming.events import (
+        streaming_bucketed_ingest,
+    )
+
+    df = streaming_bucketed_ingest(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Bucketed: true" in plan
+    assert count_exchanges(df) == 0, "the bucketed agg reshuffled"
+    n = df.agg({"n_events": "sum"}).collect()[0][0]
+    assert n == load_table(spark, sf_dir, "events").count(), (
+        "replayed delivery leaked into the table — the event_id dedup "
+        "is not exactly-once"
+    )
+
+
+def test_bucketed_sessionization_zero_exchanges(spark, sf_dir):
+    """The layout's window-function payoff pin: over user_id-bucketed
+    events, the gap-sessionize window AND the (user_id, session_id)
+    rollup both ride the scan's hash partitioning — the entire pipeline
+    plans with ZERO exchanges (the shuffle-planned twin pays one on
+    user_id).  The per-user (ts, event_id) Sort remains; it is the
+    window's own requirement, in-task and bounded."""
+    from self_healing_data_pipeline_agent_spark.operators.events import (
+        q_bucketed_sessionization,
+    )
+
+    df = q_bucketed_sessionization(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" in plan
+    assert "Bucketed: true" in plan
+    assert count_exchanges(df) == 0, "the bucketed window reshuffled"
