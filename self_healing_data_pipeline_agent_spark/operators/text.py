@@ -5243,3 +5243,128 @@ def q_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["bm25_serve"] = ORACLES["bm25_topk"]
+
+
+BM25_REFRESH_MOD = 10  # doc_id % MOD == 0 simulates the new ingest batch
+
+
+def q_bm25_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``q_bm25_topk``'s contract with the posting table assembled
+    INCREMENTALLY — the lexical ring's maintenance member
+    (lsh_index_refresh's posture on the inverted index): the standing
+    corpus's (doc_id, term, tf, dl) rows serve from a stored artifact,
+    only the ingest batch (doc_id % BM25_REFRESH_MOD == 0) re-tokenizes.
+
+    The split exploits BM25's structure: the PER-DOC statistics (tf,
+    dl) are append-invariant — a new document cannot change any standing
+    document's term frequencies or length — so they are the thing to
+    persist; the CORPUS-GLOBAL statistics (df, N, avgdl) change with
+    every append by definition, but re-deriving them is an aggregation
+    over posting rows (term strings + BIGINTs), never over text.  At
+    100 TB the nightly refresh therefore pays: tokenize the batch,
+    append its posting rows, re-aggregate df/N/avgdl from stored
+    postings — corpus-linear in POSTINGS, batch-linear in TEXT.  (This
+    is why Lucene keeps df in segment metadata merged at read time.)
+
+    The merged tf rows are identical to a from-scratch build's, so
+    df/N/avgdl and every score unit match the full-recompute oracle
+    exactly — the incremental path is held to the same exactness
+    contract as the build (the lsh_index_refresh convention)."""
+    from ..sources.index_store import ensure_index
+
+    def build() -> DataFrame:
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % BM25_REFRESH_MOD != 0)
+            .select("doc_id", "text")
+        )
+        terms = docs.select("doc_id", F.explode(_tokens_col()).alias("term"))
+        tf = terms.groupBy("doc_id", "term").agg(
+            F.count(F.lit(1)).cast("bigint").alias("tf")
+        )
+        dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        return tf.join(dl, "doc_id")
+
+    base = ensure_index(
+        spark,
+        sf_dir,
+        "bm25_tf_base",
+        f"bm25_base|{BM25_REFRESH_MOD}",
+        build,
+        source_table="documents",
+    )
+    batch_docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % BM25_REFRESH_MOD == 0)
+        .select("doc_id", "text")
+    )
+    bterms = batch_docs.select(
+        "doc_id", F.explode(_tokens_col()).alias("term")
+    )
+    # both caches load-bearing (the bm25_topk convention): btf feeds its
+    # own dl aggregate AND the union — uncached, the batch explode runs
+    # twice; tf feeds dfreq/dl/qterms/contrib — uncached, the whole
+    # union replays per consumer
+    btf = (
+        bterms.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .cache()
+    )
+    bdl = btf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    tf = base.unionByName(btf.join(bdl, "doc_id")).cache()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl1 = tf.select("doc_id", "dl").dropDuplicates(["doc_id"])
+    scal = dl1.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qterms = tf.filter(F.col("doc_id") < BM25_N_QUERIES).select(
+        F.col("doc_id").alias("q_id"), "term"
+    )
+    k1 = BM25_K1_X10 / 10.0
+    b = BM25_B_X100 / 100.0
+    contrib = (
+        tf.join(F.broadcast(qterms), "term")
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "q_id",
+            "doc_id",
+            F.floor(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+                * 1000000.0
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("cu"),
+        )
+    )
+    scores = contrib.groupBy("q_id", "doc_id").agg(
+        F.sum("cu").alias("score_units")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("score_units"), F.asc("doc_id")
+    )
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BM25_TOP_K)
+        .select(
+            "q_id",
+            F.col("rn").cast("bigint").alias("rn"),
+            "doc_id",
+            "score_units",
+        )
+    )
+
+
+ORACLES["bm25_index_refresh"] = ORACLES["bm25_topk"]

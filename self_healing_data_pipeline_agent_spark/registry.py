@@ -57,6 +57,11 @@ QUERY_ORDER = [
     #    whole sessionize -> rollup pipeline over user_id-bucketed
     #    events plans with zero exchanges --
     "bucketed_sessionization",
+    # (also never-green): X45's maintenance member — standing (tf, dl)
+    #    posting rows from the stored artifact (append-invariant per-doc
+    #    stats), only the ingest batch re-tokenized, df/N/avgdl
+    #    re-aggregated from posting rows --
+    "bm25_index_refresh",
     # -- r15 fail-closed re-checks: ensure_bucketed_ingest_table's digest
     #    now folds the enclosing function's code fingerprint (r14 ADVICE
     #    — the batch carve/append logic was unhashed), so the stored
@@ -112,9 +117,9 @@ QUERY_ORDER = [
     "vocab_growth",
     "zorder_pruning",
     # -- r11-aged filler (oldest remaining official records, alphabetic
-    #    enumeration of the r11 cohort): 10 fit below; the remaining
-    #    r11-aged greens (char_lm_doc_counts, char_lm_model, chunk_dedup,
-    #    corr_profile, cube_summary,
+    #    enumeration of the r11 cohort): 9 fit below; the remaining
+    #    r11-aged greens (ccnet_ppl_buckets, char_lm_doc_counts,
+    #    char_lm_model, chunk_dedup, corr_profile, cube_summary,
     #    customer_order_distribution, decontaminate_docs,
     #    dedup_first_lineitem, dominant_part_suppliers, dsir_select,
     #    dsir_weights, duplicate_clusters, format_interchange,
@@ -131,7 +136,6 @@ QUERY_ORDER = [
     "approx_quantile_profile",
     "attribution_asof",
     "bloom_sized_decontaminate",
-    "ccnet_ppl_buckets",
     # Below the 50-entry window: everything else carries an r11-r14
     # official green against current testdata and unchanged code.
     # scripts/window_audit.py tracks staleness (contract fingerprints);

@@ -1501,3 +1501,25 @@ def test_bucketed_sessionization_zero_exchanges(spark, sf_dir):
     assert "Window" in plan
     assert "Bucketed: true" in plan
     assert count_exchanges(df) == 0, "the bucketed window reshuffled"
+
+
+def test_bm25_index_refresh_retokenizes_only_the_batch(spark, sf_dir):
+    """The lexical-ring maintenance contract (the substring/lsh refresh
+    posture): the standing posting rows come from the stored artifact
+    (bm25_tf_base scan in the plan), and exactly ONE Generate remains —
+    the ingest batch's tokenization (both caches load-bearing: uncached,
+    the batch explode ran twice and the union replayed per consumer)."""
+    import re as _re
+
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        q_bm25_index_refresh,
+    )
+
+    df = q_bm25_index_refresh(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "bm25_tf_base" in plan, "standing side not served from the store"
+    n_gen = len(_re.findall(r"\(\d+\) Generate", plan))
+    assert n_gen <= 1, (
+        f"{n_gen} corpus explodes in the refresh plan — the standing "
+        "side re-tokenized or the batch cache stopped covering its reuse"
+    )
