@@ -300,6 +300,11 @@ HEADLINE = [
     # persisted via ensure_index; serving = artifact scan + broadcast
     # query terms + the same truncated-unit scoring (serve = production).
     "bm25_serve",
+    # r15: the lexical ring's maintenance row — standing (tf, dl) posting
+    # rows from the stored artifact, only the ingest batch re-tokenized,
+    # df/N/avgdl re-aggregated from posting rows; benched beside the
+    # build/serve pair like the lsh/substring refresh rows.
+    "bm25_index_refresh",
     # r14: the salted JOIN demo next to the salted agg — SMJ on
     # (key, _salt), the hot key spread over 16 tasks by construction.
     "salted_skew_join",

@@ -59,6 +59,7 @@ EXTRA_ROLES = {
     "image_index_refresh": "incremental maintenance",
     "bucketed_ingest_join": "bucketed layout, ingest-appended (vs order_priority_check)",
     "bucketed_compaction": "bucketed layout, compacted (vs bucketed_ingest_join)",
+    "bm25_index_refresh": "incremental maintenance",
 }
 
 
