@@ -37,6 +37,23 @@ EXPECTED = {
         "— one corpus explode, the rest move vocabulary- or "
         "candidate-sized rows (pinned by test_plan_shapes)"
     ),
+    "bm25_index_refresh": (
+        "BNLJ = the same 1-row N/avgdl scalar broadcast crossJoin as "
+        "bm25_topk; shuffles: standing postings are an artifact SCAN "
+        "(no explode — pinned), the batch pays one tokenize + tf/dl "
+        "aggregates, and df/N/avgdl re-aggregate over the cached merged "
+        "posting rows (term strings + BIGINTs, never text) feeding the "
+        "same 4-consumer scoring shape as the build"
+    ),
+    "cross_modal_dedup": (
+        "shuffles: the three pair chains' own candidate/verify "
+        "aggregations (each individually audited at its source query: "
+        "minhash_lsh_serve, embedding_near_dup_serve, image_near_dup) "
+        "plus one explode+distinct membership agg per modality — "
+        "pair-sized, corpus-sublinear — and three keyed left joins from "
+        "documents; nothing here is all-pairs or corpus-wide beyond the "
+        "artifact scans"
+    ),
     "source_mix": "BNLJ = 1-row corpus-total broadcast crossJoin",
     "idle_rich_customers": "BNLJ = 1-row global-average broadcast crossJoin",
     "jaccard_pairs": "shuffles: cached shingle set feeds 3 consumers",
