@@ -1274,6 +1274,85 @@ FROM cum
 """
 
 
+def q_pack_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDARY-RESPECTING sequence packing — the variant used when
+    cross-document attention contamination matters: documents are never
+    split across context windows; instead each window holds whole docs
+    (here up to two — the sorted-complement pairing heuristic: within a
+    language, rank docs by capped length descending and pair rank i with
+    rank k+1-i iff the two fit in one PACK_CTX_TOKENS window; the middle
+    doc of an odd group and any non-fitting pair pack alone).  Per doc:
+    its capped length, its mate (NULL when packed alone), and the pack's
+    fill — the waste statistic a dataloader weighs against
+    concat-and-chunk's zero waste but contaminated attention
+    (``q_pack_sequences``, the other X18 member).
+
+    Scale shape: one per-lang window for the rank (same single shuffle
+    as pack_sequences; at 100 TB the partition key becomes (lang, shard)
+    with a per-shard offset broadcast), the per-lang count rides the
+    same window as a frame-free aggregate, and the mate lookup is a
+    self-join on the DERIVED (lang, rank) key — co-partitioned by the
+    window's own shuffle, never corpus-wide.  All integer arithmetic;
+    deterministic total order (len desc, doc_id) both engines share.
+    Longer-than-context docs are capped to one full window (the
+    truncation a loader applies before packing)."""
+    df = load_table(spark, sf_dir, "documents")
+    base = df.select(
+        "doc_id", "lang",
+        F.least(
+            F.size(_tokens_col()).cast("bigint"), F.lit(PACK_CTX_TOKENS)
+        ).alias("len"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("len"), F.asc("doc_id"))
+    ranked = base.select(
+        "doc_id", "lang", "len",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("k"),
+    )
+    mate = ranked.select(
+        F.col("lang").alias("m_lang"), F.col("r").alias("m_r"),
+        F.col("doc_id").alias("mate_id"), F.col("len").alias("m_len"),
+    )
+    joined = ranked.join(
+        mate,
+        (F.col("lang") == F.col("m_lang"))
+        & (F.col("m_r") == F.col("k") + 1 - F.col("r"))
+        & (F.col("k") + 1 - F.col("r") != F.col("r")),
+        "left",
+    )
+    fits = F.col("len") + F.col("m_len") <= PACK_CTX_TOKENS
+    mate_id = F.when(fits, F.col("mate_id"))
+    fill = F.when(fits, F.col("len") + F.col("m_len")).otherwise(F.col("len"))
+    return joined.select(
+        "doc_id", "lang", "len",
+        mate_id.alias("mate_id"),
+        fill.cast("bigint").alias("pack_fill"),
+    )
+
+
+ORACLES["pack_pairs"] = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         LEAST(CAST(len({_DUCK_TOKENS}) AS BIGINT), {PACK_CTX_TOKENS}) AS len
+  FROM documents
+), ranked AS (
+  SELECT doc_id, lang, len,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY len DESC, doc_id ASC) AS r,
+         COUNT(*) OVER (PARTITION BY lang) AS k
+  FROM toks
+)
+SELECT a.doc_id, a.lang, a.len,
+       CASE WHEN a.len + b.len <= {PACK_CTX_TOKENS} THEN b.doc_id END
+         AS mate_id,
+       CAST(CASE WHEN a.len + b.len <= {PACK_CTX_TOKENS}
+                 THEN a.len + b.len ELSE a.len END AS BIGINT) AS pack_fill
+FROM ranked a
+LEFT JOIN ranked b
+  ON a.lang = b.lang AND b.r = a.k + 1 - a.r AND a.k + 1 - a.r <> a.r
+"""
+
+
 # --- RAG-style chunking with overlap ----------------------------------------
 
 RAG_CHUNK_TOKENS = 64  # chunk length in whitespace tokens

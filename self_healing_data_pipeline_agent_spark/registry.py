@@ -62,6 +62,9 @@ QUERY_ORDER = [
     #    stats), only the ingest batch re-tokenized, df/N/avgdl
     #    re-aggregated from posting rows --
     "bm25_index_refresh",
+    # (also never-green): X18's boundary-respecting packing variant —
+    #    sorted-complement pairing, docs never split across windows --
+    "pack_pairs",
     # -- r15 fail-closed re-checks: ensure_bucketed_ingest_table's digest
     #    now folds the enclosing function's code fingerprint (r14 ADVICE
     #    — the batch carve/append logic was unhashed), so the stored
@@ -117,8 +120,9 @@ QUERY_ORDER = [
     "vocab_growth",
     "zorder_pruning",
     # -- r11-aged filler (oldest remaining official records, alphabetic
-    #    enumeration of the r11 cohort): 9 fit below; the remaining
-    #    r11-aged greens (ccnet_ppl_buckets, char_lm_doc_counts,
+    #    enumeration of the r11 cohort): 8 fit below; the remaining
+    #    r11-aged greens (bloom_sized_decontaminate, ccnet_ppl_buckets,
+    #    char_lm_doc_counts,
     #    char_lm_model, chunk_dedup, corr_profile, cube_summary,
     #    customer_order_distribution, decontaminate_docs,
     #    dedup_first_lineitem, dominant_part_suppliers, dsir_select,
@@ -135,7 +139,6 @@ QUERY_ORDER = [
     "anomaly_zscore",
     "approx_quantile_profile",
     "attribution_asof",
-    "bloom_sized_decontaminate",
     # Below the 50-entry window: everything else carries an r11-r14
     # official green against current testdata and unchanged code.
     # scripts/window_audit.py tracks staleness (contract fingerprints);
