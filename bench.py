@@ -55,6 +55,10 @@ HEADLINE = [
     "exact_dedup_docs",
     "repetition_ratio",
     "pack_sequences",
+    # r15: the boundary-respecting packing twin, benched beside the
+    # concat-and-chunk row so the archive pairs the waste/contamination
+    # trade (same single per-lang window + a co-partitioned self-join).
+    "pack_pairs",
     "pii_scrub",
     "salted_hot_key_agg",
     "customer_order_distribution",
