@@ -1491,3 +1491,32 @@ def test_bm25_units_margin():
             f"{BM25_UNITS_EDGE_EPS} of the unit truncation boundary "
             f"(first 3: {bad[:3]})"
         )
+
+
+def test_pack_pairs_invariants(spark, sf_dir):
+    """The boundary-packing contract: every document appears exactly
+    once; no pack overfills the context window; mates are SYMMETRIC
+    (a's mate names a back — the pairing rule computes the same fit
+    from both sides); a paired doc's fill is the pair sum and a
+    singleton's fill is its own capped length."""
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        PACK_CTX_TOKENS,
+        q_pack_pairs,
+    )
+    from self_healing_data_pipeline_agent_spark.sources.tables import load_table
+
+    rows = {r["doc_id"]: r for r in q_pack_pairs(spark, sf_dir).collect()}
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    paired = 0
+    for r in rows.values():
+        assert 0 < r["pack_fill"] <= PACK_CTX_TOKENS
+        assert r["len"] <= PACK_CTX_TOKENS
+        if r["mate_id"] is not None:
+            paired += 1
+            mate = rows[r["mate_id"]]
+            assert mate["mate_id"] == r["doc_id"], "asymmetric pairing"
+            assert r["pack_fill"] == r["len"] + mate["len"]
+        else:
+            assert r["pack_fill"] == r["len"]
+    assert paired > 0, "pairing never fired on this corpus"
