@@ -92,7 +92,11 @@ def time_spark(sf_dir: str) -> dict[str, float]:
     # best-of-3 cannot see because consecutive runs agree during a
     # burst.  Rows >3x their previous table value re-sample minutes
     # later; the min of both passes is recorded.
-    prev = _previous_table()
+    # one tested parser for the committed table (bench._load_reference),
+    # not a private copy that could drift from the column layout
+    from bench import _load_reference
+
+    prev = _load_reference()
     for name in HEADLINE:
         steady = prev.get(name)
         if not steady or out.get(name, 0) <= max(3.0 * steady, 1.0):
@@ -111,18 +115,6 @@ def time_spark(sf_dir: str) -> dict[str, float]:
     return out
 
 
-def _previous_table() -> dict[str, float]:
-    """The committed table's Spark column, for the re-queue reference."""
-    try:
-        ref: dict[str, float] = {}
-        with open(os.path.join(REPO, "BENCH.md")) as fh:
-            for line in fh:
-                m = re.match(r"\|\s*(\w+)\s*\|\s*([0-9.]+)\s*\|", line)
-                if m:
-                    ref[m.group(1)] = float(m.group(2))
-        return ref
-    except OSError:
-        return {}
 
 
 def time_duckdb(sf_dir: str) -> dict[str, float]:

@@ -142,12 +142,12 @@ FROM events GROUP BY date_trunc('hour', ts)
 
 # --- X13: gap-based sessionization ------------------------------------------
 
-def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X13: classic gap-based sessionization — lag + cumulative sum of
-    session-start flags, then per-session rollup.  One shuffle on user_id;
-    the window sort is per-user (bounded), so this scales horizontally with
-    users.  Gap compare in integer epoch-micros."""
-    df = load_table(spark, sf_dir, "events")
+def _sessionize(df: DataFrame) -> DataFrame:
+    """The ONE gap-sessionize -> per-session rollup dataflow, shared by
+    the shuffle-planned and bucketed variants so their shared-oracle
+    claim is structural: lag + cumulative sum of session-start flags
+    over (ts, event_id) within user_id, gap compare in integer
+    epoch-micros, then the per-(user, session) rollup."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ts_us = F.unix_micros(F.col("ts"))
     prev_us = F.lag(ts_us).over(w)
@@ -165,6 +165,14 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13: classic gap-based sessionization — lag + cumulative sum of
+    session-start flags, then per-session rollup.  One shuffle on user_id;
+    the window sort is per-user (bounded), so this scales horizontally with
+    users.  Gap compare in integer epoch-micros."""
+    return _sessionize(load_table(spark, sf_dir, "events"))
 
 
 ORACLES["sessionization"] = f"""
@@ -1018,24 +1026,7 @@ def q_bucketed_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.index_store import ensure_bucketed_table
 
     e_tbl = ensure_bucketed_table(spark, sf_dir, "events", "user_id")
-    df = spark.table(e_tbl)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ts_us = F.unix_micros(F.col("ts"))
-    prev_us = F.lag(ts_us).over(w)
-    new_session = (
-        prev_us.isNull() | ((ts_us - prev_us) > SESSION_GAP_MICROS)
-    ).cast("int")
-    with_session = df.select(
-        "user_id", "event_id", "ts",
-        F.sum(new_session).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ).alias("session_id"),
-    )
-    return with_session.groupBy("user_id", "session_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
-    )
+    return _sessionize(spark.table(e_tbl))
 
 
 ORACLES["bucketed_sessionization"] = ORACLES["sessionization"]

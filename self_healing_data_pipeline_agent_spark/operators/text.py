@@ -5069,6 +5069,55 @@ BM25_B_X100 = 75     # b = 0.75
 BM25_UNITS_EDGE_EPS = 1e-6
 
 
+def _bm25_rank(cand: DataFrame) -> DataFrame:
+    """The ONE truncated-unit BM25 scoring tail, shared by all three ring
+    members (build-inline / serve / refresh) so the "identical
+    arithmetic, shares the oracle" claim is structural, not maintained
+    by eyeball: ``cand`` carries one row per (q_id, doc_id) candidate
+    contribution with tf, df, dl, n_docs, avgdl attached; this computes
+    the floor(score*1e6 + 0.5) unit, the order-independent BIGINT
+    per-(q_id, doc_id) sum, and the (score_units desc, doc_id asc)
+    top-BM25_TOP_K."""
+    k1 = BM25_K1_X10 / 10.0
+    b = BM25_B_X100 / 100.0
+    contrib = cand.select(
+        "q_id",
+        "doc_id",
+        F.floor(
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+                + 1.0
+            )
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            )
+            * 1000000.0
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("cu"),
+    )
+    scores = contrib.groupBy("q_id", "doc_id").agg(
+        F.sum("cu").alias("score_units")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("score_units"), F.asc("doc_id")
+    )
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BM25_TOP_K)
+        .select(
+            "q_id",
+            F.col("rn").cast("bigint").alias("rn"),
+            "doc_id",
+            "score_units",
+        )
+    )
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-BM25_TOP_K corpus matches per query document (doc_id <
     BM25_N_QUERIES; self-matches excluded): score = sum over the query's
@@ -5125,50 +5174,12 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qterms = tf.filter(F.col("doc_id") < BM25_N_QUERIES).select(
         F.col("doc_id").alias("q_id"), "term"
     )
-    k1 = BM25_K1_X10 / 10.0
-    b = BM25_B_X100 / 100.0
-    contrib = (
+    return _bm25_rank(
         tf.join(F.broadcast(qterms), "term")
         .filter(F.col("doc_id") != F.col("q_id"))
         .join(F.broadcast(dfreq), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(scal))
-        .select(
-            "q_id",
-            "doc_id",
-            F.floor(
-                F.log(
-                    (F.col("n_docs") - F.col("df") + 0.5)
-                    / (F.col("df") + 0.5)
-                    + 1.0
-                )
-                * (F.col("tf") * (k1 + 1.0))
-                / (
-                    F.col("tf")
-                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
-                )
-                * 1000000.0
-                + F.lit(0.5)
-            )
-            .cast("bigint")
-            .alias("cu"),
-        )
-    )
-    scores = contrib.groupBy("q_id", "doc_id").agg(
-        F.sum("cu").alias("score_units")
-    )
-    w = Window.partitionBy("q_id").orderBy(
-        F.desc("score_units"), F.asc("doc_id")
-    )
-    return (
-        scores.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= BM25_TOP_K)
-        .select(
-            "q_id",
-            F.col("rn").cast("bigint").alias("rn"),
-            "doc_id",
-            "score_units",
-        )
     )
 
 
@@ -5277,47 +5288,9 @@ def q_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     qterms = post.filter(F.col("doc_id") < BM25_N_QUERIES).select(
         F.col("doc_id").alias("q_id"), "term"
     )
-    k1 = BM25_K1_X10 / 10.0
-    b = BM25_B_X100 / 100.0
-    contrib = (
+    return _bm25_rank(
         post.join(F.broadcast(qterms), "term")
         .filter(F.col("doc_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "doc_id",
-            F.floor(
-                F.log(
-                    (F.col("n_docs") - F.col("df") + 0.5)
-                    / (F.col("df") + 0.5)
-                    + 1.0
-                )
-                * (F.col("tf") * (k1 + 1.0))
-                / (
-                    F.col("tf")
-                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
-                )
-                * 1000000.0
-                + F.lit(0.5)
-            )
-            .cast("bigint")
-            .alias("cu"),
-        )
-    )
-    scores = contrib.groupBy("q_id", "doc_id").agg(
-        F.sum("cu").alias("score_units")
-    )
-    w = Window.partitionBy("q_id").orderBy(
-        F.desc("score_units"), F.asc("doc_id")
-    )
-    return (
-        scores.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= BM25_TOP_K)
-        .select(
-            "q_id",
-            F.col("rn").cast("bigint").alias("rn"),
-            "doc_id",
-            "score_units",
-        )
     )
 
 
@@ -5400,49 +5373,11 @@ def q_bm25_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     qterms = tf.filter(F.col("doc_id") < BM25_N_QUERIES).select(
         F.col("doc_id").alias("q_id"), "term"
     )
-    k1 = BM25_K1_X10 / 10.0
-    b = BM25_B_X100 / 100.0
-    contrib = (
+    return _bm25_rank(
         tf.join(F.broadcast(qterms), "term")
         .filter(F.col("doc_id") != F.col("q_id"))
         .join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(scal))
-        .select(
-            "q_id",
-            "doc_id",
-            F.floor(
-                F.log(
-                    (F.col("n_docs") - F.col("df") + 0.5)
-                    / (F.col("df") + 0.5)
-                    + 1.0
-                )
-                * (F.col("tf") * (k1 + 1.0))
-                / (
-                    F.col("tf")
-                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
-                )
-                * 1000000.0
-                + F.lit(0.5)
-            )
-            .cast("bigint")
-            .alias("cu"),
-        )
-    )
-    scores = contrib.groupBy("q_id", "doc_id").agg(
-        F.sum("cu").alias("score_units")
-    )
-    w = Window.partitionBy("q_id").orderBy(
-        F.desc("score_units"), F.asc("doc_id")
-    )
-    return (
-        scores.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= BM25_TOP_K)
-        .select(
-            "q_id",
-            F.col("rn").cast("bigint").alias("rn"),
-            "doc_id",
-            "score_units",
-        )
     )
 
 

@@ -499,10 +499,16 @@ def ensure_compacted_bucketed_table(
             n_buckets, F.col(key)
         )
 
+    # encl: folds the write sequence below (bucketBy/sortBy/saveAsTable)
+    # into the digest — build() alone doesn't see it, and an edit to the
+    # write chain (e.g. dropping sortBy) must rebuild, not serve the
+    # stale still-sorted layout (the ensure_bucketed_ingest_table fix,
+    # applied to this sibling too).
     digest = _digest(
         sf_dir,
         table,
-        f"bucket_compact|{key}|{n_buckets}|{batch_mod}|src:{src_tbl}",
+        f"bucket_compact|{key}|{n_buckets}|{batch_mod}|src:{src_tbl}"
+        f"|encl:{_code_fingerprint(ensure_compacted_bucketed_table)}",
         build,
     )
     slot = _slot(f"bktc_{table}", digest)

@@ -116,6 +116,11 @@ def test_bench_result_line_queries_survive_tail_truncation():
         noisy=list(bench.HEADLINE), errors=list(bench.HEADLINE),
         duck_total=99999.999, ratio=999.999,
         duck_timings={n: 87654.321 for n in bench.HEADLINE},
+        # the r15 stall-defense fields at THEIR worst case too ("99" per
+        # top entry, max-width scalars) — the guarantee must be measured
+        # against the widest line the code can emit
+        steal_pct={n: 999 for n in bench.HEADLINE}, steal_s=99999.9,
+        n_requeued=len(bench.HEADLINE),
     )
     # the ENTIRE line fits in the 2000-char tail: queries (last key) and
     # value (first) both survive.  All values tie here, so the TOP_K
