@@ -84,6 +84,10 @@ QUERY_ORDER = [
     #    both records re-earned --
     "linreg_price_per_item",
     "bm25_topk",
+    # (also fail-closed): sessionization's dataflow moved into the
+    #    shared _sessionize helper consumed by both variants (review
+    #    finding — value-identical, local parity green); re-earned --
+    "sessionization",
     # -- rows-only recurring slot: progress metrics have no SQL twin, so
     #    this never earns a green hash and re-takes a seat every round --
     "streaming_state_metrics",
@@ -120,9 +124,9 @@ QUERY_ORDER = [
     "vocab_growth",
     "zorder_pruning",
     # -- r11-aged filler (oldest remaining official records, alphabetic
-    #    enumeration of the r11 cohort): 8 fit below; the remaining
-    #    r11-aged greens (bloom_sized_decontaminate, ccnet_ppl_buckets,
-    #    char_lm_doc_counts,
+    #    enumeration of the r11 cohort): 7 fit below; the remaining
+    #    r11-aged greens (attribution_asof, bloom_sized_decontaminate,
+    #    ccnet_ppl_buckets, char_lm_doc_counts,
     #    char_lm_model, chunk_dedup, corr_profile, cube_summary,
     #    customer_order_distribution, decontaminate_docs,
     #    dedup_first_lineitem, dominant_part_suppliers, dsir_select,
@@ -138,7 +142,6 @@ QUERY_ORDER = [
     "ann_pq_adc_topk",
     "anomaly_zscore",
     "approx_quantile_profile",
-    "attribution_asof",
     # Below the 50-entry window: everything else carries an r11-r14
     # official green against current testdata and unchanged code.
     # scripts/window_audit.py tracks staleness (contract fingerprints);
