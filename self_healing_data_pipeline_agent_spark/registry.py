@@ -65,6 +65,10 @@ QUERY_ORDER = [
     # (also never-green): X18's boundary-respecting packing variant —
     #    sorted-complement pairing, docs never split across windows --
     "pack_pairs",
+    # (also never-green): X43's tuning member — the dHash carving study
+    #    (2x32/4x16/8x8 candidate volume vs exact-Hamming-truth recall),
+    #    completing the per-modality tuning triple --
+    "image_band_tuning",
     # -- r15 fail-closed re-checks: ensure_bucketed_ingest_table's digest
     #    now folds the enclosing function's code fingerprint (r14 ADVICE
     #    — the batch carve/append logic was unhashed), so the stored
@@ -124,8 +128,9 @@ QUERY_ORDER = [
     "vocab_growth",
     "zorder_pruning",
     # -- r11-aged filler (oldest remaining official records, alphabetic
-    #    enumeration of the r11 cohort): 7 fit below; the remaining
-    #    r11-aged greens (attribution_asof, bloom_sized_decontaminate,
+    #    enumeration of the r11 cohort): 6 fit below; the remaining
+    #    r11-aged greens (approx_quantile_profile, attribution_asof,
+    #    bloom_sized_decontaminate,
     #    ccnet_ppl_buckets, char_lm_doc_counts,
     #    char_lm_model, chunk_dedup, corr_profile, cube_summary,
     #    customer_order_distribution, decontaminate_docs,
@@ -141,7 +146,6 @@ QUERY_ORDER = [
     "ann_jl_rerank",
     "ann_pq_adc_topk",
     "anomaly_zscore",
-    "approx_quantile_profile",
     # Below the 50-entry window: everything else carries an r11-r14
     # official green against current testdata and unchanged code.
     # scripts/window_audit.py tracks staleness (contract fingerprints);
