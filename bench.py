@@ -293,7 +293,13 @@ HEADLINE = [
     # image_dup_clusters is excluded as REDUNDANT wall-clock (the
     # duplicate_clusters row times the identical CC fixpoint over a
     # larger pair set; the image edges add only the artifact scan
-    # image_near_dup already times).
+    # image_near_dup already times).  image_band_tuning (r15) is
+    # excluded for the OPPOSITE reason: measured 1.97 s Spark /
+    # 29.7 s DuckDB at sf0.1 (the oracle recomputes the full in-SQL
+    # hash chain AND the quadratic all-pairs truth single-pipeline) —
+    # one study row would dominate duck_total and flatter the
+    # aggregate ratio; image_near_dup already times the artifact-served
+    # banded path both engines share.
     "image_index_refresh",
     # r14: BM25 more-like-this retrieval — the cached tf aggregate (one
     # corpus explode) feeding broadcast-joined doc-frequency/query/scalar
