@@ -37,6 +37,25 @@ EXPECTED = {
         "— one corpus explode, the rest move vocabulary- or "
         "candidate-sized rows (pinned by test_plan_shapes)"
     ),
+    "bm25_prune": (
+        "shuffles: the MaxScore frames — seed/theta/essential windows + "
+        "candidate distinct + final rank — all over the broadcast-"
+        "restricted candidate contributions (query-batch x matching "
+        "docs), never the corpus; the posting scan itself shuffles zero "
+        "(pinned Generate-free by test_plan_shapes)"
+    ),
+    "bm25_prune_kw": (
+        "shuffles: the same MaxScore frames plus the per-query rarest-"
+        "terms rank window; all frames are keyword-restricted (<= "
+        "BM25_KW_TERMS terms per query), strictly smaller than the doc-"
+        "regime twin's"
+    ),
+    "bm25_prune_stats": (
+        "shuffles: the report re-derives BOTH regimes' frames and "
+        "aggregates three counters per regime — every stage moves "
+        "candidate- or query-batch-sized rows; a study/report query "
+        "(the image_band_tuning class), not a serving path"
+    ),
     "bm25_index_refresh": (
         "BNLJ = the same 1-row N/avgdl scalar broadcast crossJoin as "
         "bm25_topk; shuffles: standing postings are an artifact SCAN "

@@ -46,6 +46,14 @@ from self_healing_data_pipeline_agent_spark.registry import all_queries  # noqa:
 
 WINDOW = 50
 
+# Queries verified by pytest ONLY, by nature: no SQL twin exists, so the
+# driver's oracle check records `err: no_oracle` every round and a window
+# seat can never earn a green (POLICY r16, registry.QUERY_ORDER: demoted
+# below the cut permanently; the seat is worth more as an aged re-green).
+# The audit treats these as exempt from the "untrustworthy outside the
+# window" invariant — their freshness gate is tests/, not the record.
+PYTEST_ONLY = {"streaming_state_metrics"}
+
 
 def _git(*args: str) -> subprocess.CompletedProcess:
     return subprocess.run(

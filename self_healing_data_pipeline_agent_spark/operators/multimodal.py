@@ -950,7 +950,14 @@ def png_encode(raster: bytes, w: int = PNG_W, h: int = PNG_H) -> bytes:
     import zlib
 
     if len(raster) != w * h * 3:
-        raise ValueError(f"raster {len(raster)} bytes, want {w * h * 3}")
+        raise ValueError(
+            f"raster {len(raster)} bytes, want {w * h * 3}. The synthetic "
+            "raster is built from a space-padded text prefix, so this "
+            "usually means the corpus broke the single-byte-per-char "
+            "(ASCII) invariant the raster twin depends on — a multi-byte "
+            "character inflates the encoded prefix past the pixel count "
+            "(tripwired at test_llm_data_ops.py: corpus must stay ASCII)."
+        )
     stride = w * 3
     prev = bytes(stride)
     filtered = bytearray()
@@ -1745,6 +1752,7 @@ def q_image_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_truth")
     )
     rows = []
+    cands = []
     for name, nb in IMG_TUNE_CARVINGS:
         keys = hashes.select(
             "doc_id",
@@ -1765,6 +1773,7 @@ def q_image_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .cache()
         )
+        cands.append(cand)
         caught = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
         rows.append(
             cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
@@ -1786,7 +1795,17 @@ def q_image_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)
-    return out
+    # the study caches (truth + one candidate table per carving) exist
+    # only to share work across this query's own aggregates; materialize
+    # the 3-row report eagerly and release them (r15 ADVICE: returned
+    # lazy, the 4 cached DataFrames held executor memory for the rest of
+    # the session).  The collect is the report itself — three rows of
+    # BIGINTs, the driver-held-scalar class of collect.
+    data = out.collect()
+    truth.unpersist()
+    for c in cands:
+        c.unpersist()
+    return spark.createDataFrame(data, out.schema)
 
 
 def _img_tuning_oracle() -> str:

@@ -37,120 +37,96 @@ _MODULES = [
 # (tests/test_oracle_parity.py, which runs ALL pairs) — not the official
 # record — decides what needs the window.
 QUERY_ORDER = [
-    # -- r15 new operators (never-green): the BM25 serve twin (postings
-    #    persisted via ensure_index, serving = artifact scan + broadcast
-    #    score — the inverted index is retrieval's canonical serving
-    #    artifact), the bucketed-warehouse lifecycle's COMPACTION member
-    #    (multi-file buckets rewritten to one file per bucket, merge
-    #    join sort-free again — pinned), and the cross-modality dedup
-    #    agreement report (text/embedding/image near-dup membership
-    #    joined per doc, all three from stored artifacts) --
-    "bm25_serve",
-    "bucketed_compaction",
-    "cross_modal_dedup",
-    # (also never-green): the lifecycle's streaming front door — each
-    #    micro-batch appended bucket-aligned with an event_id anti-join
-    #    dedup, exactly-once under the staged at-least-once replay; the
-    #    per-user rollup over the ingested table plans shuffle-free --
+    # -- r16 new operators (never-green): MaxScore-safe pruned BM25
+    #    serving (r15 verdict #3) — the doc-as-query twin shares
+    #    bm25_topk's oracle (safe pruning must return the EXACT
+    #    exhaustive top-k), the keyword twin has its own exhaustive
+    #    oracle, and the stats report oracle-checks the scored/skipped
+    #    dial for both regimes --
+    "bm25_prune",
+    "bm25_prune_kw",
+    "bm25_prune_stats",
+    # (also never-green): k-way boundary-respecting packing (verdict
+    #    #5) — rank-striped snake assignment + prefix-fit, one shuffle --
+    "pack_kway",
+    # (also never-green): the trained perceptron served map-only from a
+    #    stored model blob (verdict #6 — the X32 posture on X28) --
+    "perceptron_serve",
+    # -- r16 fail-closed re-checks: implementations changed this round —
+    #    streaming_bucketed_ingest (deterministic per-session table +
+    #    effective reset, r15 ADVICE), image_band_tuning (eager 3-row
+    #    report + study-cache unpersist, r15 ADVICE), bm25_serve (build
+    #    moved into the shared _bm25_ensure_postings helper + build-cache
+    #    unpersist), perceptron_lang_clf (training loop extracted into
+    #    the shared _perc_train the serve twin stores) --
     "streaming_bucketed_ingest",
-    # (also never-green): the layout's window-function payoff — the
-    #    whole sessionize -> rollup pipeline over user_id-bucketed
-    #    events plans with zero exchanges --
-    "bucketed_sessionization",
-    # (also never-green): X45's maintenance member — standing (tf, dl)
-    #    posting rows from the stored artifact (append-invariant per-doc
-    #    stats), only the ingest batch re-tokenized, df/N/avgdl
-    #    re-aggregated from posting rows --
-    "bm25_index_refresh",
-    # (also never-green): X18's boundary-respecting packing variant —
-    #    sorted-complement pairing, docs never split across windows --
-    "pack_pairs",
-    # (also never-green): X43's tuning member — the dHash carving study
-    #    (2x32/4x16/8x8 candidate volume vs exact-Hamming-truth recall),
-    #    completing the per-modality tuning triple --
     "image_band_tuning",
-    # -- r15 fail-closed re-checks: ensure_bucketed_ingest_table's digest
-    #    now folds the enclosing function's code fingerprint (r14 ADVICE
-    #    — the batch carve/append logic was unhashed), so the stored
-    #    artifact rebuilt; and the session grew
-    #    spark.sql.legacy.bucketedTableScan.outputOrdering=true (one-
-    #    file-per-bucket scans now advertise their sort), which reshapes
-    #    every bucketed join's plan — all four bucketed rows re-earn
-    #    their greens in-window --
-    "bucketed_ingest_join",
-    "bucketed_late_shipments",
-    "bucketed_cdc_apply",
-    # (also fail-closed): linreg_price_per_item's source span shifted
-    #    by the q_bucketed_compaction insertion above it, and
-    #    bm25_topk's oracle was refactored onto the shared
-    #    BM25_PREFLOOR_CTES chain the margin tripwire measures (same
-    #    floor(y+0.5) expression — value-identical, local parity green);
-    #    both records re-earned --
-    "linreg_price_per_item",
-    "bm25_topk",
-    # (also fail-closed): sessionization's dataflow moved into the
-    #    shared _sessionize helper consumed by both variants (review
-    #    finding — value-identical, local parity green); re-earned --
-    "sessionization",
-    # -- rows-only recurring slot: progress metrics have no SQL twin, so
-    #    this never earns a green hash and re-takes a seat every round --
-    "streaming_state_metrics",
-    # -- the 29 r9-aged spill queries (r14 verdict #3 / the r14
-    #    registry's own "r15 MUST-window" list): their official greens
-    #    date to r9 against current testdata; re-earned here --
-    "null_fractions",
-    "order_priority_check",
-    "pack_sequences",
-    "pii_scrub",
-    "point_lookup",
-    "recent_errors",
-    "referential_orphans",
-    "repetition_ratio",
-    "revenue_by_nation",
-    "rollup_summary",
-    "row_count",
-    "salted_hot_key_agg",
-    "setop_except",
-    "setop_intersect",
-    "shard_manifest",
-    "status_metrics",
-    "stratified_sample",
-    "streaming_cardinality_profile",
-    "streaming_churn_profile",
-    "streaming_dedup_jittered",
-    "streaming_enriched_counts",
-    "streaming_error_orphans",
-    "streaming_session_windows",
-    "streaming_sketch_rollup",
-    "text_quality",
-    "token_stats_by_lang",
-    "train_val_split",
-    "vocab_growth",
-    "zorder_pruning",
-    # -- r11-aged filler (oldest remaining official records, alphabetic
-    #    enumeration of the r11 cohort): 6 fit below; the remaining
-    #    r11-aged greens (approx_quantile_profile, attribution_asof,
-    #    bloom_sized_decontaminate,
-    #    ccnet_ppl_buckets, char_lm_doc_counts,
-    #    char_lm_model, chunk_dedup, corr_profile, cube_summary,
-    #    customer_order_distribution, decontaminate_docs,
-    #    dedup_first_lineitem, dominant_part_suppliers, dsir_select,
-    #    dsir_weights, duplicate_clusters, format_interchange,
-    #    fulfillment_lag, graph_pagerank, graph_pagerank_by_region,
-    #    heavy_hitters_by_lang, histogram_profile, kmeans_embeddings,
-    #    lang_guess, leakage_safe_split, ...) spill to the r16 window —
-    #    r16 MUST-window those with whatever else ages out --
-    "activity_streaks",
-    "ann_int8_rerank",
-    "ann_ivf_kmeans_topk",
-    "ann_jl_rerank",
-    "ann_pq_adc_topk",
-    "anomaly_zscore",
-    # Below the 50-entry window: everything else carries an r11-r14
+    "bm25_serve",
+    # -- the 40 r11-aged spill queries (r15 verdict #1 / the r15
+    #    registry's own "r16 MUST-window" list): their official greens
+    #    date to r11 against current testdata; re-earned here.
+    #    perceptron_lang_clf doubles as the fourth fail-closed re-check
+    #    (it is in this cohort anyway) --
+    "approx_quantile_profile",
+    "attribution_asof",
+    "bloom_sized_decontaminate",
+    "ccnet_ppl_buckets",
+    "char_lm_doc_counts",
+    "char_lm_model",
+    "chunk_dedup",
+    "corr_profile",
+    "cube_summary",
+    "customer_order_distribution",
+    "decontaminate_docs",
+    "dedup_first_lineitem",
+    "dominant_part_suppliers",
+    "dsir_select",
+    "dsir_weights",
+    "duplicate_clusters",
+    "format_interchange",
+    "fulfillment_lag",
+    "graph_pagerank",
+    "graph_pagerank_by_region",
+    "heavy_hitters_by_lang",
+    "histogram_profile",
+    "kmeans_embeddings",
+    "lang_guess",
+    "leakage_safe_split",
+    "min_cost_supplier",
+    "minhash_band_tuning",
+    "ngram_counts",
+    "payload_stats",
+    "perceptron_lang_clf",
+    "pivot_status_priority",
+    "pq_codebook",
+    "quality_gates",
+    "ship_latency_priority",
+    "small_qty_revenue",
+    "source_mix",
+    "substring_dup_coverage",
+    "top_supplier_revenue",
+    "top_terms",
+    "tpch_q1",
+    # -- r12-aged filler (the oldest remaining official records after
+    #    the r11 cohort clears; alphabetic enumeration of the r12
+    #    cohort): 2 fit below; the rest (bpe_encode_serve,
+    #    bpe_encode_stats, bpe_merges, ccnet_ppl_thresholds,
+    #    dedup_keep_best, disjunctive_revenue, distinct_counts,
+    #    doc_fingerprints, drift_compare, dsir_select_threshold,
+    #    embedding_near_dup_mp, ...) spill to the r17 window — r17
+    #    MUST-window those with whatever else ages out --
+    "ann_ivf_kmeans_serve",
+    "ann_jl_serve",
+    # Below the 50-entry window: everything else carries an r11-r15
     # official green against current testdata and unchanged code.
-    # scripts/window_audit.py tracks staleness (contract fingerprints);
-    # local parity re-verifies the full surface each session at
-    # sf0.001+sf0.01.
+    # POLICY (r15 verdict #2): streaming_state_metrics is demoted below
+    # the cut permanently — it has no SQL twin by nature, so the driver
+    # records `err: no_oracle` every round and the slot can never earn a
+    # green; its behavior is pinned by tests/ (pytest-only verification,
+    # documented in SURVEY §5), and the seat is worth more as an aged
+    # re-green.  scripts/window_audit.py tracks staleness (contract
+    # fingerprints); local parity re-verifies the full surface each
+    # session at sf0.001+sf0.01.
 ]
 
 

@@ -1520,3 +1520,98 @@ def test_pack_pairs_invariants(spark, sf_dir):
         else:
             assert r["pack_fill"] == r["len"]
     assert paired > 0, "pairing never fired on this corpus"
+
+
+def test_pack_kway_invariants(spark, sf_dir):
+    """K-way packing contract: every doc assigned exactly once; every
+    pack's fill <= the context budget; at most PACK_KWAY_K docs per
+    (lang, pack); prefix-overflow docs pack alone with fill == their own
+    length; multi-doc packs exist (the variant must actually pack)."""
+    from collections import defaultdict
+
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        PACK_CTX_TOKENS,
+        PACK_KWAY_K,
+        q_pack_kway,
+    )
+    from self_healing_data_pipeline_agent_spark.sources.tables import load_table
+
+    rows = q_pack_kway(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    packs = defaultdict(list)
+    for r in rows:
+        assert 0 < r["pack_fill"] <= PACK_CTX_TOKENS
+        assert r["len"] <= PACK_CTX_TOKENS
+        packs[(r["lang"], r["pack_id"])].append(r)
+    multi = 0
+    for members in packs.values():
+        assert len(members) <= PACK_KWAY_K
+        fill = members[0]["pack_fill"]
+        assert all(m["pack_fill"] == fill for m in members)
+        if len(members) > 1:
+            multi += 1
+            assert fill == sum(m["len"] for m in members)
+            assert fill <= PACK_CTX_TOKENS
+    assert multi > 0, "k-way packing never co-packed on this corpus"
+
+
+def test_bm25_prune_equals_exhaustive_and_stats_reconcile(spark, sf_dir):
+    """Safe pruning's whole claim, asserted in-engine on top of the
+    oracle check: the pruned rankings equal their exhaustive twins ROW
+    FOR ROW (doc regime vs q_bm25_topk; kw regime vs the uncut ranking
+    over the same keyword frames), and the stats rows reconcile
+    (scored + skipped == all, skipped >= 0, essential <= terms)."""
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        BM25_KW_TERMS,
+        _bm25_prune_frames,
+        _bm25_rank_units,
+        q_bm25_prune,
+        q_bm25_prune_kw,
+        q_bm25_prune_stats,
+        q_bm25_topk,
+    )
+
+    exact = sorted(tuple(r) for r in q_bm25_topk(spark, sf_dir).collect())
+    pruned = sorted(tuple(r) for r in q_bm25_prune(spark, sf_dir).collect())
+    assert pruned == exact
+
+    qcontrib, _, _ = _bm25_prune_frames(spark, sf_dir, kw_terms=BM25_KW_TERMS)
+    kw_exact = sorted(
+        tuple(r)
+        for r in _bm25_rank_units(
+            qcontrib.select("q_id", "doc_id", "cu")
+        ).collect()
+    )
+    kw_pruned = sorted(
+        tuple(r) for r in q_bm25_prune_kw(spark, sf_dir).collect()
+    )
+    assert kw_pruned == kw_exact
+
+    stats = q_bm25_prune_stats(spark, sf_dir).collect()
+    assert {r["variant"] for r in stats} == {"doc", f"kw{BM25_KW_TERMS}"}
+    for r in stats:
+        assert r["n_postings_scored"] + r["n_postings_skipped"] == (
+            r["n_postings_all"]
+        )
+        assert r["n_postings_skipped"] >= 0
+        assert 0 < r["n_essential"] <= r["n_terms"]
+        if r["variant"] != "doc":
+            assert r["n_terms"] == BM25_KW_TERMS
+
+
+def test_perceptron_serve_matches_final_training_round(spark, sf_dir):
+    """The stored model must be the trained model: mistakes counted
+    under the SERVED weights equal the trajectory's final-round
+    n_mistakes, and every prediction is the margin's sign."""
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        q_perceptron_lang_clf,
+        q_perceptron_serve,
+    )
+
+    traj = {r["rnd"]: r for r in q_perceptron_lang_clf(spark, sf_dir).collect()}
+    served = q_perceptron_serve(spark, sf_dir).collect()
+    n_mis = sum(1 for r in served if r["y_true"] * r["margin"] <= 0)
+    assert n_mis == traj[max(traj)]["n_mistakes"]
+    for r in served:
+        assert r["pred"] == (1 if r["margin"] > 0 else -1)

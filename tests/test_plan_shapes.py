@@ -1523,3 +1523,52 @@ def test_bm25_index_refresh_retokenizes_only_the_batch(spark, sf_dir):
         f"{n_gen} corpus explodes in the refresh plan — the standing "
         "side re-tokenized or the batch cache stopped covering its reuse"
     )
+
+
+def test_bm25_prune_serves_from_postings(spark, sf_dir):
+    """The pruned serving twin keeps the serve contract: every frame
+    (contributions, impact bounds, seeds, theta, essential cut, final
+    ranking) derives from the stored posting artifact — no tokenization
+    (Generate), no Python, broadcast joins only on the query-batch
+    frames."""
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        q_bm25_prune,
+    )
+
+    df = q_bm25_prune(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Generate" not in plan, (
+        "a corpus explode leaked into the pruned serve plan"
+    )
+    assert "Python" not in plan
+    assert "bm25_postings" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pack_kway_single_shuffle(spark, sf_dir):
+    """K-way packing's scale pin: ONE exchange (the per-lang rank
+    window); the (lang, pack) cumulative and fill windows cluster on a
+    superset of the lang key, so hash(lang) partitioning already
+    satisfies them — sorts, no further exchanges."""
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        q_pack_kway,
+    )
+
+    df = q_pack_kway(spark, sf_dir)
+    assert count_exchanges(df) == 1, "the (lang, pack) windows reshuffled"
+    assert "Python" not in formatted_plan(df)
+
+
+def test_perceptron_serve_is_map_only_inference(spark, sf_dir):
+    """The stored-model serve pin (X32's posture on X28): the weights
+    fold in as ONE literal map expression, so the plan has NO joins and
+    no training rounds — scan, hashed-feature explode, literal fold,
+    one per-doc aggregate."""
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        q_perceptron_serve,
+    )
+
+    df = q_perceptron_serve(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, "the model attached as a join, not a literal"
+    assert "Python" not in plan

@@ -48,9 +48,14 @@ def test_window_audit_report_structure():
         assert entry["status"] in ("fresh", "stale?", "never-green")
         assert isinstance(entry["position"], int)
     # the audit's own invariant: nothing untrustworthy outside the window
+    # (wa.PYTEST_ONLY is the documented exemption: rows-only-by-nature
+    # queries can never earn a green, so their seat is policy-demoted and
+    # their freshness gate is tests/, not the official record)
     outside = [
         n for n, e in report.items()
-        if e["status"] in ("never-green", "stale?") and not e["in_window"]
+        if e["status"] in ("never-green", "stale?")
+        and not e["in_window"]
+        and n not in wa.PYTEST_ONLY
     ]
     assert outside == [], f"untrustworthy queries outside window: {outside}"
 
