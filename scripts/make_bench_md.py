@@ -46,6 +46,7 @@ SERVE_PAIRS = {
     "substring_dup_serve": "substring_dup_spans",
     "embedding_near_dup_serve": "embedding_near_dup_mp",
     "bm25_serve": "bm25_topk",
+    "perceptron_serve": "perceptron_lang_clf",
 }
 _BUILD_TWINS = set(SERVE_PAIRS.values())
 
@@ -60,6 +61,7 @@ EXTRA_ROLES = {
     "bucketed_ingest_join": "bucketed layout, ingest-appended (vs order_priority_check)",
     "bucketed_compaction": "bucketed layout, compacted (vs bucketed_ingest_join)",
     "bm25_index_refresh": "incremental maintenance",
+    "bm25_prune": "MaxScore-pruned serve (vs bm25_serve)",
 }
 
 

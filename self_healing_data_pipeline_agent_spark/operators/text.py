@@ -3951,7 +3951,9 @@ DSIR_SELECT_DIV = 5  # keep the top 1/5 of scored docs
 DSIR_EDGE_EPS = 1e-4
 
 
-def _dsir_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dsir_tf(
+    spark: SparkSession, sf_dir: str, cache: bool = True
+) -> DataFrame:
     """(doc_id, lang, b, tf): per-document hashed-feature term
     frequencies — words = maximal [a-z]+ runs of the lowercased text,
     features = unigrams + adjacent-word bigrams, bucket = md5 hex
@@ -3960,7 +3962,10 @@ def _dsir_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact-scale shuffle; everything downstream is bucket-bounded
     (<= DSIR_NB rows) or doc-keyed.  The corpus is spread() first: the
     tokenize+md5 map work dominates and must not run single-core on the
-    one-row-group test parquet."""
+    one-row-group test parquet.
+
+    ``cache=False`` for single-consumer callers (the serve path): a
+    cache with one reader is pure executor-memory cost."""
     df = spread(load_table(spark, sf_dir, "documents"))
     ws = F.filter(
         F.split(F.lower(F.col("text")), "[^a-z]+"), lambda w: w != ""
@@ -3977,14 +3982,14 @@ def _dsir_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = df.select(
         "doc_id", "lang", F.explode(F.concat(ws, bigrams)).alias("feat")
     )
-    return (
+    tf = (
         feats.select(
             "doc_id", "lang", F.substring(F.md5("feat"), 1, 2).alias("b")
         )
         .groupBy("doc_id", "lang", "b")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .cache()
     )
+    return tf.cache() if cache else tf
 
 
 def _dsir_model(tf: DataFrame) -> DataFrame:
@@ -4340,6 +4345,11 @@ def _perc_train(
             w[r["b"]] = w.get(r["b"], 0) + int(r["g"])
             if w[r["b"]] == 0:
                 del w[r["b"]]
+    # training is fully materialized (counts + collected updates) — the
+    # feature cache has no further reader, so release it (the r15 ADVICE
+    # dead-cache class; the dsir scoring queries, whose RETURNED lazy
+    # frames still read through their caches, keep theirs)
+    tf.unpersist()
     return w, traj
 
 
@@ -4370,7 +4380,8 @@ def q_perceptron_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         source_table="documents",
     )
     w = {str(k): int(v) for k, v in dict(stored).items()}
-    tf = _dsir_tf(spark, sf_dir)
+    # single consumer (the one scoring aggregate) — no cache
+    tf = _dsir_tf(spark, sf_dir, cache=False)
     return (
         tf.select(
             "doc_id",

@@ -331,7 +331,7 @@ def transform_with_state_available() -> bool:
     package the worker crashes at startup.  Gate rather than crash.
 
     Environment probes (one per round, per the r12/r13 verdicts):
-    ``google.protobuf`` absent through r15 (ModuleNotFoundError) — the
+    ``google.protobuf`` absent through r16 (ModuleNotFoundError) — the
     TWS twin stays env-gated; kernel parity with the checked
     ``applyInPandasWithState`` variant is pinned below."""
     try:
