@@ -56,6 +56,13 @@ EXPECTED = {
         "candidate- or query-batch-sized rows; a study/report query "
         "(the image_band_tuning class), not a serving path"
     ),
+    "pack_waste_report": (
+        "shuffles: three per-lang rollups, one over each packer's frame "
+        "(chunk's plain agg, pairs' window+self-join, kway's windows) — "
+        "the report legs move lang-cardinality rows; the packer frames "
+        "they summarize carry the real cost and are audited as their "
+        "own queries"
+    ),
     "bm25_index_refresh": (
         "BNLJ = the same 1-row N/avgdl scalar broadcast crossJoin as "
         "bm25_topk; shuffles: standing postings are an artifact SCAN "

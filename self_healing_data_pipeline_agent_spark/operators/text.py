@@ -1353,7 +1353,13 @@ LEFT JOIN ranked b
 """
 
 
-PACK_KWAY_K = 4  # max docs per context window
+# Max docs per context window.  Sized to the corpus, not guessed: a
+# boundary-respecting packer's waste floor is bounded below by
+# 1 - K*median_len/CTX whenever K binds before capacity, and this corpus
+# runs ~54-token docs against a 512-token window — K=4 left a measured
+# ~57% waste floor in q_pack_waste_report; K=8 ~ CTX/median_len is the
+# choice a production loader makes.
+PACK_KWAY_K = 8
 
 
 def q_pack_kway(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1474,6 +1480,178 @@ SELECT doc_id, lang, len, CAST(slot AS BIGINT) AS slot,
        CAST(CASE WHEN c <= {PACK_CTX_TOKENS} THEN fl ELSE len END AS BIGINT)
          AS pack_fill
 FROM filled
+"""
+
+
+def q_pack_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packing DECISION artifact: per (variant, lang) the numbers a
+    dataloader owner actually weighs — docs, packs, filled tokens, and
+    waste in 1e-4 units of the allocated capacity — for all three
+    packers side by side:
+
+    - ``chunk`` (q_pack_sequences): concat-and-chunk — zero internal
+      waste by construction (only the final partial window pads), but
+      cross-document attention contamination; fill counts EVERY token
+      (no cap — docs split).
+    - ``pairs`` (q_pack_pairs): boundary-respecting 2-way — one pack per
+      fitting sorted-complement pair, one per leftover; fill counts
+      capped lengths (longer-than-context docs truncate to one window).
+    - ``kway{PACK_KWAY_K}`` (q_pack_kway): boundary-respecting K-way
+      snake packing — strictly fewer packs than pairs wherever >2 docs
+      co-fit.
+
+    Composition: each variant's numbers derive from ITS OWN declared
+    query's frame (the report cannot drift from the operators it
+    summarizes); a pack's identity is pack_id for kway, the
+    lesser-doc_id of a fitting pair (or the doc itself) for pairs, and
+    ceil(tokens/CTX) windows for chunk.  One tiny per-lang aggregate per
+    variant — the corpus-scale work is whatever the underlying packer
+    already paid."""
+    ctx = PACK_CTX_TOKENS
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", F.size(_tokens_col()).cast("bigint").alias("n_tokens")
+    )
+    chunk = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").alias("fill_tokens"),
+        F.expr(f"(SUM(n_tokens) + {ctx - 1}) DIV {ctx}").alias("n_packs"),
+    )
+    pairs = q_pack_pairs(spark, sf_dir).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("len").alias("fill_tokens"),
+        F.count_distinct(
+            F.coalesce(F.least("doc_id", "mate_id"), F.col("doc_id"))
+        ).cast("bigint").alias("n_packs"),
+    )
+    kway = q_pack_kway(spark, sf_dir).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("len").alias("fill_tokens"),
+        F.count_distinct("pack_id").cast("bigint").alias("n_packs"),
+    )
+    outs = []
+    for variant, agg in (
+        ("chunk", chunk),
+        ("pairs", pairs),
+        (f"kway{PACK_KWAY_K}", kway),
+    ):
+        outs.append(
+            agg.select(
+                F.lit(variant).alias("variant"),
+                "lang",
+                "n_docs",
+                "n_packs",
+                F.col("fill_tokens").cast("bigint").alias("fill_tokens"),
+                # integer DIV, not float /: a correctly-rounded double
+                # quotient can land one ulp above an integer boundary
+                # and truncate to floor+1 (engine-divergent)
+                F.expr(
+                    f"(n_packs * {ctx} - fill_tokens) * 10000"
+                    f" DIV (n_packs * {ctx})"
+                )
+                .cast("bigint")
+                .alias("waste_per_10k"),
+            )
+        )
+    return outs[0].unionByName(outs[1]).unionByName(outs[2])
+
+
+ORACLES["pack_waste_report"] = f"""
+SELECT * FROM (
+  WITH toks AS (
+    SELECT lang, CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens
+    FROM documents
+  )
+  SELECT 'chunk' AS variant, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST((SUM(n_tokens) + {PACK_CTX_TOKENS - 1}) // {PACK_CTX_TOKENS}
+              AS BIGINT) AS n_packs,
+         CAST(SUM(n_tokens) AS BIGINT) AS fill_tokens,
+         CAST(((SUM(n_tokens) + {PACK_CTX_TOKENS - 1}) // {PACK_CTX_TOKENS}
+               * {PACK_CTX_TOKENS} - SUM(n_tokens)) * 10000
+              // ((SUM(n_tokens) + {PACK_CTX_TOKENS - 1})
+                  // {PACK_CTX_TOKENS} * {PACK_CTX_TOKENS})
+              AS BIGINT) AS waste_per_10k
+  FROM toks GROUP BY lang
+)
+UNION ALL
+SELECT * FROM (
+  WITH toks AS (
+    SELECT doc_id, lang,
+           LEAST(CAST(len({_DUCK_TOKENS}) AS BIGINT), {PACK_CTX_TOKENS})
+             AS len
+    FROM documents
+  ), ranked AS (
+    SELECT doc_id, lang, len,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY len DESC, doc_id ASC) AS r,
+           COUNT(*) OVER (PARTITION BY lang) AS k
+    FROM toks
+  ), paired AS (
+    SELECT a.doc_id, a.lang, a.len,
+           CASE WHEN a.len + b.len <= {PACK_CTX_TOKENS} THEN b.doc_id END
+             AS mate_id
+    FROM ranked a
+    LEFT JOIN ranked b
+      ON a.lang = b.lang AND b.r = a.k + 1 - a.r AND a.k + 1 - a.r <> a.r
+  )
+  SELECT 'pairs' AS variant, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT COALESCE(LEAST(doc_id, mate_id), doc_id))
+              AS BIGINT) AS n_packs,
+         CAST(SUM(len) AS BIGINT) AS fill_tokens,
+         CAST((COUNT(DISTINCT COALESCE(LEAST(doc_id, mate_id), doc_id))
+               * {PACK_CTX_TOKENS} - SUM(len)) * 10000
+              // (COUNT(DISTINCT COALESCE(LEAST(doc_id, mate_id), doc_id))
+                  * {PACK_CTX_TOKENS})
+              AS BIGINT) AS waste_per_10k
+  FROM paired GROUP BY lang
+)
+UNION ALL
+SELECT * FROM (
+  WITH toks AS (
+    SELECT doc_id, lang,
+           LEAST(CAST(len({_DUCK_TOKENS}) AS BIGINT), {PACK_CTX_TOKENS})
+             AS len
+    FROM documents
+  ), ranked AS (
+    SELECT doc_id, lang, len,
+           CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY len DESC, doc_id ASC) AS BIGINT)
+             AS r,
+           CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+    FROM toks
+  ), striped AS (
+    SELECT doc_id, lang, len, r, n,
+           (n + {PACK_KWAY_K - 1}) // {PACK_KWAY_K} AS p,
+           (r - 1) // ((n + {PACK_KWAY_K - 1}) // {PACK_KWAY_K}) + 1
+             AS slot,
+           (r - 1) % ((n + {PACK_KWAY_K - 1}) // {PACK_KWAY_K}) AS pos
+    FROM ranked
+  ), snaked AS (
+    SELECT doc_id, lang, len, p, slot,
+           CASE WHEN slot % 2 = 1 THEN pos ELSE p - 1 - pos END AS pk
+    FROM striped
+  ), cum AS (
+    SELECT *, SUM(len) OVER (PARTITION BY lang, pk
+                             ORDER BY slot
+                             ROWS UNBOUNDED PRECEDING) AS c
+    FROM snaked
+  ), assigned AS (
+    SELECT lang, len,
+           CASE WHEN c <= {PACK_CTX_TOKENS} THEN pk
+                ELSE p + pk * {PACK_KWAY_K} + (slot - 1) END AS pack_id
+    FROM cum
+  )
+  SELECT 'kway{PACK_KWAY_K}' AS variant, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT pack_id) AS BIGINT) AS n_packs,
+         CAST(SUM(len) AS BIGINT) AS fill_tokens,
+         CAST((COUNT(DISTINCT pack_id) * {PACK_CTX_TOKENS} - SUM(len))
+              * 10000
+              // (COUNT(DISTINCT pack_id) * {PACK_CTX_TOKENS})
+              AS BIGINT) AS waste_per_10k
+  FROM assigned GROUP BY lang
+)
 """
 
 

@@ -47,8 +47,11 @@ QUERY_ORDER = [
     "bm25_prune_kw",
     "bm25_prune_stats",
     # (also never-green): k-way boundary-respecting packing (verdict
-    #    #5) — rank-striped snake assignment + prefix-fit, one shuffle --
+    #    #5) — rank-striped snake assignment + prefix-fit, one shuffle —
+    #    and the cross-packer waste report (chunk vs pairs vs kway, per
+    #    lang, each leg derived from its own declared query's frame) --
     "pack_kway",
+    "pack_waste_report",
     # (also never-green): the trained perceptron served map-only from a
     #    stored model blob (verdict #6 — the X32 posture on X28) --
     "perceptron_serve",
@@ -116,7 +119,6 @@ QUERY_ORDER = [
     #    embedding_near_dup_mp, ...) spill to the r17 window — r17
     #    MUST-window those with whatever else ages out --
     "ann_ivf_kmeans_serve",
-    "ann_jl_serve",
     # Below the 50-entry window: everything else carries an r11-r15
     # official green against current testdata and unchanged code.
     # POLICY (r15 verdict #2): streaming_state_metrics is demoted below

@@ -1615,3 +1615,25 @@ def test_perceptron_serve_matches_final_training_round(spark, sf_dir):
     assert n_mis == traj[max(traj)]["n_mistakes"]
     for r in served:
         assert r["pred"] == (1 if r["margin"] > 0 else -1)
+
+
+def test_pack_waste_report_reconciles(spark, sf_dir):
+    """The cross-packer report's internal logic: capacity >= fill for
+    every row, and the documented ordering holds on this short-doc
+    corpus — chunk (splits docs, pads only the final window) wastes
+    least, kway (boundary-respecting, K docs max) sits between, pairs
+    (2 docs max) wastes most."""
+    from self_healing_data_pipeline_agent_spark.operators.text import (
+        PACK_CTX_TOKENS,
+        q_pack_waste_report,
+    )
+
+    rows = q_pack_waste_report(spark, sf_dir).collect()
+    by_lang: dict[str, dict[str, int]] = {}
+    for r in rows:
+        assert r["n_packs"] * PACK_CTX_TOKENS >= r["fill_tokens"]
+        assert 0 <= r["waste_per_10k"] < 10000
+        by_lang.setdefault(r["lang"], {})[r["variant"]] = r["waste_per_10k"]
+    for lang, w in by_lang.items():
+        assert set(w) == {"chunk", "pairs", "kway8"}
+        assert w["chunk"] <= w["kway8"] <= w["pairs"], (lang, w)
