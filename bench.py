@@ -277,6 +277,10 @@ HEADLINE = [
     # aggregate past a per-order count join; the in-engine-training
     # family's cheapest member, benched to pin the one-pass shape.
     "linreg_price_per_item",
+    # r16: the stored-model residual diagnostics beside the fit — the
+    # model attaches as a literal map (no re-solve), same two scans +
+    # one aggregate (serve = production monitoring).
+    "linreg_serve",
     # r14: the image-modality near-dup row — band explode + equi-join +
     # Hamming verify over the STORED 40-byte dHash table (the
     # encode/decode kernels run at build only; best-of-N reports the

@@ -47,6 +47,7 @@ SERVE_PAIRS = {
     "embedding_near_dup_serve": "embedding_near_dup_mp",
     "bm25_serve": "bm25_topk",
     "perceptron_serve": "perceptron_lang_clf",
+    "linreg_serve": "linreg_price_per_item",
 }
 _BUILD_TWINS = set(SERVE_PAIRS.values())
 

@@ -3317,3 +3317,102 @@ SELECT o_orderpriority, n,
          AS intercept_cents
 FROM s
 """
+
+
+def q_linreg_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The regression model SERVED from the store (X32's posture on X42,
+    closing the r15 verdict's 'perceptron/linreg have no serve twin'
+    note): the per-priority (slope, intercept) pairs persist as a JSON
+    model blob via ``ensure_model`` — the digest folds the training
+    query's transitive code fingerprint plus BOTH source tables'
+    identities (``source_table`` covers lineitem; the orders signature
+    rides in the params fingerprint, since the blob depends on both) —
+    and the apply half is MAP-ONLY model diagnostics: per priority, the
+    residual y - (slope*x + intercept) aggregated to exact-integer MAE
+    and bias.  The monitoring query a deployed regression actually
+    runs: is the stored fit still centered on live data?
+
+    Plan shape: the same orders ⋈ per-order-count frame as training,
+    but the model attaches as ONE literal map expression — no model-side
+    join, no normal-equations re-solve; one 5-group aggregate.  Oracle:
+    DuckDB re-derives the model in-query (deterministic integer
+    arithmetic ⇒ bit-identical to the blob) and computes the same
+    residual aggregate."""
+    from ..sources.index_store import _source_sig, ensure_model
+
+    def build() -> dict:
+        rows = q_linreg_price_per_item(spark, sf_dir).collect()
+        return {
+            r["o_orderpriority"]: [int(r["slope_cents"]),
+                                   int(r["intercept_cents"])]
+            for r in rows
+        }
+
+    model = ensure_model(
+        sf_dir,
+        "linreg_price",
+        f"linreg|orders:{_source_sig(sf_dir, 'orders')}",
+        build,
+        source_table="lineitem",
+    )
+    entries = ", ".join(
+        f"'{p}', named_struct('m', {int(v[0])}L, 'b', {int(v[1])}L)"
+        for p, v in sorted(model.items())
+    )
+    fit = F.expr(f"element_at(map({entries}), o_orderpriority)")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("y"),
+    )
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    resid = (
+        orders.join(items, orders.o_orderkey == items.l_orderkey)
+        .select(
+            "o_orderpriority",
+            (F.col("y") - (fit["m"] * F.col("x") + fit["b"])).alias("r"),
+        )
+    )
+    return resid.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("SUM(ABS(r)) DIV COUNT(1)").alias("mae_cents"),
+        F.expr("SUM(r) DIV COUNT(1)").alias("bias_cents"),
+    )
+
+
+ORACLES["linreg_serve"] = """
+WITH j AS (
+  SELECT o.o_orderpriority,
+         i.x,
+         CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS y
+  FROM orders o
+  JOIN (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS x
+        FROM lineitem GROUP BY l_orderkey) i
+    ON o.o_orderkey = i.l_orderkey
+),
+s AS (
+  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM j GROUP BY o_orderpriority
+),
+model AS (
+  SELECT o_orderpriority,
+         (n * sxy - sx * sy) // (n * sxx - sx * sx) AS m,
+         (sy - ((n * sxy - sx * sy) // (n * sxx - sx * sx)) * sx) // n AS b
+  FROM s
+)
+SELECT j.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(ABS(j.y - (md.m * j.x + md.b))) // COUNT(*) AS BIGINT)
+         AS mae_cents,
+       CAST(SUM(j.y - (md.m * j.x + md.b)) // COUNT(*) AS BIGINT)
+         AS bias_cents
+FROM j JOIN model md ON j.o_orderpriority = md.o_orderpriority
+GROUP BY j.o_orderpriority
+"""

@@ -53,8 +53,12 @@ QUERY_ORDER = [
     "pack_kway",
     "pack_waste_report",
     # (also never-green): the trained perceptron served map-only from a
-    #    stored model blob (verdict #6 — the X32 posture on X28) --
+    #    stored model blob (verdict #6 — the X32 posture on X28), and the
+    #    regression twin (the verdict's missing-note named BOTH models):
+    #    stored per-priority (slope, intercept) + map-only residual
+    #    diagnostics --
     "perceptron_serve",
+    "linreg_serve",
     # -- r16 fail-closed re-checks: implementations changed this round —
     #    streaming_bucketed_ingest (deterministic per-session table +
     #    effective reset, r15 ADVICE), image_band_tuning (eager 3-row
@@ -117,8 +121,8 @@ QUERY_ORDER = [
     #    dedup_keep_best, disjunctive_revenue, distinct_counts,
     #    doc_fingerprints, drift_compare, dsir_select_threshold,
     #    embedding_near_dup_mp, ...) spill to the r17 window — r17
-    #    MUST-window those with whatever else ages out --
-    "ann_ivf_kmeans_serve",
+    #    MUST-window those with whatever else ages out (no filler fits
+    #    this round: new never-green operators took the last seats) --
     # Below the 50-entry window: everything else carries an r11-r15
     # official green against current testdata and unchanged code.
     # POLICY (r15 verdict #2): streaming_state_metrics is demoted below

@@ -1572,3 +1572,24 @@ def test_perceptron_serve_is_map_only_inference(spark, sf_dir):
     plan = formatted_plan(df)
     assert "Join" not in plan, "the model attached as a join, not a literal"
     assert "Python" not in plan
+
+
+def test_linreg_serve_attaches_model_as_literal(spark, sf_dir):
+    """The stored-regression serve pin: the per-priority (slope,
+    intercept) pairs fold in as one literal map — exactly two table
+    scans (orders + lineitem), no normal-equations re-solve beyond the
+    one residual aggregate, nothing Python."""
+    import re as _re
+
+    from self_healing_data_pipeline_agent_spark.operators.relational import (
+        q_linreg_serve,
+    )
+
+    df = q_linreg_serve(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Python" not in plan
+    # numbered detail nodes, not raw substring hits (each scan prints
+    # twice in formatted mode: once in the tree, once in the detail)
+    n_scans = len(_re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 2, f"{n_scans} scans — the model must not scan"
+    assert "keys:" in plan  # the literal map fold
