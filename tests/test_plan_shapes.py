@@ -1019,22 +1019,25 @@ def test_lsh_index_refresh_recodes_only_the_batch(spark, sf_dir):
 
 
 def test_every_serve_family_reads_the_index_store(spark, sf_dir):
-    """All ten *_serve twins (r12-r15) must source their candidates
+    """All twelve *_serve twins (r12-r16) must source their candidates
     from a STORED artifact scan — 'indexes' appearing in the formatted
     plan is the cheap invariant that none of them silently regressed to
-    re-deriving the index inline."""
+    re-deriving the index inline.  Model-BLOB families (BPE merges,
+    perceptron weights, regression coefficients) are driver-held JSON
+    artifacts inlined as literals — no parquet scan to assert; their own
+    plan tests pin the literal-fold / no-retrain shapes."""
     from self_healing_data_pipeline_agent_spark.registry import all_queries
 
+    MODEL_BLOB_SERVES = {
+        "bpe_encode_serve", "perceptron_serve", "linreg_serve",
+    }
     qs = all_queries()
     serves = sorted(n for n in qs if n.endswith("_serve"))
-    assert len(serves) == 10, serves
+    assert len(serves) == 12, serves
     for name in serves:
-        plan = formatted_plan(qs[name](spark, sf_dir))
-        if name == "bpe_encode_serve":
-            # model-blob family: the merge table is a DRIVER-held JSON
-            # artifact inlined as literals — no parquet scan to assert;
-            # its own plan test pins the one-scan/learn-free shape
+        if name in MODEL_BLOB_SERVES:
             continue
+        plan = formatted_plan(qs[name](spark, sf_dir))
         assert "indexes" in plan, f"{name} does not read the index store"
 
 
