@@ -5930,7 +5930,15 @@ def _bm25_prune_frames(
     qterms = qterms.select("q_id", "term")
     qcontrib = contrib.join(F.broadcast(qterms), "term").filter(
         F.col("doc_id") != F.col("q_id")
-    )
+    ).cache()
+    # ^ load-bearing cache (the bm25_topk tf convention — the returned
+    # lazy frames keep reading through it): qcontrib feeds FIVE
+    # consumers (impact bounds, seeds, seed scoring, candidates, final
+    # scoring / the stats counters), and per-consumer column pruning
+    # makes each reference a different subtree ReuseExchange cannot
+    # dedup — uncached, the posting artifact re-scans once per
+    # consumer.  Bounded memory by construction: the frame is the
+    # query batch's matched contributions, not the corpus.
     # per-(q, term) impact bound over the rows the cut actually prunes
     # (the non-self candidate contributions) — tighter than the global
     # per-term max (more terms fall below theta's budget), still an
