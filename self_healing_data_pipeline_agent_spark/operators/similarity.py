@@ -18,6 +18,11 @@ from pyspark.sql import types as T
 
 from ..functions.stable import davg
 from ..functions.oracle_sql import sql_davg
+from ..functions.veckernels import (
+    attach_pair_cosine,
+    attach_projection,
+    lsh_code_rows,
+)
 from ..functions.vectors import cosine_similarity, dot, l2_norm
 from ..sources.index_store import ensure_index, ensure_model
 from ..sources.tables import load_table, parquet_row_count, spread
@@ -48,25 +53,22 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one scan of the corpus per batch of queries (the right brute-force
     layout at scale: broadcast Q, never shuffle the corpus)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # norms computed ONCE per side, not per pair — O(N) instead of O(N*Q)
-    # norm evaluations; the per-pair work is a single dot product
+    # r16: scoring runs in the Arrow/NumPy kernel above the broadcast
+    # nested-loop join (bit-identical; the per-pair interpreted dot fold
+    # was the row's whole cost).  The broadcast-Q / stream-corpus layout
+    # is unchanged — still one corpus scan per query batch.
     q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        l2_norm(F.col("embedding")).alias("q_norm"),
     )
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
-        l2_norm(F.col("embedding")).alias("c_norm"),
     )
-    sim = dot(F.col("q_emb"), F.col("c_emb")) / (
-        F.col("q_norm") * F.col("c_norm")
-    )
-    pairs = (
-        F.broadcast(q)
-        .join(c, F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    pairs = attach_pair_cosine(
+        F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id")),
+        "q_emb", "c_emb",
+        [("query_id", "bigint"), ("neighbor_id", "bigint")],
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -126,18 +128,17 @@ EMBED_NEAR_DUP_COS = 0.45
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cosine >= EMBED_NEAR_DUP_COS,
     a <.> b once).  Brute pairs at test scale; LSH blocking at 100 TB
-    (see q_embedding_near_dup_lsh)."""
+    (see q_embedding_near_dup_lsh).  r16: the O(N^2) pair scoring runs
+    in the Arrow/NumPy kernel (bit-identical — the `_lsh_coded`
+    rationale; this is the quadratic pass the tuning study's stored
+    truth set is built from, so its cost is the one-time build)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
-                   l2_norm(F.col("embedding")).alias("na"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
-                   l2_norm(F.col("embedding")).alias("nb"))
-    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", sim.alias("cosine"))
-        .filter(F.col("cosine") >= EMBED_NEAR_DUP_COS)
-    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return attach_pair_cosine(
+        a.join(b, F.col("vec_a") < F.col("vec_b")),
+        "ea", "eb", [("vec_a", "bigint"), ("vec_b", "bigint")],
+    ).filter(F.col("cosine") >= EMBED_NEAR_DUP_COS)
 
 
 ORACLES["embedding_near_dup"] = f"""
@@ -161,34 +162,25 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
     return out
 
 
-def _lsh_code_for_table(t: int, dim: int) -> F.Column:
-    code = None
-    for b in range(LSH_BITS):
-        plane = _hyperplane(dim, t * LSH_BITS + b)
-        arr = F.array(*[F.lit(v) for v in plane])
-        proj = F.aggregate(
-            F.zip_with(F.col("embedding"), arr,
-                       lambda x, y: x.cast("double") * y),
-            F.lit(0.0), lambda acc, x: acc + x,
-        )
-        bit = F.when(proj > 0, 2 ** b).otherwise(0)
-        code = bit if code is None else code + bit
-    return code
-
-
 def _lsh_coded(emb: DataFrame, dim: int = 64) -> DataFrame:
-    """(vec_id, embedding, table, code) — one row per LSH table per
-    vector; shared by the ANN index and the near-dup blocker."""
-    return emb.select(
-        "vec_id", "embedding",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(t).alias("table"),
-                         _lsh_code_for_table(t, dim).alias("code"))
-                for t in range(LSH_TABLES)
-            ])
-        ).alias("tc"),
-    ).select("vec_id", "embedding", "tc.table", "tc.code")
+    """(vec_id, table, code) — one row per LSH table per vector; shared
+    by the ANN index and the near-dup blocker.
+
+    r16 optimization (guide §4.2): the 32 hyperplane projections were
+    ``zip_with``/``aggregate`` folds, which evaluate INTERPRETED per
+    element — the coding scan paid ~dim x planes x N lambda evaluations
+    (the documented 2.3-6x lambda tax; the r9 BENCH note measured
+    explicit element_at chains 3.4x worse still).  The folds now run in
+    one Arrow-batched NumPy kernel: same products, same strictly
+    sequential left-fold sum (``np.cumsum``), so every sign bit and code
+    is BIT-IDENTICAL (pinned against the old expression by
+    tests/test_veckernels.py) while the coding pass vectorizes.  Still a
+    narrow map — no shuffle, candidate joins still move 12-byte rows.
+    Top-level import (not function-local), so the index store's
+    transitive ``_code_fingerprint`` sees the kernel source and a kernel
+    edit rebuilds every stored signature artifact automatically."""
+    planes = [_hyperplane(dim, p) for p in range(LSH_TABLES * LSH_BITS)]
+    return lsh_code_rows(emb, planes, LSH_TABLES, LSH_BITS)
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str, dim: int = 64) -> DataFrame:
@@ -242,20 +234,17 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str, dim: int = 64) -> DataFrame
     q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        l2_norm(F.col("embedding")).alias("q_norm"),
     )
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
-        l2_norm(F.col("embedding")).alias("c_norm"),
     )
-    sim = dot(F.col("q_emb"), F.col("c_emb")) / (
-        F.col("q_norm") * F.col("c_norm")
-    )
-    pairs = (
-        candidates.join(F.broadcast(q), "query_id")
-        .join(c, "neighbor_id")
-        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    # r16: the exact rerank's cosine runs in the Arrow/NumPy kernel
+    # (bit-identical — see _lsh_coded); join shape unchanged.
+    pairs = attach_pair_cosine(
+        candidates.join(F.broadcast(q), "query_id").join(c, "neighbor_id"),
+        "q_emb", "c_emb",
+        [("query_id", "bigint"), ("neighbor_id", "bigint")],
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -285,16 +274,15 @@ def _ivf_assignments(emb: DataFrame) -> DataFrame:
     cent = emb.filter(F.col("vec_id") < IVF_CELLS).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("cent_emb"),
-        l2_norm(F.col("embedding")).alias("cent_norm"),
     )
-    vec = emb.select(
-        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("norm")
-    )
-    cos = dot(F.col("embedding"), F.col("cent_emb")) / (
-        F.col("norm") * F.col("cent_norm")
-    )
-    return vec.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "centroid_id", cos.alias("cos")
+    vec = emb.select("vec_id", "embedding")
+    # r16: the N x IVF_CELLS assignment scoring runs in the Arrow/NumPy
+    # kernel (bit-identical — see _lsh_coded); broadcast shape unchanged.
+    return attach_pair_cosine(
+        vec.crossJoin(F.broadcast(cent)),
+        "embedding", "cent_emb",
+        [("vec_id", "bigint"), ("centroid_id", "bigint")],
+        out_col="cos",
     )
 
 
@@ -324,27 +312,21 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("query_id"), F.col("centroid_id").alias("cell"))
     )
     corpus = assign.join(
-        emb.select(
-            F.col("vec_id"),
-            F.col("embedding").alias("c_emb"),
-            l2_norm(F.col("embedding")).alias("c_norm"),
-        ),
+        emb.select(F.col("vec_id"), F.col("embedding").alias("c_emb")),
         "vec_id",
-    ).select(F.col("vec_id").alias("neighbor_id"), "cell", "c_emb", "c_norm")
+    ).select(F.col("vec_id").alias("neighbor_id"), "cell", "c_emb")
     q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        l2_norm(F.col("embedding")).alias("q_norm"),
     )
-    sim = dot(F.col("q_emb"), F.col("c_emb")) / (
-        F.col("q_norm") * F.col("c_norm")
-    )
-    cand = (
+    # r16: probed-cell scoring in the Arrow/NumPy kernel (bit-identical)
+    cand = attach_pair_cosine(
         F.broadcast(probes)
         .join(corpus, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .join(F.broadcast(q), "query_id")
-        .select("query_id", "neighbor_id", sim.alias("cosine"))
+        .join(F.broadcast(q), "query_id"),
+        "q_emb", "c_emb",
+        [("query_id", "bigint"), ("neighbor_id", "bigint")],
     )
     w_rank = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -517,23 +499,21 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str,
         .select("vec_a", "vec_b")
     )
     ea = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
-        l2_norm(F.col("embedding")).alias("na"),
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
     )
     eb = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
-        l2_norm(F.col("embedding")).alias("nb"),
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
     )
-    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     # no broadcast hint: the embedding side is corpus-sized, so Catalyst
     # must stay free to pick SMJ on vec_id at scale (it broadcasts on its
-    # own at test SFs, where the corpus is KBs)
-    return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select("vec_a", "vec_b", sim.alias("cosine"))
-        .filter(F.col("cosine") >= EMBED_NEAR_DUP_COS)
-    )
+    # own at test SFs, where the corpus is KBs).  r16: the per-pair
+    # cosine verify — the dominant interpreted-fold cost at ~10^5-10^6
+    # candidate pairs — runs in the Arrow/NumPy kernel, bit-identical
+    # (tests/test_veckernels.py); the join shape is unchanged.
+    return attach_pair_cosine(
+        cand.join(ea, "vec_a").join(eb, "vec_b"),
+        "ea", "eb", [("vec_a", "bigint"), ("vec_b", "bigint")],
+    ).filter(F.col("cosine") >= EMBED_NEAR_DUP_COS)
 
 
 ORACLES["embedding_near_dup_lsh"] = f"""
@@ -653,23 +633,23 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if parquet_row_count(sf_dir, "embeddings") > SEMDEDUP_MATERIALIZE_ROWS:
         assign = assign.localCheckpoint(eager=False)
-    members = assign.join(
-        emb.select("vec_id", "embedding", l2_norm(F.col("embedding")).alias("norm")),
-        "vec_id",
-    )
+    members = assign.join(emb.select("vec_id", "embedding"), "vec_id")
     a = members.select(
         F.col("cell"), F.col("vec_id").alias("vid"),
-        F.col("embedding").alias("ea"), F.col("norm").alias("na"),
+        F.col("embedding").alias("ea"),
     )
     b = members.select(
         F.col("cell"), F.col("vec_id").alias("other"),
-        F.col("embedding").alias("eb"), F.col("norm").alias("nb"),
+        F.col("embedding").alias("eb"),
     )
-    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    # r16: the within-cell pairwise scoring runs in the Arrow/NumPy
+    # kernel (bit-identical — see _lsh_coded); the co-partitioned cell
+    # self-join is unchanged.
     dups = (
-        a.join(b, "cell")
-        .filter(F.col("vid") > F.col("other"))
-        .select("vid", "other", sim.alias("cosine"))
+        attach_pair_cosine(
+            a.join(b, "cell").filter(F.col("vid") > F.col("other")),
+            "ea", "eb", [("vid", "bigint"), ("other", "bigint")],
+        )
         .filter(F.col("cosine") >= F.lit(SEMDEDUP_TAU))
         .groupBy("vid")
         .agg(F.min("other").alias("dup_of"))
@@ -772,21 +752,20 @@ def q_ann_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     recon = emb.crossJoin(F.broadcast(cb)).select(
         F.col("vec_id").alias("neighbor_id"),
         F.transform("embedding", _recon).alias("r"),
-    ).select(
-        "neighbor_id", "r", l2_norm(F.col("r")).alias("r_norm")
     )
     q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        l2_norm(F.col("embedding")).alias("q_norm"),
     )
-    ascore = dot(F.col("q_emb"), F.col("r")) / (
-        F.col("q_norm") * F.col("r_norm")
-    )
-    cand = (
-        F.broadcast(q)
-        .join(recon, F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", ascore.alias("ascore"))
+    # r16: the asymmetric-distance candidate scan scores in the
+    # Arrow/NumPy kernel (bit-identical — see _lsh_coded; the
+    # reconstruction transform stays a JVM expression, it is
+    # corpus-linear while the scoring is Q x corpus).
+    cand = attach_pair_cosine(
+        F.broadcast(q).join(recon, F.col("query_id") != F.col("neighbor_id")),
+        "q_emb", "r",
+        [("query_id", "bigint"), ("neighbor_id", "bigint")],
+        out_col="ascore",
     )
     wc = Window.partitionBy("query_id").orderBy(
         F.desc("ascore"), F.asc("neighbor_id")
@@ -796,30 +775,7 @@ def q_ann_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("crn") <= SQ8_CANDIDATES)
         .select("query_id", "neighbor_id")
     )
-    qa = q.select("query_id", F.col("q_emb").alias("qe"))
-    ca = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
-    )
-    exact = (
-        pool.join(F.broadcast(qa), "query_id")
-        .join(ca, "neighbor_id")
-        .select(
-            "query_id", "neighbor_id",
-            (dot(F.col("qe"), F.col("ce"))
-             / (l2_norm(F.col("qe")) * l2_norm(F.col("ce")))).alias("cosine"),
-        )
-    )
-    wr = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        exact.withColumn("rn", F.row_number().over(wr))
-        .filter(F.col("rn") <= TOP_K)
-        .select(
-            "query_id", F.col("rn").cast("bigint").alias("rn"),
-            "neighbor_id", "cosine",
-        )
-    )
+    return _rerank_topk(emb, pool)
 
 
 # the codebook comes from the embedding_quant_codebook ORACLE verbatim —
@@ -990,29 +946,25 @@ def q_ann_jl_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rerank joins only Q x JL_CAND id pairs back to the raw vectors.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    # deliberately NOT cached (the _shingle_df convention does not apply
-    # here): the query side's filter pushes down to project only
-    # N_QUERY_VECS rows, so the "re-executed" lineage costs 10 extra
-    # fold evaluations, while a cache forces full materialization before
-    # the scan — A/B-measured 0.5 s SLOWER at sf0.1.
-    proj = emb.select("vec_id", _jl_project().alias("parr"))
-    q = proj.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("parr").alias("q_parr"),
-        l2_norm(F.col("parr")).alias("q_pnorm"),
+    # r16: the JL projection BUILD — 32 interpreted sign folds per
+    # vector, measured as almost this row's entire cost (the r9 BENCH
+    # note: 45x, "almost entirely the JL projection build") — runs in
+    # the Arrow/NumPy projection kernel, bit-identical (see _lsh_coded).
+    # Query side projects only its N_QUERY_VECS rows (filter below the
+    # kernel); corpus side projects once.  Candidate scoring and the
+    # exact rerank use the pair kernel; join shapes unchanged.
+    signs = [_jl_signs(i) for i in range(JL_DIM)]
+    q = attach_projection(
+        emb.filter(F.col("vec_id") < N_QUERY_VECS), signs
+    ).select(F.col("vec_id").alias("query_id"), F.col("parr").alias("q_parr"))
+    c = attach_projection(emb, signs).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("parr").alias("c_parr")
     )
-    c = proj.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("parr").alias("c_parr"),
-        l2_norm(F.col("parr")).alias("c_pnorm"),
-    )
-    pscore = dot(F.col("q_parr"), F.col("c_parr")) / (
-        F.col("q_pnorm") * F.col("c_pnorm")
-    )
-    cand = (
-        F.broadcast(q)
-        .join(c, F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", pscore.alias("pscore"))
+    cand = attach_pair_cosine(
+        F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id")),
+        "q_parr", "c_parr",
+        [("query_id", "bigint"), ("neighbor_id", "bigint")],
+        out_col="pscore", dim=JL_DIM,
     )
     wc = Window.partitionBy("query_id").orderBy(
         F.desc("pscore"), F.asc("neighbor_id")
@@ -1022,32 +974,7 @@ def q_ann_jl_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("crn") <= JL_CAND)
         .select("query_id", "neighbor_id")
     )
-    qa = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
-    ca = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
-    )
-    exact = (
-        pool.join(F.broadcast(qa), "query_id")
-        .join(ca, "neighbor_id")
-        .select(
-            "query_id", "neighbor_id",
-            (dot(F.col("qe"), F.col("ce"))
-             / (l2_norm(F.col("qe")) * l2_norm(F.col("ce")))).alias("cosine"),
-        )
-    )
-    wr = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        exact.withColumn("rn", F.row_number().over(wr))
-        .filter(F.col("rn") <= TOP_K)
-        .select(
-            "query_id", F.col("rn").cast("bigint").alias("rn"),
-            "neighbor_id", "cosine",
-        )
-    )
+    return _rerank_topk(emb, pool)
 
 
 ORACLES["ann_jl_rerank"] = f"""
@@ -1670,10 +1597,9 @@ def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
-        l2_norm(F.col("embedding")).alias("c_norm"),
         _km_units().alias("u"),
     ).select(
-        "neighbor_id", "c_emb", "c_norm",
+        "neighbor_id", "c_emb",
         F.array_min(dists).getField("cid").alias("cell"),
     )
     probes = (
@@ -1689,17 +1615,16 @@ def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        l2_norm(F.col("embedding")).alias("q_norm"),
     )
-    sim = dot(F.col("q_emb"), F.col("c_emb")) / (
-        F.col("q_norm") * F.col("c_norm")
-    )
-    cand = (
+    # r16: probed-cell rerank scoring in the Arrow/NumPy kernel
+    # (bit-identical — see _lsh_coded); joins/argmin folds unchanged.
+    cand = attach_pair_cosine(
         F.broadcast(probes)
         .join(corpus, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .join(F.broadcast(q), "query_id")
-        .select("query_id", "neighbor_id", sim.alias("cosine"))
+        .join(F.broadcast(q), "query_id"),
+        "q_emb", "c_emb",
+        [("query_id", "bigint"), ("neighbor_id", "bigint")],
     )
     w_rank = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -1784,33 +1709,56 @@ def _pq_models(
     cost: PQ_M independent Lloyd runs at dim=PQ_SUBDIM — each round one
     map-only assignment fold + a PQ_K-row aggregate, the X25 shape."""
     emb = spread(load_table(spark, sf_dir, "embeddings"))
-    models = []
-    for m in range(PQ_M):
-        qm = emb.select(
+    qms = [
+        emb.select(
             "vec_id",
             F.slice(_km_units(), m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("u"),
         ).cache()
-        models.append(_km_learn(qm, k=PQ_K, iters=PQ_ITERS, dim=PQ_SUBDIM))
+        for m in range(PQ_M)
+    ]
+    # r16 (guide §2.6 — overlap independent jobs): the PQ_M block
+    # trainings are INDEPENDENT Lloyd loops whose per-round actions were
+    # run back-to-back, serializing 3 driver barriers per block.  A
+    # small thread pool overlaps them so one block's round back-fills
+    # executors idled by another's barrier; each loop's dataflow (and
+    # therefore every centroid) is untouched — the blocks share no
+    # state.  The per-block caches are released once training collects
+    # (the r15 ADVICE dead-cache class).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=PQ_M) as tpool:
+        models = list(
+            tpool.map(
+                lambda qm: _km_learn(qm, k=PQ_K, iters=PQ_ITERS,
+                                     dim=PQ_SUBDIM),
+                qms,
+            )
+        )
+    for qm in qms:
+        qm.unpersist()
     return emb, models
 
 
 def _pq_codes(emb: DataFrame, models) -> DataFrame:
-    """(neighbor_id, c_emb, c_norm, c0..c{M-1}): the PQ code table —
-    encoding is M map-only argmin folds against the literal codebooks.
-    CACHED: this is the index artifact a deployment persists (2 bits x 4
-    blocks = 1 byte per vector here; 8-64 bytes in production), and the
-    ADC generator above it must read plain columns, not re-fold."""
+    """(neighbor_id, c0..c{M-1}): the PQ code table — encoding is M
+    map-only argmin folds against the literal codebooks.  CACHED: this
+    is the index artifact a deployment persists (2 bits x 4 blocks = 1
+    byte per vector here; 8-64 bytes in production), and the ADC
+    generator above it must read plain columns, not re-fold.  r16: the
+    raw vector and its norm no longer ride the code table — the ADC
+    window was shuffling 64-float embeddings just to rank 4-lookup
+    integer sums (guide §2.3: shuffle keys/metadata, not payloads); the
+    exact rerank re-attaches vectors by id for only the PQ_CAND
+    survivors via ``_rerank_topk``."""
     blocks = emb.select(
         F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
-        l2_norm(F.col("embedding")).alias("c_norm"),
         *[
             F.slice(_km_units(), m * PQ_SUBDIM + 1, PQ_SUBDIM).alias(f"u{m}")
             for m in range(PQ_M)
         ],
     )
     return blocks.select(
-        "neighbor_id", "c_emb", "c_norm",
+        "neighbor_id",
         *[
             F.array_min(_km_dist_structs(models[m], col=f"u{m}"))
             .getField("cid").alias(f"c{m}")
@@ -1905,41 +1853,22 @@ def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_adc = Window.partitionBy("query_id").orderBy(
         F.asc("adist"), F.asc("neighbor_id")
     )
-    cand = (
-        codes.select(
-            "neighbor_id", "c_emb", "c_norm",
-            F.explode(F.array(*structs)).alias("qa"),
-        )
+    # r16: the ADC window ranks (query_id, neighbor_id, adist) rows only
+    # — the embeddings rejoin by id for the PQ_CAND survivors inside
+    # ``_rerank_topk`` (kernel-scored; identical ranking arithmetic).
+    pool = (
+        codes.select("neighbor_id", F.explode(F.array(*structs)).alias("qa"))
         .select(
-            "neighbor_id", "c_emb", "c_norm",
+            "neighbor_id",
             F.col("qa.query_id").alias("query_id"),
             F.col("qa.adist").alias("adist"),
         )
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("arn", F.row_number().over(w_adc))
         .filter(F.col("arn") <= PQ_CAND)
+        .select("query_id", "neighbor_id")
     )
-    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        l2_norm(F.col("embedding")).alias("q_norm"),
-    )
-    sim = dot(F.col("q_emb"), F.col("c_emb")) / (
-        F.col("q_norm") * F.col("c_norm")
-    )
-    w_rank = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        cand.join(F.broadcast(q), "query_id")
-        .select("query_id", "neighbor_id", sim.alias("cosine"))
-        .withColumn("rn", F.row_number().over(w_rank))
-        .filter(F.col("rn") <= TOP_K)
-        .select(
-            "query_id", F.col("rn").cast("bigint").alias("rn"),
-            "neighbor_id", "cosine",
-        )
-    )
+    return _rerank_topk(emb, pool)
 
 
 def _pq_lloyd_parts() -> list[str]:
@@ -2123,24 +2052,21 @@ def _rerank_topk(emb: DataFrame, pairs: DataFrame) -> DataFrame:
     """(query_id, neighbor_id) candidate pairs -> the shared ANN output
     contract (query_id, rn, neighbor_id, cosine): exact-cosine rerank,
     per-query top-k.  Query side broadcast; the neighbor side is left
-    unhinted so Catalyst can pick SMJ on vec_id at scale."""
+    unhinted so Catalyst can pick SMJ on vec_id at scale.  r16: the
+    cosine runs in the Arrow/NumPy kernel (bit-identical — see
+    _lsh_coded); join shape unchanged."""
     q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        l2_norm(F.col("embedding")).alias("q_norm"),
     )
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
-        l2_norm(F.col("embedding")).alias("c_norm"),
     )
-    sim = dot(F.col("q_emb"), F.col("c_emb")) / (
-        F.col("q_norm") * F.col("c_norm")
-    )
-    scored = (
-        pairs.join(F.broadcast(q), "query_id")
-        .join(c, "neighbor_id")
-        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    scored = attach_pair_cosine(
+        pairs.join(F.broadcast(q), "query_id").join(c, "neighbor_id"),
+        "q_emb", "c_emb",
+        [("query_id", "bigint"), ("neighbor_id", "bigint")],
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -2204,27 +2130,28 @@ def q_ann_jl_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # spread: parallelizes BOTH the build's 32 fold columns and the
     # stored artifact's file count (a 1-file artifact serves 1-core)
+    # r16: build runs the Arrow/NumPy projection kernel (bit-identical —
+    # see _lsh_coded); the candidate scoring over the stored JL_DIM-dim
+    # rows runs the pair kernel too.  Join shapes unchanged.
     proj = ensure_index(
         spark, sf_dir, "jl_proj", _serve_fp(JL_DIM),
-        lambda: spread(emb).select("vec_id", _jl_project().alias("parr")),
+        lambda: attach_projection(
+            spread(emb), [_jl_signs(i) for i in range(JL_DIM)]
+        ),
     )
     q = proj.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
         F.col("parr").alias("q_parr"),
-        l2_norm(F.col("parr")).alias("q_pnorm"),
     )
     c = proj.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("parr").alias("c_parr"),
-        l2_norm(F.col("parr")).alias("c_pnorm"),
     )
-    pscore = dot(F.col("q_parr"), F.col("c_parr")) / (
-        F.col("q_pnorm") * F.col("c_pnorm")
-    )
-    cand = (
-        F.broadcast(q)
-        .join(c, F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", pscore.alias("pscore"))
+    cand = attach_pair_cosine(
+        F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id")),
+        "q_parr", "c_parr",
+        [("query_id", "bigint"), ("neighbor_id", "bigint")],
+        out_col="pscore", dim=JL_DIM,
     )
     wc = Window.partitionBy("query_id").orderBy(
         F.desc("pscore"), F.asc("neighbor_id")
@@ -2423,7 +2350,7 @@ def _lsh_bits_from_codes(coded: DataFrame) -> DataFrame:
     """(vec_id, bits): the LSH_TOTAL_PLANES sign-bit array RECONSTRUCTED
     from the stored (vec_id, table, code) signature rows — plane
     t*LSH_BITS+b is bit b of table t's code, exactly the indexing
-    ``_lsh_code_for_table`` packs.  The r12 tuning query re-ran the 32
+    ``_lsh_coded``'s kernel packs.  The r12 tuning query re-ran the 32
     interpreted hyperplane folds over the corpus per run; unpacking the
     persisted 12-byte rows costs one tiny groupBy instead (r12 verdict
     #3)."""
@@ -2663,20 +2590,20 @@ def q_embedding_near_dup_mp(spark: SparkSession, sf_dir: str,
         .select("vec_a", "vec_b")
     )
     ea = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
-        l2_norm(F.col("embedding")).alias("na"),
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
     )
     eb = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
-        l2_norm(F.col("embedding")).alias("nb"),
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
     )
-    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select("vec_a", "vec_b", sim.alias("cosine"))
-        .filter(F.col("cosine") >= EMBED_NEAR_DUP_COS)
-    )
+    # r16: multi-probe generates the LARGEST candidate set of the family
+    # (~40%+ of all pairs on this isotropic corpus — the documented
+    # worst regime), so its verify was the single most expensive
+    # interpreted-fold site in the bench; the Arrow/NumPy kernel scores
+    # it bit-identically with the join shape unchanged.
+    return attach_pair_cosine(
+        cand.join(ea, "vec_a").join(eb, "vec_b"),
+        "ea", "eb", [("vec_a", "bigint"), ("vec_b", "bigint")],
+    ).filter(F.col("cosine") >= EMBED_NEAR_DUP_COS)
 
 
 ORACLES["embedding_near_dup_mp"] = f"""
@@ -2801,23 +2728,23 @@ def q_semantic_dedup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = ensure_index(
         spark, sf_dir, "semdedup_cells", _serve_fp(IVF_CELLS), _assign
     )
-    members = assign.join(
-        emb.select("vec_id", "embedding", l2_norm(F.col("embedding")).alias("norm")),
-        "vec_id",
-    )
+    members = assign.join(emb.select("vec_id", "embedding"), "vec_id")
     a = members.select(
         F.col("cell"), F.col("vec_id").alias("vid"),
-        F.col("embedding").alias("ea"), F.col("norm").alias("na"),
+        F.col("embedding").alias("ea"),
     )
     b = members.select(
         F.col("cell"), F.col("vec_id").alias("other"),
-        F.col("embedding").alias("eb"), F.col("norm").alias("nb"),
+        F.col("embedding").alias("eb"),
     )
-    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    # r16: the within-cell pairwise scoring runs in the Arrow/NumPy
+    # kernel (bit-identical — see _lsh_coded); the co-partitioned cell
+    # self-join is unchanged.
     dups = (
-        a.join(b, "cell")
-        .filter(F.col("vid") > F.col("other"))
-        .select("vid", "other", sim.alias("cosine"))
+        attach_pair_cosine(
+            a.join(b, "cell").filter(F.col("vid") > F.col("other")),
+            "ea", "eb", [("vid", "bigint"), ("other", "bigint")],
+        )
         .filter(F.col("cosine") >= F.lit(SEMDEDUP_TAU))
         .groupBy("vid")
         .agg(F.min("other").alias("dup_of"))
@@ -2861,20 +2788,18 @@ def q_embedding_near_dup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b")
     )
     ea = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
-        l2_norm(F.col("embedding")).alias("na"),
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
     )
     eb = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
-        l2_norm(F.col("embedding")).alias("nb"),
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
     )
-    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select("vec_a", "vec_b", sim.alias("cosine"))
-        .filter(F.col("cosine") >= EMBED_NEAR_DUP_COS)
-    )
+    # r16: same kernel verify as the build-inline twin (bit-identical,
+    # join shape unchanged) — serving pays the probe explode, the code
+    # join and the vectorized verify only.
+    return attach_pair_cosine(
+        cand.join(ea, "vec_a").join(eb, "vec_b"),
+        "ea", "eb", [("vec_a", "bigint"), ("vec_b", "bigint")],
+    ).filter(F.col("cosine") >= EMBED_NEAR_DUP_COS)
 
 
 ORACLES["embedding_near_dup_serve"] = ORACLES["embedding_near_dup_mp"]
@@ -2961,21 +2886,19 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        l2_norm(F.col("embedding")).alias("q_norm"),
     )
     c = emb.filter(F.col("vec_id") >= N_QUERY_VECS).select(
         F.col("vec_id").alias("neighbor_id"),
         "label",
         F.col("embedding").alias("c_emb"),
-        l2_norm(F.col("embedding")).alias("c_norm"),
     )
-    sim = dot(F.col("q_emb"), F.col("c_emb")) / (
-        F.col("q_norm") * F.col("c_norm")
-    )
-    pairs = (
-        F.broadcast(q)
-        .join(c, F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "label", sim.alias("cosine"))
+    # r16: electorate scoring in the Arrow/NumPy kernel (bit-identical —
+    # see _lsh_coded); broadcast-Q / stream-corpus layout unchanged.
+    pairs = attach_pair_cosine(
+        F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id")),
+        "q_emb", "c_emb",
+        [("query_id", "bigint"), ("neighbor_id", "bigint"),
+         ("label", "int")],
     )
     wk = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -3093,24 +3016,25 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("q_label"),
         F.col("embedding").alias("q_emb"),
-        l2_norm(F.col("embedding")).alias("q_norm"),
     )
     c = emb.filter(F.col("vec_id") >= N_QUERY_VECS).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("c_label"),
         F.col("embedding").alias("c_emb"),
-        l2_norm(F.col("embedding")).alias("c_norm"),
-    )
-    sim = dot(F.col("q_emb"), F.col("c_emb")) / (
-        F.col("q_norm") * F.col("c_norm")
     )
     role = F.when(
         F.col("q_label") == F.col("c_label"), F.lit("positive")
     ).otherwise(F.lit("hard_negative"))
-    pairs = (
+    # r16: mining scan scored in the Arrow/NumPy kernel (bit-identical —
+    # see _lsh_coded); broadcast-Q / stream-corpus layout unchanged.
+    pairs = attach_pair_cosine(
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", role.alias("role"), "neighbor_id", sim.alias("cosine"))
+        .select("query_id", role.alias("role"), "neighbor_id",
+                "q_emb", "c_emb"),
+        "q_emb", "c_emb",
+        [("query_id", "bigint"), ("role", "string"),
+         ("neighbor_id", "bigint")],
     )
     w = Window.partitionBy("query_id", "role").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")

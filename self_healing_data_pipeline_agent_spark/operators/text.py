@@ -3914,7 +3914,12 @@ def _bpe_learn(docs: DataFrame) -> list[tuple[str, int]]:
     # work per doc, a measured 2x bench regression.  The codegen'd
     # substring also beats a transform()-built pair array (HOF lambdas
     # evaluate interpreted per element; the char-LM ring documents the
-    # same finding).
+    # same finding).  r16 RE-MEASURED the Arrow/NumPy route too (a
+    # per-task np.bincount(65536) byte-bigram kernel): 3.26 s vs 2.45 s
+    # steady for bpe_encode_stats — eight rounds of Python-worker
+    # dispatch + Arrow string round-trips cost more than the codegen'd
+    # explode at this corpus size, so the JVM form stays (guide §1.1:
+    # the "ideal" rewrite lost to measurement).
     # Each round CACHES its rewrite so round k reads round k-1's
     # materialized corpus and applies ONE replace — without this the
     # lazy lineage re-runs the whole k-deep replace chain from parquet
@@ -4440,13 +4445,26 @@ PERC_ROUNDS = 3
 
 def _perc_w_expr(w: dict[str, int]) -> F.Column:
     """Per-row margin contribution lookup: the current weight vector as
-    ONE parsed literal map (the Lloyd-codebook lesson: building 256
-    literals through individual py4j calls is driver-bound), missing
-    buckets -> 0."""
+    ONE parsed literal (the Lloyd-codebook lesson: building 256 literals
+    through individual py4j calls is driver-bound), missing buckets -> 0.
+
+    r16 optimization: the literal was a MAP keyed by the 2-hex-char
+    bucket string, and Spark's GetMapValue over a literal map is a
+    LINEAR key scan — O(256) string compares per feature row, ~10^8
+    compares per training round at sf0.1, which dominated the
+    perceptron rows.  The weights now attach as one 256-slot literal
+    ARRAY indexed by the bucket's hex value (``conv(b, 16, 10)``) —
+    an O(1) element_at.  Same exact integers; absent buckets hold 0L,
+    preserving the old coalesce(…, 0) semantics."""
     if not w:
         return F.lit(0).cast("bigint")
-    entries = ", ".join(f"'{b}', {int(v)}L" for b, v in sorted(w.items()))
-    return F.expr(f"coalesce(element_at(map({entries}), b), 0L)")
+    slots = ["0L"] * DSIR_NB
+    for b, v in w.items():
+        slots[int(b, 16)] = f"{int(v)}L"
+    return F.expr(
+        "element_at(array(" + ", ".join(slots) + "), "
+        "cast(conv(b, 16, 10) AS int) + 1)"
+    )
 
 
 def q_perceptron_lang_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4506,12 +4524,19 @@ def _perc_train(
             .groupBy("doc_id", "y")
             .agg(F.sum("c").alias("margin"))
         )
+        # r16: cached per round — the count() action and the update join
+        # both consume mis, and uncached the update's lineage re-ran the
+        # whole margins aggregate a second time (2 margin passes per
+        # round, measured ~30% of the training wall); the cache holds
+        # only (doc_id, y) rows of misclassified docs and is released
+        # before the next round.
         mis = margins.filter(
             F.col("y") * F.col("margin") <= 0
-        ).select("doc_id", "y")
+        ).select("doc_id", "y").cache()
         n_mis = mis.count()
         traj.append((rnd, n_mis, sum(abs(v) for v in w.values())))
         if rnd == PERC_ROUNDS:
+            mis.unpersist()
             break
         upd = (
             tf.join(F.broadcast(mis), "doc_id")
@@ -4519,6 +4544,7 @@ def _perc_train(
             .agg(F.sum(F.col("y") * F.col("tf")).alias("g"))
             .collect()
         )
+        mis.unpersist()
         for r in upd:
             w[r["b"]] = w.get(r["b"], 0) + int(r["g"])
             if w[r["b"]] == 0:
@@ -5511,9 +5537,18 @@ def _bm25_rank_units(contrib: DataFrame) -> DataFrame:
     """(q_id, doc_id, cu) contribution rows -> the order-independent
     BIGINT per-(q_id, doc_id) sum and the (score_units desc, doc_id asc)
     top-BM25_TOP_K."""
-    scores = contrib.groupBy("q_id", "doc_id").agg(
-        F.sum("cu").alias("score_units")
+    return _bm25_rank_scores(
+        contrib.groupBy("q_id", "doc_id").agg(
+            F.sum("cu").alias("score_units")
+        )
     )
+
+
+def _bm25_rank_scores(scores: DataFrame) -> DataFrame:
+    """(q_id, doc_id, score_units) already-summed rows -> the
+    (score_units desc, doc_id asc) top-BM25_TOP_K — the ranking tail
+    shared by the contribution-row form above and the pruned twins'
+    pre-aggregated score frame (r16)."""
     w = Window.partitionBy("q_id").orderBy(
         F.desc("score_units"), F.asc("doc_id")
     )
@@ -5896,13 +5931,14 @@ BM25_KW_TERMS = 4  # keyword-regime query length (rarest-first)
 
 def _bm25_prune_frames(
     spark: SparkSession, sf_dir: str, kw_terms: int | None = None
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """The shared pruning dataflow: returns (qcontrib, cand, ess) where
-    ``qcontrib`` is every exhaustive candidate contribution (q_id, term,
-    doc_id, cu), ``cand`` the surviving (q_id, doc_id) pairs, and
-    ``ess`` the per-query essential terms — consumed by the ranking twin
-    (sum over cand's contributions) and the stats report (scored vs
-    skipped counts over the same frames).
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The shared pruning dataflow: returns (qcontrib, cand, ess,
+    scores) where ``qcontrib`` is every exhaustive candidate
+    contribution (q_id, term, doc_id, cu), ``cand`` the surviving
+    (q_id, doc_id) pairs, ``ess`` the per-query essential terms, and
+    ``scores`` the per-(q_id, doc_id) BIGINT score sums — consumed by
+    the ranking twins (scores semi-joined on cand) and the stats report
+    (scored vs skipped counts over the same frames).
 
     Scale shape: sigma is a vocabulary-sized aggregate of the posting
     scan (map-side combined); seeds are a per-(q, term) top-M window
@@ -5910,6 +5946,19 @@ def _bm25_prune_frames(
     essential cut are query-batch-sized (broadcast); the only
     corpus-scale rows that move after the cut are contributions of
     SURVIVING docs.  Nothing Python, nothing collected.
+
+    r16 exchange-dedup (guide §2.4 — two operations keyed the same way
+    share one exchange; outputs bit-identical because every sum is an
+    order-free BIGINT and every selection a total order):
+    - sigma now reads off the seed window's OWN sorted frame (the
+      srn == 1 row's cu IS max(cu) per (q, term)) instead of a second
+      429k-row aggregate on the identical key;
+    - the seed-doc distinct is dropped — its only consumer is a
+      left-semi join, which dedups by construction;
+    - ONE cached per-(q, doc) score aggregate serves BOTH the seed/theta
+      pass and the final ranking, replacing two independent aggregates
+      over contribution subsets (the final one was corpus-candidate-
+      sized).  Before/after plans: plans/r16/bm25_prune_*.txt.
 
     ``kw_terms`` None = document-as-query (all the query doc's terms);
     an int = the keyword regime (that many rarest terms, df asc with
@@ -5939,26 +5988,32 @@ def _bm25_prune_frames(
     # dedup — uncached, the posting artifact re-scans once per
     # consumer.  Bounded memory by construction: the frame is the
     # query batch's matched contributions, not the corpus.
+    scores = (
+        qcontrib.groupBy("q_id", "doc_id")
+        .agg(F.sum("cu").alias("s"))
+        .cache()
+    )
+    # ^ the ONE per-(q, doc) exact-score aggregate (order-free BIGINT
+    # sum): the seed/theta pass and the final ranking both read it —
+    # cached because semi-join pruning makes each reference a different
+    # subtree (the qcontrib rationale above).
     # per-(q, term) impact bound over the rows the cut actually prunes
     # (the non-self candidate contributions) — tighter than the global
     # per-term max (more terms fall below theta's budget), still an
     # upper bound for every prunable doc, and restricted to the query
-    # batch so the aggregate is batch-sized, not vocabulary-sized
-    qsig = qcontrib.groupBy("q_id", "term").agg(F.max("cu").alias("sig"))
+    # batch so the aggregate is batch-sized, not vocabulary-sized.
+    # sigma reads the seed window's own frame: srn == 1 holds max(cu).
     w_seed = Window.partitionBy("q_id", "term").orderBy(
         F.desc("cu"), F.asc("doc_id")
     )
-    seed_docs = (
-        qcontrib.withColumn("srn", F.row_number().over(w_seed))
-        .filter(F.col("srn") <= PRUNE_SEED_M)
-        .select("q_id", "doc_id")
-        .distinct()
+    ranked = qcontrib.withColumn("srn", F.row_number().over(w_seed)).cache()
+    qsig = ranked.filter(F.col("srn") == 1).select(
+        "q_id", "term", F.col("cu").alias("sig")
     )
-    seed_scores = (
-        qcontrib.join(seed_docs, ["q_id", "doc_id"], "left_semi")
-        .groupBy("q_id", "doc_id")
-        .agg(F.sum("cu").alias("s"))
+    seed_docs = ranked.filter(F.col("srn") <= PRUNE_SEED_M).select(
+        "q_id", "doc_id"
     )
+    seed_scores = scores.join(seed_docs, ["q_id", "doc_id"], "left_semi")
     w_q = Window.partitionBy("q_id").orderBy(F.desc("s"), F.asc("doc_id"))
     theta = (
         seed_scores.withColumn("rn", F.row_number().over(w_q))
@@ -5984,7 +6039,7 @@ def _bm25_prune_frames(
         .select("q_id", "doc_id")
         .distinct()
     )
-    return qcontrib, cand, ess
+    return qcontrib, cand, ess, scores
 
 
 def q_bm25_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5992,11 +6047,15 @@ def q_bm25_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     only docs holding at least one ESSENTIAL query term are scored, and
     the result is provably — and value-hash-checkably — identical to the
     exhaustive ranking, which is why it shares the oracle.  The work
-    actually skipped is the companion report ``q_bm25_prune_stats``."""
-    qcontrib, cand, _ = _bm25_prune_frames(spark, sf_dir)
-    return _bm25_rank_units(
-        qcontrib.join(cand, ["q_id", "doc_id"], "left_semi").select(
-            "q_id", "doc_id", "cu"
+    actually skipped is the companion report ``q_bm25_prune_stats``.
+    r16: ranks the shared pre-aggregated score frame restricted to the
+    survivors (one semi join) instead of re-summing the survivors'
+    contribution rows — the same BIGINT sums, one fewer candidate-sized
+    aggregate (see _bm25_prune_frames)."""
+    _, cand, _, scores = _bm25_prune_frames(spark, sf_dir)
+    return _bm25_rank_scores(
+        scores.join(cand, ["q_id", "doc_id"], "left_semi").select(
+            "q_id", "doc_id", F.col("s").alias("score_units")
         )
     )
 
@@ -6013,12 +6072,12 @@ def q_bm25_prune_kw(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle renders the EXHAUSTIVE ranking for the same keyword queries,
     so the value-hash equality is the entire safety claim; the work
     skipped is in ``q_bm25_prune_stats``'s kw rows."""
-    qcontrib, cand, _ = _bm25_prune_frames(
+    _, cand, _, scores = _bm25_prune_frames(
         spark, sf_dir, kw_terms=BM25_KW_TERMS
     )
-    return _bm25_rank_units(
-        qcontrib.join(cand, ["q_id", "doc_id"], "left_semi").select(
-            "q_id", "doc_id", "cu"
+    return _bm25_rank_scores(
+        scores.join(cand, ["q_id", "doc_id"], "left_semi").select(
+            "q_id", "doc_id", F.col("s").alias("score_units")
         )
     )
 
@@ -6044,7 +6103,7 @@ def q_bm25_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     }
     outs = []
-    for variant, (qcontrib, cand, ess) in frames.items():
+    for variant, (qcontrib, cand, ess, _scores) in frames.items():
         all_c = qcontrib.groupBy("q_id").agg(
             F.count(F.lit(1)).cast("bigint").alias("n_postings_all"),
             F.count_distinct("term").cast("bigint").alias("n_terms"),

@@ -37,92 +37,102 @@ _MODULES = [
 # (tests/test_oracle_parity.py, which runs ALL pairs) — not the official
 # record — decides what needs the window.
 QUERY_ORDER = [
-    # -- r16 new operators (never-green): MaxScore-safe pruned BM25
-    #    serving (r15 verdict #3) — the doc-as-query twin shares
-    #    bm25_topk's oracle (safe pruning must return the EXACT
-    #    exhaustive top-k), the keyword twin has its own exhaustive
-    #    oracle, and the stats report oracle-checks the scored/skipped
-    #    dial for both regimes --
+    # -- r16 (OPTIMIZATION round) window: the round's contract changes
+    #    come first.  r16 moved the embedding family's interpreted HOF
+    #    folds into Arrow/NumPy kernels (bit-identical arithmetic,
+    #    functions/veckernels.py), deduped the bm25_prune exchanges, and
+    #    fixed the fingerprint normalizer's bucketed-digest blind spot —
+    #    every query whose committed contract fingerprint changed (plan
+    #    hash: the kernels are MapInArrow nodes; the bucketed five: the
+    #    normalizer now strips their mtime-derived digests) must re-earn
+    #    its green in the window, fail-closed.
+    # (a) never-green (the interrupted r16 build's 7 new operators) --
     "bm25_prune",
     "bm25_prune_kw",
     "bm25_prune_stats",
-    # (also never-green): k-way boundary-respecting packing (verdict
-    #    #5) — rank-striped snake assignment + prefix-fit, one shuffle —
-    #    and the cross-packer waste report (chunk vs pairs vs kway, per
-    #    lang, each leg derived from its own declared query's frame) --
     "pack_kway",
     "pack_waste_report",
-    # (also never-green): the trained perceptron served map-only from a
-    #    stored model blob (verdict #6 — the X32 posture on X28), and the
-    #    regression twin (the verdict's missing-note named BOTH models):
-    #    stored per-priority (slope, intercept) + map-only residual
-    #    diagnostics --
     "perceptron_serve",
     "linreg_serve",
-    # -- r16 fail-closed re-checks: implementations changed this round —
-    #    streaming_bucketed_ingest (deterministic per-session table +
-    #    effective reset, r15 ADVICE), image_band_tuning (eager 3-row
-    #    report + study-cache unpersist, r15 ADVICE), bm25_serve (build
-    #    moved into the shared _bm25_ensure_postings helper + build-cache
-    #    unpersist), perceptron_lang_clf (training loop extracted into
-    #    the shared _perc_train the serve twin stores) --
+    # (b) r16 optimization contract changes (kernel swaps, exchange
+    #     dedup, PQ narrow code table; every one re-proven against its
+    #     oracle at sf0.001+sf0.01 by the local parity suite first) --
+    "ann_int8_rerank",
+    "ann_ivf_kmeans_serve",
+    "ann_ivf_kmeans_topk",
+    "ann_ivf_topk",
+    "ann_jl_rerank",
+    "ann_jl_serve",
+    "ann_lsh_serve",
+    "ann_lsh_topk",
+    "ann_pq_adc_topk",
+    "ann_pq_serve",
+    "cross_modal_dedup",
+    "embedding_lsh_tuning",
+    "embedding_near_dup",
+    "embedding_near_dup_lsh",
+    "embedding_near_dup_mp",
+    "embedding_near_dup_serve",
+    "hard_negative_mining",
+    "knn_classify",
+    "knn_cosine",
+    "lsh_index_refresh",
+    "pq_codebook",
+    "semantic_dedup",
+    "semantic_dedup_serve",
+    # (c) the bucketed five: fingerprints churned by the r16 normalizer
+    #     fix (derived-digest strip — no semantic change, but the audit
+    #     cannot know that, so they re-earn greens fail-closed) --
+    "bucketed_cdc_apply",
+    "bucketed_compaction",
+    "bucketed_ingest_join",
+    "bucketed_late_shipments",
+    "bucketed_sessionization",
+    # (d) the interrupted build's fail-closed re-checks (implementations
+    #     changed in its commits; carried over) + perceptron_lang_clf,
+    #     whose training loop internals changed this round (mis-cache,
+    #     array-indexed weight lookup — fingerprint-invariant because
+    #     its plan is the driver-built trajectory frame, so it is
+    #     windowed explicitly; it is also in the r11-aged cohort) --
     "streaming_bucketed_ingest",
     "image_band_tuning",
     "bm25_serve",
-    # -- the 40 r11-aged spill queries (r15 verdict #1 / the r15
-    #    registry's own "r16 MUST-window" list): their official greens
-    #    date to r11 against current testdata; re-earned here.
-    #    perceptron_lang_clf doubles as the fourth fail-closed re-check
-    #    (it is in this cohort anyway) --
+    "perceptron_lang_clf",
+    # (e) inherited stale spans (window_audit): the interrupted build's
+    #     commits modified these functions' source spans after their
+    #     last official green (bm25_topk/bm25_index_refresh via the
+    #     _bm25_ensure_postings extraction; bpe_encode_serve and
+    #     dedup_rate_by_source via older in-span edits the audit dates
+    #     past their records) — re-earned here, fail-closed --
+    "bm25_topk",
+    "bm25_index_refresh",
+    "bpe_encode_serve",
+    "dedup_rate_by_source",
+    # -- remaining seats: the r11-aged cohort (r15 verdict #1), oldest
+    #    official records first (alphabetic).  The rest of that cohort
+    #    (dedup_first_lineitem, dominant_part_
+    #    suppliers, dsir_select, dsir_weights, duplicate_clusters,
+    #    format_interchange, fulfillment_lag, graph_pagerank,
+    #    graph_pagerank_by_region, heavy_hitters_by_lang,
+    #    histogram_profile, kmeans_embeddings, lang_guess,
+    #    leakage_safe_split, min_cost_supplier, minhash_band_tuning,
+    #    ngram_counts, payload_stats, pivot_status_priority,
+    #    quality_gates, ship_latency_priority, small_qty_revenue,
+    #    source_mix, substring_dup_coverage, top_supplier_revenue,
+    #    top_terms, tpch_q1) spills to the r17 window — this round's
+    #    contract changes take fail-closed priority over aged-but-
+    #    unchanged records (local parity still re-verifies every pair
+    #    at two SFs each session) --
     "approx_quantile_profile",
     "attribution_asof",
     "bloom_sized_decontaminate",
     "ccnet_ppl_buckets",
     "char_lm_doc_counts",
     "char_lm_model",
-    "chunk_dedup",
-    "corr_profile",
-    "cube_summary",
-    "customer_order_distribution",
-    "decontaminate_docs",
-    "dedup_first_lineitem",
-    "dominant_part_suppliers",
+    # dsir_select: r11 green, span modified in 4240fb4d (pre-existing
+    # staleness, same class as group (e)) — takes the seat chunk_dedup
+    # (fresh-but-aged) would otherwise fill
     "dsir_select",
-    "dsir_weights",
-    "duplicate_clusters",
-    "format_interchange",
-    "fulfillment_lag",
-    "graph_pagerank",
-    "graph_pagerank_by_region",
-    "heavy_hitters_by_lang",
-    "histogram_profile",
-    "kmeans_embeddings",
-    "lang_guess",
-    "leakage_safe_split",
-    "min_cost_supplier",
-    "minhash_band_tuning",
-    "ngram_counts",
-    "payload_stats",
-    "perceptron_lang_clf",
-    "pivot_status_priority",
-    "pq_codebook",
-    "quality_gates",
-    "ship_latency_priority",
-    "small_qty_revenue",
-    "source_mix",
-    "substring_dup_coverage",
-    "top_supplier_revenue",
-    "top_terms",
-    "tpch_q1",
-    # -- r12-aged filler (the oldest remaining official records after
-    #    the r11 cohort clears; alphabetic enumeration of the r12
-    #    cohort): 2 fit below; the rest (bpe_encode_serve,
-    #    bpe_encode_stats, bpe_merges, ccnet_ppl_thresholds,
-    #    dedup_keep_best, disjunctive_revenue, distinct_counts,
-    #    doc_fingerprints, drift_compare, dsir_select_threshold,
-    #    embedding_near_dup_mp, ...) spill to the r17 window — r17
-    #    MUST-window those with whatever else ages out (no filler fits
-    #    this round: new never-green operators took the last seats) --
     # Below the 50-entry window: everything else carries an r11-r15
     # official green against current testdata and unchanged code.
     # POLICY (r15 verdict #2): streaming_state_metrics is demoted below

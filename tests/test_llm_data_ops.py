@@ -1576,7 +1576,9 @@ def test_bm25_prune_equals_exhaustive_and_stats_reconcile(spark, sf_dir):
     pruned = sorted(tuple(r) for r in q_bm25_prune(spark, sf_dir).collect())
     assert pruned == exact
 
-    qcontrib, _, _ = _bm25_prune_frames(spark, sf_dir, kw_terms=BM25_KW_TERMS)
+    qcontrib, _, _, _ = _bm25_prune_frames(
+        spark, sf_dir, kw_terms=BM25_KW_TERMS
+    )
     kw_exact = sorted(
         tuple(r)
         for r in _bm25_rank_units(
