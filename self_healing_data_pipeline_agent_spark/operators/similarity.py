@@ -2428,6 +2428,9 @@ def q_embedding_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", F.lit(1).alias("is_true"))
         .cache()
     )
+    # KB-sized 1-row frame: |truth|, broadcast onto each carving's count
+    # row so n_misses = |truth| - n_hits needs no anti/full join
+    n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
     metrics = []
     for tables, nbits, multiprobe in EMB_LSH_CONFIGS:
         coded = _carved_codes(bits_df, tables, nbits)
@@ -2449,26 +2452,31 @@ def q_embedding_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .filter(F.col("vec_a") < F.col("vec_b"))
             .dropDuplicates(["vec_a", "vec_b"])
-            .withColumn("is_cand", F.lit(1))
         )
-        m = (
-            cand.join(truth, ["vec_a", "vec_b"], "full")
+        # r16 (guide §3.1): the old form FULL-OUTER-joined each carving's
+        # million-row candidate set against the ~100-row truth table just
+        # to count — a sort-merge shuffle of the candidates per carving.
+        # Both sets are DISTINCT pair sets, so the same three counts are:
+        # n_candidates = |cand|, n_hits = |cand INTERSECT truth| (a
+        # BROADCAST left join that never moves the candidate side), and
+        # n_misses = |truth| - n_hits.  Values identical by set algebra;
+        # the candidate set now never shuffles after its dedup.
+        counts = (
+            cand.join(F.broadcast(truth), ["vec_a", "vec_b"], "left")
             .agg(
-                F.sum(F.coalesce(F.col("is_cand"), F.lit(0)))
-                .cast("bigint").alias("n_candidates"),
-                F.sum(
-                    F.coalesce(F.col("is_cand"), F.lit(0))
-                    * F.coalesce(F.col("is_true"), F.lit(0))
+                F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+                F.coalesce(
+                    F.sum(F.coalesce(F.col("is_true"), F.lit(0))), F.lit(0)
                 ).cast("bigint").alias("n_hits"),
-                F.sum(F.when(F.col("is_cand").isNull(), 1).otherwise(0))
-                .cast("bigint").alias("n_misses"),
             )
-            .select(
-                F.lit(tables).cast("bigint").alias("tables"),
-                F.lit(nbits).cast("bigint").alias("bits_per_table"),
-                F.lit(multiprobe).alias("multiprobe"),
-                "n_candidates", "n_hits", "n_misses",
-            )
+        )
+        m = counts.crossJoin(F.broadcast(n_truth)).select(
+            F.lit(tables).cast("bigint").alias("tables"),
+            F.lit(nbits).cast("bigint").alias("bits_per_table"),
+            F.lit(multiprobe).alias("multiprobe"),
+            "n_candidates", "n_hits",
+            (F.col("n_truth") - F.col("n_hits"))
+            .cast("bigint").alias("n_misses"),
         )
         metrics.append(m)
     out = metrics[0]
