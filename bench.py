@@ -585,14 +585,18 @@ def _bench_duckdb(names: list[str], sf_dir: str) -> dict[str, float]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # Benchmark methodology (BENCH.md): >16 JVM threads oversubscribe this
-    # VM — host CPU steal shows up as 3-5x per-query jitter and a ~25%
-    # slower total on identical code.  The bench therefore CAPS its thread
-    # count at 16 so the number reflects the engine, not host scheduling;
-    # $SPARK_GRAFT_BENCH_CPUS overrides explicitly for scaling studies.
+    # Core-count contract (r16 verdict #2): an EXPLICITLY-set
+    # $SPARK_GRAFT_CPUS is honored verbatim — the driver runs the bench
+    # at several core counts to measure scaling, and silently clamping
+    # its request distorts that measurement (the r16 scaling block's
+    # ideal ratio was 2.0 when the driver believed 4.0).  The historical
+    # 16-thread anti-oversubscription cap (BENCH.md: >16 JVM threads on
+    # this VM showed 3-5x steal jitter) now applies ONLY to the unset
+    # default; $SPARK_GRAFT_BENCH_CPUS still overrides both.
     cpus = int(
         os.environ.get("SPARK_GRAFT_BENCH_CPUS")
-        or min(int(os.environ.get("SPARK_GRAFT_CPUS", "16")), 16)
+        or os.environ.get("SPARK_GRAFT_CPUS")
+        or 16
     )
     spark = get_spark(app_name="bench", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)

@@ -24,7 +24,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-ROUND = "r16"
+ROUND = "r17"
 
 
 def main() -> None:

@@ -55,11 +55,16 @@ def _flat2d(col, dim: int, dtype=np.float64) -> np.ndarray:
 
     ``flatten()`` honors the array's offset/length slice, so this is
     safe on sliced batches; lists are fixed-length ``dim`` by schema
-    (asserted — a ragged row would silently misalign every row after
-    it)."""
+    (checked — a ragged or null row would silently misalign every row
+    after it; ValueError, not ``assert``, so the guard survives
+    ``python -O`` — r16 ADVICE)."""
     flat = np.asarray(col.flatten(), dtype=dtype)
     n = len(col)
-    assert flat.size == n * dim, f"expected {n}x{dim} values, got {flat.size}"
+    if flat.size != n * dim:
+        raise ValueError(
+            f"expected {n}x{dim} values, got {flat.size} — ragged or "
+            "null embedding row in batch"
+        )
     return flat.reshape(n, dim)
 
 
@@ -95,9 +100,21 @@ def attach_pair_cosine(
             c = _flat2d(b.column(n_keep + 1), dim)
             na = np.sqrt(_seq_sum(a * a))
             nb = np.sqrt(_seq_sum(c * c))
-            cos = _seq_sum(a * c) / (na * nb)
+            den = na * nb
+            # DuckDB (the oracle) returns NULL on a zero divisor, and
+            # NULL is dropped by every `cosine >= tau` filter; raw IEEE
+            # division would yield NaN/inf, which PASSES `>=` and sorts
+            # FIRST under desc — a zero-norm vector would flip from
+            # excluded to top-ranked (r16 ADVICE).  Mask zero
+            # denominators to null to match the oracle exactly.  (The
+            # pre-kernel JVM Divide would ERROR under Spark 4's default
+            # ANSI mode, so the mask also removes a latent crash.)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = _seq_sum(a * c) / den
+            zmask = den == 0.0
+            cos_arr = pa.array(cos, mask=zmask) if zmask.any() else pa.array(cos)
             yield pa.RecordBatch.from_arrays(
-                [b.column(i) for i in range(n_keep)] + [pa.array(cos)],
+                [b.column(i) for i in range(n_keep)] + [cos_arr],
                 schema=pa.schema(
                     [b.schema.field(i) for i in range(n_keep)]
                     + [pa.field(out_col, pa.float64())]
@@ -205,3 +222,112 @@ def attach_projection(
             )
 
     return emb.select(id_col, "embedding").mapInArrow(kern, schema)
+
+
+# --- r17: integer k-means / PQ assignment kernels -----------------------------
+#
+# The Lloyd/PQ ring's per-row work was the one family the r16 kernel pass
+# left interpreted: nearest-centroid assignment is an
+# ``array_min(transform(<2-D literal>, aggregate(zip_with(...))))`` fold
+# (similarity._km_dist_structs) — K x D interpreted lambda evaluations per
+# row, and the r16 verdict's #1 item measured it still dominating
+# ann_pq_adc_topk's after-plan.  These kernels run the same EXACT INTEGER
+# arithmetic on whole Arrow batches.
+#
+# BIT-EXACTNESS (stronger than the float kernels above): quantization is
+# floor(x_double * scale + 0.5) — float64 multiply/add/floor are single
+# IEEE-754 operations identical across NumPy and the JVM — and everything
+# after it (squared distances, argmin, member counts, per-dimension sums)
+# is int64 arithmetic, which is exact and order-free, so ANY evaluation
+# order gives the same integers.  Ties: np.argmin returns the FIRST
+# minimal index == array_min over (dist, cid) structs picking the lowest
+# cid (centroid lists are ordered by cid 0..K-1, checked).
+
+
+def _quant_units(E: np.ndarray, scale: int) -> np.ndarray:
+    """floor(x * scale + 0.5) as int64 — bit-exact ``_km_units``."""
+    return np.floor(E * float(scale) + 0.5).astype(np.int64)
+
+
+def _block_mats(blocks) -> list[tuple[int, np.ndarray]]:
+    """[(offset, (K, subdim) int64 centroid matrix)]; centroid lists must
+    be ordered by cid 0..K-1 (the transform-index contract of
+    ``_km_dist_structs``, enforced loudly here too)."""
+    out = []
+    for off, cents in blocks:
+        if [cid for cid, _ in cents] != list(range(len(cents))):
+            raise ValueError("centroid list must be ordered by cid 0..K-1")
+        out.append((off, np.asarray([c for _cid, c in cents], dtype=np.int64)))
+    return out
+
+
+def _block_cids(U: np.ndarray, off: int, C: np.ndarray):
+    """(cid, dist) int64 arrays: nearest centroid per row for one block.
+
+    All int64: diffs bounded by ~2*scale (unit-ish vectors at scale 1e4),
+    squared-sum over <=64 dims < 2^42 — no overflow anywhere near."""
+    Ub = U[:, off : off + C.shape[1]]
+    d = ((Ub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    cid = d.argmin(axis=1)
+    return cid.astype(np.int64), d[np.arange(d.shape[0]), cid]
+
+
+def lloyd_partial_sums(
+    df: DataFrame,
+    blocks: list[tuple[int, list[tuple[int, list[int]]]]],
+    scale: int,
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """(block, cid, pos, val): per-batch PARTIAL Lloyd update statistics
+    in LONG form — for every ``(offset, centroids)`` block at once,
+    ``pos = -1`` rows carry the member count and ``pos = 0..subdim-1``
+    rows the per-dimension sums of the quantized block slice.  The
+    caller groupBys (block, cid, pos) and sums; integer addition is
+    exact and order-free, so the totals (and therefore every centroid
+    update) are bit-identical to the row-at-a-time fold, while one job
+    trains ALL blocks per round (the r16 thread-pool overlap, without
+    the threads).
+
+    Long form deliberately: a wide (n, s0..s63) schema gives the
+    downstream aggregate 65 codegen'd sum columns whose generated class
+    recompiles EVERY round (measured ~0.3-0.5 s/round at sf0.1 — the
+    same plan-compile tax _km_dist_structs' docstring records for the
+    unrolled fold); one sum over (block, cid, pos) keys compiles once
+    and is cache-hit by every later round and every later query."""
+    mats = _block_mats(blocks)
+    schema = T.StructType.fromDDL(
+        "block bigint, cid bigint, pos bigint, val bigint"
+    )
+    dim = max(off + C.shape[1] for off, C in mats)
+
+    def kern(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        for b in batches:
+            U = _quant_units(_flat2d(b.column(0), dim), scale)
+            blk, cid_o, pos_o, val_o = [], [], [], []
+            for bi, (off, C) in enumerate(mats):
+                subdim = C.shape[1]
+                Ub = U[:, off : off + subdim]
+                cid, _dist = _block_cids(U, off, C)
+                for k in range(C.shape[0]):
+                    mask = cid == k
+                    cnt = int(mask.sum())
+                    if not cnt:
+                        continue
+                    s = Ub[mask].sum(axis=0)
+                    blk += [bi] * (subdim + 1)
+                    cid_o += [k] * (subdim + 1)
+                    pos_o += [-1, *range(subdim)]
+                    val_o += [cnt, *(int(v) for v in s)]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.asarray(blk, dtype=np.int64)),
+                    pa.array(np.asarray(cid_o, dtype=np.int64)),
+                    pa.array(np.asarray(pos_o, dtype=np.int64)),
+                    pa.array(np.asarray(val_o, dtype=np.int64)),
+                ],
+                names=[f.name for f in schema.fields],
+            )
+
+    return df.select(emb_col).mapInArrow(kern, schema)

@@ -5928,6 +5928,19 @@ ORACLES["bm25_index_refresh"] = ORACLES["bm25_topk"]
 PRUNE_SEED_M = 3  # exactly-scored highest-impact postings per (q, term)
 BM25_KW_TERMS = 4  # keyword-regime query length (rarest-first)
 
+# r16 ADVICE (dead-cache class): _bm25_prune_frames caches three frames
+# per regime that the RETURNED lazy plans read through, so they cannot
+# be released in-query — instead each regime's caches are registered
+# here and unpersisted when the SAME regime is rebuilt (the next
+# invocation's construction), bounding pinned storage to one live
+# invocation per regime instead of growing per call for the session.
+_PRUNE_CACHES: dict[object, list[DataFrame]] = {}
+
+
+def _release_prune_caches(key: object) -> None:
+    for df in _PRUNE_CACHES.pop(key, []):
+        df.unpersist()
+
 
 def _bm25_prune_frames(
     spark: SparkSession, sf_dir: str, kw_terms: int | None = None
@@ -5964,6 +5977,7 @@ def _bm25_prune_frames(
     an int = the keyword regime (that many rarest terms, df asc with
     term tiebreak — rarest-first is the standard keyword reduction and
     makes the regime deterministic)."""
+    _release_prune_caches(kw_terms)
     post = _bm25_ensure_postings(spark, sf_dir)
     contrib = post.select("doc_id", "term", _bm25_cu().alias("cu"))
     qterms = post.filter(F.col("doc_id") < BM25_N_QUERIES).select(
@@ -6039,6 +6053,7 @@ def _bm25_prune_frames(
         .select("q_id", "doc_id")
         .distinct()
     )
+    _PRUNE_CACHES[kw_terms] = [qcontrib, scores, ranked]
     return qcontrib, cand, ess, scores
 
 

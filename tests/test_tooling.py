@@ -295,3 +295,44 @@ def test_bench_result_line_steal_fields():
     pcts = parsed["steal_pct_top"].split(",")
     assert len(pcts) == len(parsed["queries"])
     assert all(p == "99" for p in pcts)  # clamped
+
+
+def test_bench_md_min_merge_is_provenance_bounded(tmp_path, monkeypatch):
+    """r16 verdict #4: the BENCH.md per-row min-merge must be BOUNDED —
+    a previous session's row may only beat the fresh measurement when
+    the committed provenance shows it was steal-certified AND measured
+    under the same contract fingerprint; anything else expires."""
+    mbm = _load_script("make_bench_md")
+    monkeypatch.setattr(mbm, "PROVENANCE_FILE", str(tmp_path / "prov.json"))
+    monkeypatch.setattr(
+        mbm, "_fingerprints", lambda: {"q1": "f1", "q2": "f2", "q3": "f3",
+                                       "q4": "f4"}
+    )
+    prev = {
+        "session": "s0",
+        "rows": {
+            # certified + same fingerprint + faster -> survives the merge
+            "q1": {"spark_s": 1.0, "steal_pct": 0, "session": "s0",
+                   "fingerprint": "f1"},
+            # fingerprint CHANGED since -> expires even though faster
+            "q2": {"spark_s": 1.0, "steal_pct": 0, "session": "s0",
+                   "fingerprint": "OLD"},
+            # steal uncertified (None = unmeasurable) -> expires
+            "q3": {"spark_s": 1.0, "steal_pct": None, "session": "s0",
+                   "fingerprint": "f3"},
+            # certified but SLOWER than fresh -> fresh wins
+            "q4": {"spark_s": 9.0, "steal_pct": 0, "session": "s0",
+                   "fingerprint": "f4"},
+        },
+    }
+    (tmp_path / "prov.json").write_text(json.dumps(prev))
+    fresh = {"q1": 2.0, "q2": 2.0, "q3": 2.0, "q4": 2.0}
+    steal = {"q1": 1, "q2": 1, "q3": 1, "q4": 1}
+    merged = mbm.merge_with_provenance(fresh, steal, "s1")
+    assert merged == {"q1": 1.0, "q2": 2.0, "q3": 2.0, "q4": 2.0}
+    # the rewritten sidecar records which row each value came from
+    out = json.loads((tmp_path / "prov.json").read_text())
+    assert out["rows"]["q1"]["session"] == "s0"  # surviving archived row
+    assert out["rows"]["q2"]["session"] == "s1"  # expired -> fresh row
+    assert out["rows"]["q2"]["fingerprint"] == "f2"
+    assert out["rows"]["q4"]["session"] == "s1"

@@ -114,3 +114,100 @@ def test_projection_bit_identical(spark, emb):
     k = {r.vec_id: r.parr for r in kern.collect()}
     assert set(l) == set(k)
     assert all(l[i] == k[i] for i in l)
+
+
+def test_pair_cosine_zero_norm_yields_null_like_oracle(spark):
+    """r16 ADVICE: a zero-norm vector must produce NULL — DuckDB (the
+    oracle) returns NULL on float division by zero, and NULL is dropped
+    by `cosine >= tau` filters — never NaN/inf (which passes `>=` and
+    sorts FIRST under desc).  The pre-kernel JVM Divide would ERROR
+    outright under Spark 4's default ANSI mode, so the masked kernel is
+    strictly more robust than the form it replaced."""
+    import duckdb
+
+    rows = [
+        (0, [0.0] * 64, [1.0] * 64),   # zero-norm left side
+        (1, [1.0] * 64, [1.0] * 64),   # sane pair
+        (2, [0.0] * 64, [0.0] * 64),   # both zero
+    ]
+    pairs = spark.createDataFrame(
+        rows, "pid bigint, ea array<float>, eb array<float>"
+    )
+    kern = attach_pair_cosine(pairs, "ea", "eb", [("pid", "bigint")])
+    k = {r.pid: r.cosine for r in kern.collect()}
+    duck = {
+        pid: duckdb.sql(
+            f"SELECT list_dot_product({a}, {b}) / "
+            f"(SQRT(list_dot_product({a}, {a})) * "
+            f"SQRT(list_dot_product({b}, {b})))"
+        ).fetchone()[0]
+        for pid, a, b in rows
+    }
+    assert duck[0] is None and duck[2] is None  # oracle semantics
+    assert k == duck
+    # and the tau filter drops the zero-norm rows exactly like the oracle
+    assert [r.pid for r in kern.filter(F.col("cosine") >= 0.5).collect()] == [1]
+
+
+def test_flat2d_raises_on_ragged_rows(spark):
+    """The misalignment guard must survive `python -O` (ValueError, not
+    assert) — a short row would silently shift every later row."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from self_healing_data_pipeline_agent_spark.functions.veckernels import (
+        _flat2d,
+    )
+
+    ragged = pa.array([[1.0, 2.0], [3.0]])
+    with _pytest.raises(ValueError, match="ragged or null"):
+        _flat2d(ragged, 2)
+    ok = _flat2d(pa.array([[1.0, 2.0], [3.0, 4.0]]), 2)
+    assert ok.shape == (2, 2) and ok.dtype == np.float64
+
+
+def test_lloyd_partial_sums_totals_match_legacy_update(spark, emb):
+    """One kernel round's aggregated (n, per-dim sums) must equal the
+    legacy per-row fold's groupBy totals exactly — the Lloyd update (and
+    so every centroid of every later round) is then bit-identical."""
+    from self_healing_data_pipeline_agent_spark.functions.veckernels import (
+        lloyd_partial_sums,
+    )
+    from self_healing_data_pipeline_agent_spark.operators.similarity import (
+        KM_SCALE,
+        _km_dist_structs,
+        _km_units,
+    )
+
+    init = emb.filter(F.col("vec_id") < 8).select(
+        "vec_id", _km_units().alias("u")
+    ).collect()
+    cents = sorted((int(r.vec_id), [int(v) for v in r.u]) for r in init)
+    dim = 64
+
+    q = emb.select("vec_id", _km_units().alias("u"))
+    best = F.array_min(_km_dist_structs(cents))
+    legacy = (
+        q.select(best.getField("cid").alias("cid"), "u")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.element_at("u", i + 1)).alias(f"s{i}")
+              for i in range(dim)],
+        )
+    )
+    kern = (
+        lloyd_partial_sums(emb, [(0, cents)], scale=KM_SCALE)
+        .groupBy("block", "cid", "pos")
+        .agg(F.sum("val").alias("v"))
+    )
+    totals: dict[int, dict[int, int]] = {}
+    for r in kern.collect():
+        assert r.block == 0
+        totals.setdefault(r.cid, {})[r.pos] = r.v
+    l = {r.cid: tuple(r[f"s{i}"] for i in range(dim)) + (r.n,)
+         for r in legacy.collect()}
+    k = {cid: tuple(t[i] for i in range(dim)) + (t[-1],)
+         for cid, t in totals.items()}
+    assert l == k
