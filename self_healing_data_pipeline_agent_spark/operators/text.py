@@ -4818,7 +4818,15 @@ def q_ccnet_ppl_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ppl_q", F.expr("(-lp_sum_units * 1000) div n_bigrams"))
     )
     lang = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    scored = scored.join(lang, "doc_id")
+    # r17 (guide §5 / §2.4): scored feeds TWO consumers — the sample
+    # side that derives the per-lang thresholds, and the full-corpus
+    # tier assignment — and each reference re-ran the whole scoring
+    # subtree (tf x model broadcast join + the per-doc aggregate over
+    # ~2M bigram rows).  The frame is doc-count-sized (4 ints + lang per
+    # doc), so caching it is KBs; the second traversal becomes a scan of
+    # 5000 cached rows.  Paired A/B at sf0.1: best 1.32 -> 1.17 s, runs
+    # 1.3-2.2 -> 1.2-1.5 s.
+    scored = scored.join(lang, "doc_id").cache()
     sample = scored.filter(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, CCNET_SAMPLE_HEX)
         == "0"
@@ -4939,46 +4947,70 @@ def q_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.lit(1).alias("is_true"))
         .cache()
     )
-    metrics = []
-    for bands, rows in BAND_CONFIGS:
-        banded = (
-            sigs.select("doc_id", F.explode(_band_array(bands, rows)).alias("b"))
-            .select("doc_id", "b.band", "b.band_sig")
+    # r17 (the embedding_lsh_tuning fixes applied to the minhash study —
+    # same shape, same costs):
+    # - hit counting by BROADCAST intersection instead of a full-outer
+    #   sort-merge join per carving (the r16 lsh_tuning change this study
+    #   never received): n_hits = |cand INTERSECT truth|, n_misses =
+    #   |truth| - n_hits — identical by set algebra over two DISTINCT
+    #   pair sets, and the candidate sets never shuffle after dedup;
+    # - ONE multi-carving dataflow tagged by config id instead of three
+    #   independent candidate joins + dedup exchanges (the concurrent
+    #   dedup stragglers were the lsh_tuning row's measured variance).
+    n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    banded_parts = []
+    for ci, (bands, rows) in enumerate(BAND_CONFIGS):
+        banded_parts.append(
+            sigs.select(
+                F.lit(ci).alias("ci"), "doc_id",
+                F.explode(_band_array(bands, rows)).alias("b"),
+            ).select("ci", "doc_id", "b.band", "b.band_sig")
         )
-        a, b = banded.alias("a"), banded.alias("b")
-        cand = (
-            a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.band_sig") == F.col("b.band_sig"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .distinct()
-            .withColumn("is_cand", F.lit(1))
+    banded = banded_parts[0]
+    for p in banded_parts[1:]:
+        banded = banded.unionAll(p)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.ci") == F.col("b.ci"))
+               & (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_sig") == F.col("b.band_sig"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.ci").alias("ci"),
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    counts = (
+        cand.join(F.broadcast(truth), ["doc_a", "doc_b"], "left")
+        .groupBy("ci")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.coalesce(
+                F.sum(F.coalesce(F.col("is_true"), F.lit(0))), F.lit(0)
+            ).cast("bigint").alias("n_hits"),
         )
-        m = (
-            cand.join(truth, ["doc_a", "doc_b"], "full")
-            .agg(
-                F.sum(F.coalesce(F.col("is_cand"), F.lit(0)))
-                .cast("bigint").alias("n_candidates"),
-                F.sum(
-                    F.coalesce(F.col("is_cand"), F.lit(0))
-                    * F.coalesce(F.col("is_true"), F.lit(0))
-                ).cast("bigint").alias("n_hits"),
-                F.sum(
-                    F.when(F.col("is_cand").isNull(), 1).otherwise(0)
-                ).cast("bigint").alias("n_misses"),
-            )
-            .select(
-                F.lit(bands).cast("bigint").alias("bands"),
-                F.lit(rows).cast("bigint").alias("rows_per_band"),
-                "n_candidates", "n_hits", "n_misses",
-            )
+    )
+    # ci-indexed literal config attributes; the left join from a literal
+    # 3-row frame keeps a zero-candidate carving's row present
+    cfg = spark.range(len(BAND_CONFIGS)).select(
+        F.col("id").cast("bigint").alias("ci")
+    )
+    b_arr = F.array(*[F.lit(b).cast("bigint") for b, _r in BAND_CONFIGS])
+    r_arr = F.array(*[F.lit(r).cast("bigint") for _b, r in BAND_CONFIGS])
+    return (
+        cfg.join(F.broadcast(counts), "ci", "left")
+        .crossJoin(F.broadcast(n_truth))
+        .select(
+            F.element_at(b_arr, (F.col("ci") + 1).cast("int")).alias("bands"),
+            F.element_at(r_arr, (F.col("ci") + 1).cast("int"))
+            .alias("rows_per_band"),
+            F.coalesce("n_candidates", F.lit(0)).cast("bigint")
+            .alias("n_candidates"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.col("n_truth") - F.coalesce("n_hits", F.lit(0)))
+            .cast("bigint").alias("n_misses"),
         )
-        metrics.append(m)
-    out = metrics[0]
-    for m in metrics[1:]:
-        out = out.unionAll(m)
-    return out
+    )
 
 
 def _band_tuning_oracle() -> str:
